@@ -1,0 +1,26 @@
+"""Pipeline configuration — the "logical plan" knobs.
+
+Mirrors the reference's ELConfig (reference ``config.py:53-84``):
+``filter_mode`` toggles the type-filter stage
+(el/entity_linker.py:27-28), ``candidates_limit`` the top-K stage
+(el/entity_linker.py:30-31, default 500 per run.py:37), and the two
+filter flags reproduce ``filter_default_type`` /
+``filter_entities_without_type`` (config.py:65-76).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class LinkerConfig:
+    lang: str = "en"
+    filter_mode: str = "rule"  # 'rule' (NER→type map path) | 'none'
+    other_passes_all: bool = True  # OTHER mention type passes all (el/filter.py:43-47)
+    keep_typeless: bool = True  # typeless candidate kept (el/filter.py:57-66)
+    candidates_limit: int | None = 500  # top-K (el/entity_linker.py:94-108)
+    context_window: int = 3  # tokens each side feeding the mention embedding
+    nil_tau: float = 0.80  # NIL-mention dedup-edge cosine threshold
+    n_salt: int = 8  # salt buckets for head blocking keys
+    salt_threshold: int = 100  # keys with more candidates than this get salted
