@@ -1,0 +1,198 @@
+"""Operator unit tests: type-filter truth table, top-K determinism,
+argmax tie-break + fallback, blocking salt-invariance, CC shapes
+(SURVEY.md §5.2 item 4)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from type_filtered_entity_linker_spark.config import LinkerConfig
+from type_filtered_entity_linker_spark.operators.blocking import generate_candidates
+from type_filtered_entity_linker_spark.operators.clustering import (
+    connected_components,
+)
+from type_filtered_entity_linker_spark.operators.topk import (
+    argmax_links,
+    cap_candidates,
+)
+from type_filtered_entity_linker_spark.operators.type_filter import (
+    entity_type_summary,
+    filter_candidates,
+)
+
+# --- type filter truth table ------------------------------------------------
+
+
+def _tf_fixture(spark):
+    # mentions typed: PERSON→S1; MISC→OTHER
+    cands = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u"] * 6,
+                "mention_id": [0, 0, 0, 1, 1, 1],
+                "sf_norm": ["alvar x"] * 3 + ["zeta y"] * 3,
+                "ner_type": ["PERSON"] * 3 + ["MISC"] * 3,
+                # Q1: S1-typed; Q2: typed but wrong supertype; Q3 typeless
+                "item_id": ["Q1", "Q2", "Q3", "Q1", "Q2", "Q3"],
+            }
+        )
+    )
+    types = spark.createDataFrame(
+        pd.DataFrame({"item_id": ["Q1", "Q2"], "type_id": ["T0", "T1"]})
+    )
+    closure = spark.createDataFrame(
+        pd.DataFrame({"subclass_id": ["T0", "T1"], "supertype_id": ["S1", "S9"]})
+    )
+    return cands, entity_type_summary(types, closure)
+
+
+def _kept(df, mid):
+    return sorted(
+        r.item_id for r in df.where(F.col("mention_id") == mid).collect()
+    )
+
+
+def test_type_filter_truth_table(spark):
+    cands, summary = _tf_fixture(spark)
+    out = filter_candidates(cands, summary, LinkerConfig())
+    # PERSON mention: S1 match kept, S9 dropped, typeless kept
+    assert _kept(out, 0) == ["Q1", "Q3"]
+    # MISC mention → OTHER → all pass (el/filter.py:43-47)
+    assert _kept(out, 1) == ["Q1", "Q2", "Q3"]
+
+
+def test_type_filter_drop_typeless_flag(spark):
+    cands, summary = _tf_fixture(spark)
+    out = filter_candidates(
+        cands, summary, LinkerConfig(keep_typeless=False)
+    )
+    assert _kept(out, 0) == ["Q1"]
+
+
+def test_type_filter_other_strict_flag(spark):
+    cands, summary = _tf_fixture(spark)
+    out = filter_candidates(
+        cands, summary, LinkerConfig(other_passes_all=False)
+    )
+    # OTHER no longer passes typed candidates; typeless still kept
+    assert _kept(out, 1) == ["Q3"]
+
+
+def test_type_filter_none_mode(spark):
+    cands, summary = _tf_fixture(spark)
+    out = filter_candidates(cands, summary, LinkerConfig(filter_mode="none"))
+    assert out.count() == 6
+
+
+# --- top-K + argmax -----------------------------------------------------------
+
+
+def test_cap_candidates_deterministic(spark):
+    cands = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u"] * 5,
+                "mention_id": [0] * 5,
+                "item_id": ["Q10", "Q2", "Q33", "Q4", "Q101"],
+            }
+        )
+    )
+    out = cap_candidates(cands, LinkerConfig(candidates_limit=3))
+    assert sorted(r.item_id for r in out.collect()) == ["Q10", "Q2", "Q4"]
+
+
+def test_argmax_tie_breaks_to_lowest_qid(spark):
+    scored = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u"] * 3,
+                "mention_id": [0] * 3,
+                "item_id": ["Q7", "Q3", "Q5"],
+                "score": [0.9, 0.9, 0.1],
+            }
+        )
+    )
+    rows = argmax_links(scored).collect()
+    assert len(rows) == 1 and rows[0].item_id == "Q3"
+
+
+def test_argmax_fallback_all_null(spark):
+    scored = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u", "u"],
+                "mention_id": [0, 0],
+                "item_id": ["Q9", "Q4"],
+                "score": [None, None],
+            }
+        ).astype({"score": "float64"})
+    )
+    rows = argmax_links(scored).collect()
+    assert len(rows) == 1
+    assert rows[0].item_id == "Q4" and rows[0].score == 0.0
+
+
+# --- blocking: salting must not change the candidate set ----------------------
+
+
+def test_salted_join_equals_unsalted(spark):
+    mentions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [f"u{i}" for i in range(20)],
+                "mention_id": [0] * 20,
+                "sf_norm": ["head key"] * 15 + ["tail key"] * 5,
+                "ner_type": ["ORG"] * 20,
+            }
+        )
+    )
+    aliases = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "alias_norm": ["head key"] * 30 + ["tail key"] * 2,
+                "item_id": [f"Q{i}" for i in range(30)] + ["Q100", "Q101"],
+            }
+        )
+    )
+    salted = generate_candidates(
+        mentions, aliases, LinkerConfig(salt_threshold=10, n_salt=4)
+    )
+    plain = generate_candidates(
+        mentions, aliases, LinkerConfig(salt_threshold=10**9)
+    )
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b and len(a) == 15 * 30 + 5 * 2
+
+
+# --- connected components ------------------------------------------------------
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    rows = connected_components(df).collect()
+    comp = {}
+    for r in rows:
+        comp[r.node] = r.cluster_id
+    return comp
+
+
+def test_cc_chain(spark):
+    comp = _cc(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert {comp[x] for x in "abcd"} == {"a"}
+
+
+def test_cc_two_components_and_star(spark):
+    comp = _cc(spark, [("a", "b"), ("a", "c"), ("a", "d"), ("x", "y")])
+    assert {comp[x] for x in "abcd"} == {"a"}
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_cc_self_loops_ignored(spark):
+    comp = _cc(spark, [("a", "a"), ("a", "b"), ("c", "c")])
+    assert comp["a"] == comp["b"] == "a"
+    assert "c" not in comp  # self-loop only → no edge → handled as singleton upstream
+
+
+def test_cc_merged_components(spark):
+    comp = _cc(spark, [("a", "b"), ("c", "d"), ("b", "c")])
+    assert {comp[x] for x in "abcd"} == {"a"}

@@ -1,0 +1,92 @@
+"""Text extraction + mention detection (reference O7/O8,
+``el/mention_detector.py:10-27``) as Arrow-batched Spark operators.
+
+- ``with_extracted_text``: fully-vectorized pandas UDF (pandas .str ops,
+  no per-row Python) replicating ``textlib.extract_text``; the
+  byte-identity test compares it against the pure-Python oracle
+  function per url (north-rule invariant).
+- ``detect_mentions_df``: ``mapInPandas`` UDTF — one pass over the
+  pages partition, emitting exploded mention rows directly (no nested
+  ArrayType intermediate, no shuffle). Mention context embeddings are
+  computed here, where the document text is in hand, so downstream
+  stages never re-read text (the reference computes features once at
+  the model boundary too, preprocess.py:120-149).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from ..config import LinkerConfig
+from ..functions.strings import embed_text
+from ..textlib import context_window, detect_mentions
+
+MENTION_SCHEMA = (
+    "url string, mention_id int, start int, end int, "
+    "sf string, sf_norm string, ner_type string, m_emb array<float>"
+)
+
+
+@F.pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """Vectorized extract_text: same semantics as textlib.extract_text
+    (kept in lockstep by the byte-identity test)."""
+    s = html.str.decode("utf-8", errors="replace")
+    body = s.str.extract(r"<main><p>(.*?)</p></main>", expand=False).fillna("")
+    # html_unescape, vectorized; &amp; must be last
+    body = body.str.replace("&gt;", ">", regex=False)
+    body = body.str.replace("&lt;", "<", regex=False)
+    body = body.str.replace("&amp;", "&", regex=False)
+    return body
+
+
+def with_extracted_text(pages: DataFrame, cfg: LinkerConfig) -> DataFrame:
+    """pages → (url, warc_ts, lang, text) for the configured language.
+    The language filter runs BEFORE extraction so Catalyst prunes
+    non-target rows at the scan (predicate pushdown on `lang`)."""
+    return (
+        pages.where(F.col("lang") == cfg.lang)
+        .select("url", "warc_ts", "lang", extract_text_udf("html").alias("text"))
+    )
+
+
+def detect_mentions_df(
+    pages_text: DataFrame, gazetteer: DataFrame, cfg: LinkerConfig
+) -> DataFrame:
+    """(url, text) → exploded mention rows with context embeddings."""
+    spark = pages_text.sparkSession
+    gaz = frozenset(r[0] for r in gazetteer.select("alias_norm").collect())
+    gaz_b = spark.sparkContext.broadcast(gaz)
+    window = cfg.context_window
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = gaz_b.value
+        for pdf in batches:
+            out = {k: [] for k in (
+                "url", "mention_id", "start", "end", "sf", "sf_norm",
+                "ner_type", "m_emb",
+            )}
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for mid, (s, e, sf, sfn, ner) in enumerate(
+                    detect_mentions(text, g)
+                ):
+                    ctx = context_window(text, s, e, window)
+                    out["url"].append(url)
+                    out["mention_id"].append(mid)
+                    out["start"].append(s)
+                    out["end"].append(e)
+                    out["sf"].append(sf)
+                    out["sf_norm"].append(sfn)
+                    out["ner_type"].append(ner)
+                    out["m_emb"].append(
+                        embed_text(sfn + " | " + ctx).astype(np.float32)
+                    )
+            yield pd.DataFrame(out)
+
+    return pages_text.select("url", "text").mapInPandas(run, MENTION_SCHEMA)

@@ -1,0 +1,86 @@
+"""The PAIRWISE SCORER (reference O22 ``el/entity_disambiguator.py:29-47``
++ model graph ``disamb/model.py:35-84``), re-expressed as one
+vectorized Arrow-batched pandas UDF per BASELINE.json north_star:
+embedding cosine + Jaro-Winkler + Levenshtein.
+
+Plan properties:
+- runs AFTER the type filter and top-K cap, so the expensive stage sees
+  the pruned pair stream (the reference's thesis, preserved by plan
+  authorship — Catalyst can't reorder through UDFs);
+- Levenshtein is computed JVM-side with the builtin ``F.levenshtein``
+  (whole-stage codegen) — only cosine + Jaro-Winkler cross into Python,
+  as one Arrow batch, numpy-vectorized over the batch (no per-row
+  Python, input_hint);
+- entity dimension (canonical name + embedding) is joined once; missing
+  embeddings yield null scores → the argmax stage's skip/fallback path
+  (el/entity_disambiguator.py:36-39,49-55).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from ..functions.strings import EMB_DIM, cosine_batch, jaro_winkler_batch, pair_score
+
+
+@F.pandas_udf(DoubleType())
+def _score_udf(
+    sf_norm: pd.Series,
+    canonical_norm: pd.Series,
+    m_emb: pd.Series,
+    e_emb: pd.Series,
+    lev: pd.Series,
+) -> pd.Series:
+    n = len(sf_norm)
+    if n == 0:
+        return pd.Series([], dtype="float64")
+    has_emb = e_emb.notna().to_numpy()
+    M = np.zeros((n, EMB_DIM), dtype=np.float64)
+    E = np.zeros((n, EMB_DIM), dtype=np.float64)
+    if has_emb.any():
+        M[has_emb] = np.stack(m_emb[has_emb].to_numpy())
+        E[has_emb] = np.stack(e_emb[has_emb].to_numpy())
+    cos = cosine_batch(M, E)
+    a = sf_norm.fillna("").tolist()
+    b = canonical_norm.fillna("").tolist()
+    jw = jaro_winkler_batch(a, b)
+    la = np.array([len(s) for s in a])
+    lb = np.array([len(s) for s in b])
+    scores = pair_score(cos, jw, lev.to_numpy(dtype=np.float64), la, lb)
+    return pd.Series(np.where(has_emb, scores, np.nan))
+
+
+def entity_dim(entities: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """(item_id, canonical_norm, e_emb) — the scorer's side input
+    (stands in for the reference's PBG store, inout/pbg.py:139-163)."""
+    return entities.select("item_id", "canonical_norm").join(
+        embeddings.select("item_id", F.col("emb").alias("e_emb")),
+        "item_id",
+        "left",
+    )
+
+
+def score_candidates(
+    candidates: DataFrame, mentions: DataFrame, dim: DataFrame
+) -> DataFrame:
+    """candidates (url, mention_id, sf_norm, ner_type, item_id) →
+    + score (null when the entity has no embedding)."""
+    withm = candidates.join(
+        mentions.select("url", "mention_id", "m_emb"), ["url", "mention_id"], "inner"
+    )
+    withe = withm.join(dim, "item_id", "left")
+    lev = F.levenshtein("sf_norm", "canonical_norm")  # JVM builtin
+    return withe.withColumn(
+        "score",
+        _score_udf(
+            F.col("sf_norm"),
+            F.col("canonical_norm"),
+            F.col("m_emb"),
+            F.col("e_emb"),
+            F.coalesce(lev, F.lit(0)),
+        ),
+    ).select("url", "mention_id", "sf_norm", "item_id", "score")

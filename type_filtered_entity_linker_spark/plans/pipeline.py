@@ -1,0 +1,114 @@
+"""End-to-end linkage pipeline orchestration (the reference's
+``EntityLinker.process`` A2KB flow, ``el/entity_linker.py:23-33``:
+detect → generate → filter → limit → disambiguate, plus the explicit
+clustering stage the north rule adds).
+
+Each stage checkpoints through ``sources.tableio`` with a fingerprint
+chained from (stage name, config, upstream fingerprints) — a re-run
+with unchanged inputs skips straight to the first dirty stage
+(resumability gate, SURVEY.md §5.2 item 5). Per-stage row counts land
+in a metrics table (the Spark form of the reference's
+'Filtered to X/Y' logging, el/filter.py:94-98).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import LinkerConfig
+from ..operators.blocking import generate_candidates
+from ..operators.clustering import cluster_mentions
+from ..operators.mentions import detect_mentions_df, with_extracted_text
+from ..operators.nil import nil_edges, nil_mentions
+from ..operators.scoring import entity_dim, score_candidates
+from ..operators.topk import argmax_links, cap_candidates
+from ..operators.type_filter import entity_type_summary, filter_candidates
+from ..sources.tableio import fingerprint, read_or_compute
+
+
+@dataclass
+class PipelineResult:
+    mentions: DataFrame
+    candidates_unfiltered: DataFrame
+    candidates: DataFrame
+    links: DataFrame
+    clusters: DataFrame
+    metrics: list[dict]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    inputs: dict[str, DataFrame],
+    workdir: str,
+    cfg: LinkerConfig = LinkerConfig(),
+    resume: bool = True,
+    input_version: str = "v1",
+) -> PipelineResult:
+    """inputs: pages, gazetteer, entity_aliases, entity_types,
+    type_closure, entity_embeddings, entities."""
+    os.makedirs(workdir, exist_ok=True)
+    metrics: list[dict] = []
+    base_fp = fingerprint(repr(cfg), input_version)
+
+    def stage(name: str, upstream_fp: str, compute) -> tuple[DataFrame, str]:
+        fp = fingerprint(name, base_fp, upstream_fp)
+        df, manifest, cached = read_or_compute(
+            spark, os.path.join(workdir, name), fp, compute, force=not resume
+        )
+        metrics.append(
+            {
+                "stage": name,
+                "rows": manifest["rows"],
+                "partitions": len(manifest["partitions"]),
+                "cached": cached,
+                "fingerprint": fp,
+            }
+        )
+        return df, fp
+
+    pages_text, fp1 = stage(
+        "pages_text", "", lambda: with_extracted_text(inputs["pages"], cfg)
+    )
+    mentions, fp2 = stage(
+        "mentions",
+        fp1,
+        lambda: detect_mentions_df(pages_text, inputs["gazetteer"], cfg),
+    )
+    cand_u, fp3 = stage(
+        "candidates_unfiltered",
+        fp2,
+        lambda: generate_candidates(mentions, inputs["entity_aliases"], cfg),
+    )
+    summary = entity_type_summary(inputs["entity_types"], inputs["type_closure"])
+    cand_f, fp4 = stage(
+        "candidates_filtered",
+        fp3,
+        lambda: filter_candidates(cand_u, summary, cfg),
+    )
+    cand_k, fp5 = stage(
+        "candidates_topk", fp4, lambda: cap_candidates(cand_f, cfg)
+    )
+    dim = entity_dim(inputs["entities"], inputs["entity_embeddings"])
+    scored, fp6 = stage(
+        "scored", fp5, lambda: score_candidates(cand_k, mentions, dim)
+    )
+    links, fp7 = stage("links", fp6, lambda: argmax_links(scored))
+
+    def compute_clusters() -> DataFrame:
+        nils = nil_mentions(mentions, cand_k)
+        ne = nil_edges(nils, cfg)
+        return cluster_mentions(links, ne, mentions)
+
+    clusters, fp8 = stage("clusters", fp7, compute_clusters)
+
+    return PipelineResult(
+        mentions=mentions,
+        candidates_unfiltered=cand_u,
+        candidates=cand_k,
+        links=links,
+        clusters=clusters,
+        metrics=metrics,
+    )

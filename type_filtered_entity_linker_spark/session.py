@@ -1,0 +1,47 @@
+"""SparkSession factory with the scale-hygiene defaults this engine
+assumes everywhere: AQE (runtime re-plan + skew-join splitting), Arrow
+for pandas UDFs, and bounded shuffle partitioning.
+
+On a real cluster this module is the single place to attach the
+Iceberg runtime (``spark.jars.packages=org.apache.iceberg:...`` +
+catalog conf). The sandbox has no Iceberg jar (SURVEY.md §7.0), so
+``sources.tableio`` provides the same checkpoint/lineage contract over
+Parquet + JSON manifests.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def spark_session(
+    app_name: str = "type-filtered-entity-linker-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: ~1x cores; on a cluster this should be
+        # 2-3x total executor cores (AQE coalesces small partitions)
+        n = master[len("local[") : -1] if master.startswith("local[") else str(cpus)
+        shuffle_partitions = cpus if n == "*" else int(n)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
