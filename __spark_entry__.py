@@ -1,38 +1,40 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship entity-linkage chain (explode →
+blocking equi-join → type-filter semi-join → top-K → score → argmax →
+cluster) on /root/testdata/sf0.001. ``queries()`` exposes one callable
+per implemented operator family from SURVEY.md §2 plus the
+training-data pipeline operators (dedup / similarity / text analysis /
+multimodal); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+exactly-reproducible query (approximate ops — SimHash, LSH-ANN — are
+rows-only by design).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+from type_filtered_entity_linker_spark.plans.driver_queries import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full linkage mini-pipeline to clusters on sf0.001."""
+    return QUERIES["el_clusters"](spark, SF_SMALL)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,119 @@
+"""Benchmark harness. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": ..., "pairs_scored_per_sec": ...}
+
+Benches three things:
+1. headline driver-table queries at $SPARK_GRAFT_SF_DIR
+   (default /root/testdata/sf0.1) — dedup / similarity / text analysis /
+   linkage-chain / relational;
+2. the full domain linkage pipeline (synthetic seeded corpus,
+   n_pages scaled) end-to-end with per-stage timings;
+3. scorer throughput (pairs-scored/sec — the BASELINE.json metric).
+
+Parallelism comes from $SPARK_GRAFT_CPUS (default 32). The scaling
+study (local[8] vs local[32] per the north rule's two-cluster-size
+criterion) is orchestrated by scripts/scaling_bench.py, which invokes
+this file as a subprocess per parallelism level.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from type_filtered_entity_linker_spark.config import LinkerConfig
+from type_filtered_entity_linker_spark.fixtures import make_fixtures
+from type_filtered_entity_linker_spark.plans.driver_queries import QUERIES
+from type_filtered_entity_linker_spark.plans.pipeline import run_pipeline
+from type_filtered_entity_linker_spark.session import spark_session
+
+HEADLINE = [
+    "el_clusters",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "media_features",
+    "events_hourly_window",
+    "lineitem_agg",
+    "top_orders_per_customer",
+]
+
+BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
+BENCH_ENTITIES = int(os.environ.get("BENCH_ENTITIES", "1200"))
+
+
+def _noop_write(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = spark_session(
+        app_name=f"bench-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _noop_write(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # full domain pipeline on the seeded synthetic corpus
+    fx = make_fixtures(
+        seed=42, n_pages=BENCH_PAGES, n_entities=BENCH_ENTITIES,
+        head_alias_fanout=900,
+    )
+    inputs = {
+        k: spark.createDataFrame(fx[k])
+        for k in (
+            "pages", "gazetteer", "entity_aliases", "entity_types",
+            "type_closure", "entity_embeddings", "entities",
+        )
+    }
+    wd = f"/tmp/bench_wd_{cpus}"
+    shutil.rmtree(wd, ignore_errors=True)
+    t0 = time.perf_counter()
+    res = run_pipeline(spark, inputs, wd, LinkerConfig(), resume=False)
+    timings["linkage_pipeline_e2e"] = round(time.perf_counter() - t0, 3)
+
+    stage = {m["stage"]: m for m in res.metrics}
+    pairs_scored = stage["scored"]["rows"]
+    scoring_secs = stage["scored"]["secs"]
+    pairs_per_sec = round(pairs_scored / max(scoring_secs, 1e-9), 1)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "e2e_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "pairs_scored": pairs_scored,
+        "pairs_scored_per_sec": pairs_per_sec,
+        "pipeline_stage_secs": {m["stage"]: m["secs"] for m in res.metrics},
+        "bench_pages": BENCH_PAGES,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+"""Unit tests for the training-data pipeline operators."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from type_filtered_entity_linker_spark.operators.dedup import (
+    exact_duplicates,
+    near_duplicates_minhash,
+    simhash64,
+)
+from type_filtered_entity_linker_spark.operators.multimodal import (
+    extract_media_features,
+    with_binary_payload,
+)
+from type_filtered_entity_linker_spark.operators.similarity import (
+    brute_force_topk,
+)
+from type_filtered_entity_linker_spark.operators.textstats import (
+    fingerprints,
+    lang_id,
+)
+
+
+def test_exact_duplicates(spark):
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4], "text": ["aa", "bb", "aa", "aa"]}
+        )
+    )
+    out = {r.doc_id: r.keeper_id for r in exact_duplicates(d).collect()}
+    assert out == {1: 1, 3: 1, 4: 1}
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    base,
+                    base.replace("today", "tomorrow"),  # near-dup of 1
+                    "completely different words in this one unrelated entirely now",
+                ],
+            }
+        )
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in near_duplicates_minhash(d, threshold=0.5).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_simhash_identical_and_near(spark):
+    base = " ".join(f"tok{i}" for i in range(30))
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [base, base, " ".join(f"x{i}" for i in range(30))],
+            }
+        )
+    )
+    sh = {r.doc_id: r.simhash for r in simhash64(d).collect()}
+    assert sh[1] == sh[2]
+    assert sh[1] != sh[3]
+
+
+def test_brute_force_topk_exact(spark):
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2, 3],
+                "embedding": [
+                    [1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [-1.0, 0.0]
+                ],
+            }
+        )
+    )
+    q = corpus.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = [
+        (r.vec_id, r.rank)
+        for r in brute_force_topk(q, corpus, k=3).orderBy("rank").collect()
+    ]
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_lang_id_markers(spark):
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the cat and the dog of it",
+                    "der hund und die katze ist",
+                    "xyzzy plugh",
+                ],
+            }
+        )
+    )
+    out = {r.doc_id: r.pred_lang for r in lang_id(d).collect()}
+    assert out == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    d = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["aa bb cc", "cc bb aa"]})
+    )
+    fps = {r.doc_id: r.fingerprint for r in fingerprints(d).collect()}
+    assert fps[1] != fps[2]
+
+
+def test_media_stub_raises_for_real_media(spark):
+    d = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["hello"]})
+    )
+    media = with_binary_payload(d).withColumn(
+        "media_type", F.lit("image/png")
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
+        extract_media_features(media).collect()
+
+
+def test_media_features_text_payload(spark):
+    d = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["abc"]})
+    )
+    r = extract_media_features(with_binary_payload(d)).collect()[0]
+    assert r.n_bytes == 3 and r.first_byte == 97
+    assert r.byte_checksum == 97 + 98 + 99

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine`` / ``dot``: pure JVM column expressions (zip_with +
+  aggregate in double precision — whole-stage codegen, no Python).
+- ``brute_force_topk``: exact top-k neighbors per query vector —
+  the correctness baseline. Query side is small and broadcast; the
+  corpus side streams, so the plan is a broadcast nested-loop that
+  scales linearly in corpus size.
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane (sign) LSH
+  buckets computed JVM-side from deterministic literal hyperplanes;
+  only intra-bucket pairs are scored. Approximate: recall depends on
+  bucket bits.
+- ``embedding_near_duplicates``: pairs with cosine ≥ τ (embedding-based
+  near-dup detection for training corpora).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: F.Column) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_q: str = "query_id",
+    id_c: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of each query over the corpus (self excluded).
+    queries: (query_id, q_emb); corpus: (vec_id, embedding)."""
+    # precompute norms once per side: each pair then costs ONE dot
+    q = queries.withColumn("qn", norm(F.col("q_emb")))
+    c = corpus.withColumn("cn", norm(F.col("embedding")))
+    j = F.broadcast(q).crossJoin(c).where(F.col(id_q) != F.col(id_c))
+    scored = j.select(
+        id_q,
+        id_c,
+        F.round(
+            dot(F.col("q_emb"), F.col("embedding")) / (F.col("qn") * F.col("cn")),
+            6,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy(id_q).orderBy(F.desc("cos"), F.col(id_c).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_q, id_c, "cos", "rank")
+    )
+
+
+def hyperplanes(dim: int, bits: int = 12, seed: int = 11) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(bits, dim).astype(float).tolist()
+
+
+def lsh_bucket(emb: F.Column, planes: list[list[float]]) -> F.Column:
+    """Sign-LSH bucket id: bit b = sign(emb · plane_b). JVM-only."""
+    bucket = F.lit(0).cast("long")
+    for b, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(
+            dot(emb, plane) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket
+    are scored. Buckets shrink the candidate set ~2^bits-fold."""
+    planes = hyperplanes(dim, bits, seed)
+    qb = queries.withColumn("bucket", lsh_bucket(F.col("q_emb"), planes))
+    cb = corpus.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    j = qb.join(cb, "bucket").where(F.col("query_id") != F.col("vec_id"))
+    scored = j.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame, tau: float = 0.99, id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine ≥ tau. Small-side self-join;
+    at scale, route through lsh_bucket blocking first."""
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(emb_col).alias("e"),
+        norm(F.col(emb_col)).alias("n"),
+    )
+    a = v.select(
+        F.col("vid").alias("id_a"), F.col("e").alias("ea"), F.col("n").alias("na")
+    )
+    b = v.select(
+        F.col("vid").alias("id_b"), F.col("e").alias("eb"), F.col("n").alias("nb")
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= tau)
+    )

@@ -1,0 +1,635 @@
+"""Driver-contract queries: one entry per implemented operator family
+(SURVEY.md §2), each expressed twice — idiomatic PySpark DataFrame code
+here, and equivalent ANSI SQL (DuckDB dialect) for the correctness
+oracle. Column names and rounding are kept identical on both sides so
+the driver's order-insensitive value hash matches.
+
+The entity-linkage mini-pipeline (el_*) runs the reference's operator
+chain — explode → blocking equi-join → type-filter semi-join → top-K →
+score → argmax → cluster (reference el/entity_linker.py:23-33) — over
+the driver's `documents` table, with a prefix-blocked dictionary
+derived deterministically from the corpus vocabulary. The full
+domain pipeline (with the real scorer, salting and CC loop) runs on the
+synthetic pages fixture under pytest; these queries prove the same plan
+shapes against an independent SQL engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_duplicates,
+    near_duplicates_minhash,
+    near_duplicates_simhash,
+)
+from ..operators.multimodal import extract_media_features, with_binary_payload
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+from ..operators.textstats import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_counts,
+)
+
+# ---------------------------------------------------------------- helpers
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (doc_id+100000) of every 10th doc."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(copies)
+
+
+DUP_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-copies (first token dropped) of every 7th doc."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    near = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return d.unionByName(near)
+
+
+NEARDUP_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id,
+           substr(text, position(' ' IN text) + 1) AS text
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+# ------------------------------------------------- entity-linkage mini-pipeline
+# dictionary derived from corpus vocabulary; blocking key = 2-char prefix
+
+
+def _el_mentions(spark, sf_dir) -> DataFrame:
+    """O7/O8 analog: explode document tokens → distinct mentions."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("sf"))
+        .where(F.length("sf") >= 3)
+        .distinct()
+    )
+
+
+EL_MENTIONS_SQL = """
+    SELECT DISTINCT doc_id, t.sf
+    FROM documents, unnest(string_split(text, ' ')) AS t(sf)
+    WHERE length(t.sf) >= 3
+"""
+
+
+def _el_entities(spark, sf_dir) -> DataFrame:
+    """Entity dictionary: corpus vocabulary, item_id = alphabetic rank."""
+    d = _docs(spark, sf_dir)
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("name"))
+        .where(F.length("name") >= 3)
+        .distinct()
+    )
+    w = Window.orderBy("name")
+    return vocab.select(
+        F.row_number().over(w).cast("long").alias("item_id"), "name"
+    )
+
+
+EL_ENTITIES_SQL = """
+    SELECT row_number() OVER (ORDER BY name) AS item_id, name
+    FROM (SELECT DISTINCT t.sf AS name
+          FROM documents, unnest(string_split(text, ' ')) AS t(sf)
+          WHERE length(t.sf) >= 3)
+"""
+
+
+def _el_candidates(spark, sf_dir) -> DataFrame:
+    """O9 analog: blocking equi-join on the 1-char-prefix key."""
+    m = _el_mentions(spark, sf_dir).withColumn("blk", F.substring("sf", 1, 1))
+    e = _el_entities(spark, sf_dir).withColumn("blk", F.substring("name", 1, 1))
+    return m.join(e, "blk").select("doc_id", "sf", "item_id", "name")
+
+
+EL_CANDIDATES_SQL = f"""
+    WITH m AS ({EL_MENTIONS_SQL}), e AS ({EL_ENTITIES_SQL})
+    SELECT m.doc_id, m.sf, e.item_id, e.name
+    FROM m JOIN e ON substr(m.sf, 1, 1) = substr(e.name, 1, 1)
+"""
+
+
+def _el_types(spark, sf_dir) -> DataFrame:
+    """Entity→supertype dictionary: primary type by name-length band;
+    every 5th entity gets a second type (multi-type closure semantics,
+    reference typerec/types.py:130-144 analog)."""
+    e = _el_entities(spark, sf_dir)
+    prim = e.select(
+        "item_id",
+        F.concat(F.lit("S"), (F.length("name") % 3).cast("string")).alias("type_id"),
+    )
+    extra = e.where(F.col("item_id") % 5 == 0).select(
+        "item_id",
+        F.concat(F.lit("S"), ((F.length("name") + 1) % 3).cast("string")).alias(
+            "type_id"
+        ),
+    )
+    return prim.unionByName(extra)
+
+
+EL_TYPES_SQL = f"""
+    WITH e AS ({EL_ENTITIES_SQL})
+    SELECT item_id, 'S' || (length(name) % 3) AS type_id FROM e
+    UNION ALL
+    SELECT item_id, 'S' || ((length(name) + 1) % 3) AS type_id
+    FROM e WHERE item_id % 5 = 0
+"""
+
+
+def _el_filtered(spark, sf_dir) -> DataFrame:
+    """O17 analog: TYPE FILTER — left-semi join keeping candidates whose
+    type set contains the mention's predicted supertype."""
+    c = _el_candidates(spark, sf_dir).withColumn(
+        "m_type", F.concat(F.lit("S"), (F.length("sf") % 3).cast("string"))
+    )
+    t = _el_types(spark, sf_dir)
+    return c.join(
+        t,
+        (c.item_id == t.item_id) & (c.m_type == t.type_id),
+        "left_semi",
+    ).select("doc_id", "sf", "item_id", "name")
+
+
+EL_FILTERED_SQL = f"""
+    WITH c AS ({EL_CANDIDATES_SQL}), t AS ({EL_TYPES_SQL})
+    SELECT c.doc_id, c.sf, c.item_id, c.name
+    FROM c
+    WHERE EXISTS (SELECT 1 FROM t
+                  WHERE t.item_id = c.item_id
+                    AND t.type_id = 'S' || (length(c.sf) % 3))
+"""
+
+
+def _el_topk(spark, sf_dir, k: int = 5) -> DataFrame:
+    """O19 analog: deterministic top-K candidates per mention."""
+    c = _el_filtered(spark, sf_dir)
+    w = Window.partitionBy("doc_id", "sf").orderBy(F.col("item_id").asc())
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("doc_id", "sf", "item_id", "name")
+    )
+
+
+EL_TOPK_SQL = f"""
+    WITH f AS ({EL_FILTERED_SQL})
+    SELECT doc_id, sf, item_id, name FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id, sf ORDER BY item_id) AS rn
+        FROM f) WHERE rn <= 5
+"""
+
+
+def _el_links(spark, sf_dir) -> DataFrame:
+    """O22/O23 analog: score (JVM levenshtein) + argmax winner with
+    deterministic tie-break."""
+    c = _el_topk(spark, sf_dir).withColumn(
+        "lev", F.levenshtein("sf", "name")
+    )
+    w = Window.partitionBy("doc_id", "sf").orderBy(
+        F.col("lev").asc(), F.col("item_id").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "sf", "item_id", "lev")
+    )
+
+
+EL_LINKS_SQL = f"""
+    WITH k AS ({EL_TOPK_SQL})
+    SELECT doc_id, sf, item_id, lev FROM (
+        SELECT doc_id, sf, item_id, levenshtein(sf, name) AS lev,
+               row_number() OVER (PARTITION BY doc_id, sf
+                   ORDER BY levenshtein(sf, name), item_id) AS rn
+        FROM k) WHERE rn = 1
+"""
+
+
+def _el_clusters(spark, sf_dir) -> DataFrame:
+    """O33 analog: mentions linked to one entity form a cluster;
+    cluster_id = min mention key."""
+    l = _el_links(spark, sf_dir).withColumn(
+        "mention_key", F.concat_ws("#", F.col("doc_id").cast("string"), "sf")
+    )
+    mins = l.groupBy("item_id").agg(F.min("mention_key").alias("cluster_id"))
+    return l.join(mins, "item_id").select("mention_key", "cluster_id")
+
+
+EL_CLUSTERS_SQL = f"""
+    WITH l AS ({EL_LINKS_SQL}),
+    lk AS (SELECT doc_id::VARCHAR || '#' || sf AS mention_key, item_id FROM l)
+    SELECT lk.mention_key, m.cluster_id
+    FROM lk JOIN (SELECT item_id, min(mention_key) AS cluster_id
+                  FROM lk GROUP BY item_id) m USING (item_id)
+"""
+
+
+def _el_filter_stats(spark, sf_dir) -> DataFrame:
+    """O18/O29 analog: per-document unfiltered vs filtered candidate
+    counts — the reference's filter-effectiveness metric
+    (evaluation.py:9-19) as a real aggregation."""
+    u = (
+        _el_candidates(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_unfiltered"))
+    )
+    f = (
+        _el_filtered(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_filtered"))
+    )
+    return u.join(f, "doc_id", "left").select(
+        "doc_id",
+        "n_unfiltered",
+        F.coalesce("n_filtered", F.lit(0)).alias("n_filtered"),
+    )
+
+
+EL_FILTER_STATS_SQL = f"""
+    WITH c AS ({EL_CANDIDATES_SQL}), f AS ({EL_FILTERED_SQL}),
+    u AS (SELECT doc_id, count(*) AS n_unfiltered FROM c GROUP BY doc_id),
+    ff AS (SELECT doc_id, count(*) AS n_filtered FROM f GROUP BY doc_id)
+    SELECT u.doc_id, u.n_unfiltered,
+           coalesce(ff.n_filtered, 0) AS n_filtered
+    FROM u LEFT JOIN ff USING (doc_id)
+"""
+
+# ------------------------------------------------------------- dedup family
+
+
+def q_dedup_exact(spark, sf_dir) -> DataFrame:
+    return exact_duplicates(_dup_corpus(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = f"""
+    WITH corpus AS ({DUP_CORPUS_SQL}),
+    h AS (SELECT doc_id, md5(text) AS th FROM corpus),
+    g AS (SELECT th, min(doc_id) AS keeper_id, count(*) AS n
+          FROM h GROUP BY th HAVING count(*) > 1)
+    SELECT h.doc_id, g.keeper_id FROM h JOIN g USING (th)
+"""
+
+
+def q_dedup_minhash(spark, sf_dir) -> DataFrame:
+    return near_duplicates_minhash(_neardup_corpus(spark, sf_dir), threshold=0.6)
+
+
+# oracle = brute-force shingle Jaccard (LSH+verify equals it when LSH
+# recall at the threshold is 1 — see near_duplicates_minhash docstring)
+DEDUP_MINHASH_SQL = f"""
+    WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+    sh AS (SELECT DISTINCT doc_id, s
+           FROM toks, unnest([array_to_string(l[i:i+2], ' ')
+                              for i in generate_series(1, len(l) - 2)]) AS t(s)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
+"""
+
+
+def q_dedup_simhash(spark, sf_dir) -> DataFrame:
+    # rows-only check: SimHash is approximate (no SQL-exact oracle)
+    return near_duplicates_simhash(_neardup_corpus(spark, sf_dir), max_hamming=6)
+
+
+def q_dedup_embedding(spark, sf_dir) -> DataFrame:
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return embedding_near_duplicates(e.unionByName(copies), tau=0.9999)
+
+
+DEDUP_EMBEDDING_SQL = """
+    WITH corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM corpus)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e) /
+                 (sqrt(list_dot_product(a.e, a.e)) *
+                  sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+    FROM c a JOIN c b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e) /
+          (sqrt(list_dot_product(a.e, a.e)) *
+           sqrt(list_dot_product(b.e, b.e))), 6) >= 0.9999
+"""
+
+# ------------------------------------------------------- similarity search
+
+
+def q_ann_topk(spark, sf_dir) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return brute_force_topk(queries, e.select("vec_id", "embedding"), k=5)
+
+
+ANN_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+        SELECT query_id, vec_id,
+               round(list_dot_product(qe, e) /
+                     (sqrt(list_dot_product(qe, qe)) *
+                      sqrt(list_dot_product(e, e))), 6) AS cos
+        FROM q CROSS JOIN c WHERE query_id != vec_id)
+    SELECT query_id, vec_id, cos, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        FROM scored) WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark, sf_dir) -> DataFrame:
+    # rows-only: LSH-bucketed ANN is approximate by design
+    e = _emb(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return lsh_bucketed_topk(queries, e.select("vec_id", "embedding"), k=5, bits=6)
+
+# ------------------------------------------------------------- text analysis
+
+
+def q_lang_id(spark, sf_dir) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+LANG_ID_SQL = """
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    sc AS (SELECT doc_id,
+        len(list_filter(l, t -> list_contains(['the','and','of','to','in'], t))) AS s_en,
+        len(list_filter(l, t -> list_contains(['der','die','und','ist','nicht'], t))) AS s_de,
+        len(list_filter(l, t -> list_contains(['el','la','que','de','los'], t))) AS s_es,
+        len(list_filter(l, t -> list_contains(['le','la','et','les','des'], t))) AS s_fr
+        FROM s)
+    SELECT doc_id,
+        CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+             WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+             WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+             WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+             ELSE 'fr' END AS pred_lang,
+        greatest(s_en, s_de, s_es, s_fr)::INT AS marker_hits
+    FROM sc
+"""
+
+
+def q_quality(spark, sf_dir) -> DataFrame:
+    return quality_scores(_docs(spark, sf_dir))
+
+
+QUALITY_SQL = """
+    WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+    f AS (SELECT doc_id,
+        length(text) AS n_chars,
+        len(l) AS n_tokens,
+        len(list_filter(l, t -> list_contains(
+            ['the','a','of','and','to','in','on','at','for','with'], t))) AS n_stop,
+        length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+        FROM s)
+    SELECT doc_id, n_chars, n_tokens,
+        round(n_chars::DOUBLE / greatest(n_tokens, 1), 6) AS avg_token_len,
+        round(n_stop::DOUBLE / greatest(n_tokens, 1), 6) AS stopword_ratio,
+        round(n_punct::DOUBLE / greatest(n_chars, 1), 6) AS punct_ratio,
+        round(0.4 * least(n_stop::DOUBLE / greatest(n_tokens, 1) * 4, 1.0)
+            + 0.4 * (1.0 - least(n_punct::DOUBLE / greatest(n_chars, 1) * 10, 1.0))
+            + 0.2 * least(n_tokens::DOUBLE / 50.0, 1.0), 6) AS quality
+    FROM f
+"""
+
+
+def q_token_count(spark, sf_dir) -> DataFrame:
+    return token_counts(_docs(spark, sf_dir))
+
+
+TOKEN_COUNT_SQL = r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+    FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir) -> DataFrame:
+    return fingerprints(_docs(spark, sf_dir))
+
+
+FINGERPRINT_SQL = """
+    WITH s AS (SELECT doc_id,
+        [length(t)::BIGINT * 7 + ascii(substr(t, 1, 1))
+         for t in string_split(text, ' ')] AS vals
+        FROM documents)
+    SELECT doc_id,
+           list_reduce(list_prepend(0::BIGINT, vals),
+                       (acc, v) -> (acc * 31 + v) % 1000000007) AS fingerprint
+    FROM s
+"""
+
+# --------------------------------------------------------------- multimodal
+
+
+def q_media_features(spark, sf_dir) -> DataFrame:
+    return extract_media_features(with_binary_payload(_docs(spark, sf_dir)))
+
+
+MEDIA_FEATURES_SQL = """
+    SELECT doc_id, 'text/plain' AS media_type,
+           length(text)::INT AS n_bytes,
+           ascii(substr(text, 1, 1))::INT AS first_byte,
+           list_sum([ascii(substr(text, i, 1))
+                     for i in generate_series(1, length(text))])::BIGINT
+               AS byte_checksum
+    FROM documents
+"""
+
+# ------------------------------------------------------- relational anchors
+
+
+def q_events_window(spark, sf_dir) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("hour_start")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_WINDOW_SQL = """
+    SELECT user_id, date_trunc('hour', ts) AS hour_start,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+def q_lineitem_agg(spark, sf_dir) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+LINEITEM_AGG_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS n
+    FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_top_orders_per_customer(spark, sf_dir) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey").asc()
+    )
+    top = (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+    return top.join(
+        F.broadcast(c.select("c_custkey", "c_name")),
+        top.o_custkey == c.c_custkey,
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "rn")
+
+
+TOP_ORDERS_SQL = """
+    WITH top AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+    SELECT c.c_custkey, c.c_name, top.o_orderkey, top.o_totalprice, top.rn
+    FROM top JOIN customer c ON top.o_custkey = c.c_custkey
+    WHERE top.rn <= 3
+"""
+
+
+def q_semi_anti(spark, sf_dir) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    has_f = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    has_o = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return (
+        c.join(has_f, c.c_custkey == has_f.o_custkey, "left_semi")
+        .join(has_o, c.c_custkey == has_o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+SEMI_ANTI_SQL = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+# --------------------------------------------------------------- registries
+
+QUERIES = {
+    "el_mentions": _el_mentions,
+    "el_entities": _el_entities,
+    "el_candidates": _el_candidates,
+    "el_type_filter": _el_filtered,
+    "el_topk": _el_topk,
+    "el_links": _el_links,
+    "el_clusters": _el_clusters,
+    "el_filter_stats": _el_filter_stats,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "ann_topk_bruteforce": q_ann_topk,
+    "ann_topk_lsh": q_ann_lsh,
+    "lang_id": q_lang_id,
+    "quality_score": q_quality,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_fingerprint,
+    "media_features": q_media_features,
+    "events_hourly_window": q_events_window,
+    "lineitem_agg": q_lineitem_agg,
+    "top_orders_per_customer": q_top_orders_per_customer,
+    "customers_semi_anti": q_semi_anti,
+}
+
+ORACLES = {
+    "el_mentions": EL_MENTIONS_SQL,
+    "el_entities": EL_ENTITIES_SQL,
+    "el_candidates": EL_CANDIDATES_SQL,
+    "el_type_filter": EL_FILTERED_SQL,
+    "el_topk": EL_TOPK_SQL,
+    "el_links": EL_LINKS_SQL,
+    "el_clusters": EL_CLUSTERS_SQL,
+    "el_filter_stats": EL_FILTER_STATS_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    # dedup_simhash: approximate — rows-only check
+    "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "ann_topk_bruteforce": ANN_TOPK_SQL,
+    # ann_topk_lsh: approximate — rows-only check
+    "lang_id": LANG_ID_SQL,
+    "quality_score": QUALITY_SQL,
+    "token_count": TOKEN_COUNT_SQL,
+    "doc_fingerprint": FINGERPRINT_SQL,
+    "media_features": MEDIA_FEATURES_SQL,
+    "events_hourly_window": EVENTS_WINDOW_SQL,
+    "lineitem_agg": LINEITEM_AGG_SQL,
+    "top_orders_per_customer": TOP_ORDERS_SQL,
+    "customers_semi_anti": SEMI_ANTI_SQL,
+}

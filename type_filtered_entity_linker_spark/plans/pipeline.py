@@ -14,6 +14,7 @@ in a metrics table (the Spark form of the reference's
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,6 +56,7 @@ def run_pipeline(
 
     def stage(name: str, upstream_fp: str, compute) -> tuple[DataFrame, str]:
         fp = fingerprint(name, base_fp, upstream_fp)
+        t0 = time.perf_counter()
         df, manifest, cached = read_or_compute(
             spark, os.path.join(workdir, name), fp, compute, force=not resume
         )
@@ -65,6 +67,7 @@ def run_pipeline(
                 "partitions": len(manifest["partitions"]),
                 "cached": cached,
                 "fingerprint": fp,
+                "secs": round(time.perf_counter() - t0, 3),
             }
         )
         return df, fp
