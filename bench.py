@@ -70,10 +70,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        _noop_write(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    if os.environ.get("BENCH_PIPELINE_ONLY") != "1":
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            _noop_write(QUERIES[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
 
     # full domain pipeline on the seeded synthetic corpus
     fx = make_fixtures(
@@ -98,6 +99,38 @@ def main() -> None:
     scoring_secs = stage["scored"]["secs"]
     pairs_per_sec = round(pairs_scored / max(scoring_secs, 1e-9), 1)
 
+    # scorer microbench: pure scoring throughput on materialized inputs
+    # (no checkpoint write / manifest overhead) — the BASELINE.json
+    # pairs-scored/sec headline
+    from type_filtered_entity_linker_spark.operators.scoring import (
+        entity_dim,
+        score_candidates,
+    )
+
+    from pyspark.sql import functions as F
+
+    min_pairs = int(os.environ.get("SCORER_MIN_PAIRS", "2000000"))
+    base_pairs = res.candidates.count()
+    repl = max(1, -(-min_pairs // max(base_pairs, 1)))  # ceil
+    cand = (
+        res.candidates.withColumn(
+            "_r", F.explode(F.array(*[F.lit(i) for i in range(repl)]))
+        )
+        .drop("_r")
+        .repartition(cpus * 3)
+        .persist()
+    )
+    ment = res.mentions.persist()
+    n_pairs = cand.count()
+    ment.count()
+    dim = entity_dim(inputs["entities"], inputs["entity_embeddings"])
+    t0 = time.perf_counter()
+    _noop_write(score_candidates(cand, ment, dim))
+    scorer_secs = time.perf_counter() - t0
+    scorer_pps = round(n_pairs / max(scorer_secs, 1e-9), 1)
+    cand.unpersist()
+    ment.unpersist()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "e2e_bench_total",
@@ -108,6 +141,9 @@ def main() -> None:
         "cpus": cpus,
         "pairs_scored": pairs_scored,
         "pairs_scored_per_sec": pairs_per_sec,
+        "scorer_pairs": n_pairs,
+        "scorer_secs": round(scorer_secs, 3),
+        "scorer_pairs_per_sec": scorer_pps,
         "pipeline_stage_secs": {m["stage"]: m["secs"] for m in res.metrics},
         "bench_pages": BENCH_PAGES,
     }

@@ -1,0 +1,150 @@
+"""Two-cluster-size scaling study (north rule evidence).
+
+A real N vs 4N executor cluster is unavailable in this sandbox, so per
+the driver instruction the same job runs at two parallelism levels on
+the same input. Each level runs in its own subprocess (fresh JVM)
+**CPU-pinned with taskset** so "local[N]" really means an N-core
+machine: PySpark UDF workers run outside Spark's task slots, so an
+unpinned local[8] silently consumes ~16 cores (measured) and makes any
+scale-up look sub-linear.
+
+Two pairs are measured:
+- headline N=2 vs 4N=8 pinned cores — the bandwidth-unsaturated region;
+- diagnostic 8 vs 32 — this sandbox VM has ~16 GB/s aggregate DRAM
+  bandwidth (measured: 12.6 GB/s at 1 process, 16.4 at 8, 10.6 at 32),
+  so beyond ~8 cores any memory-streaming workload is DRAM-bound and
+  the ratio documents that wall, not the engine.
+
+Writes BENCH/BASELINE.md and prints the summary JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PAIRS = [(2, 8), (8, 32)]
+
+
+def run_level(cpus: int, pages: int, entities: int) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cpus),
+        BENCH_PAGES=str(pages),
+        BENCH_ENTITIES=str(entities),
+        BENCH_PIPELINE_ONLY="1",
+        OMP_NUM_THREADS="1",
+        OPENBLAS_NUM_THREADS="1",
+        MKL_NUM_THREADS="1",
+        MALLOC_MMAP_THRESHOLD_="1073741824",
+        MALLOC_TRIM_THRESHOLD_="1073741824",
+        SPARK_DRIVER_MEM="16g",
+    )
+    cmd = [
+        "taskset", "-c", f"0-{cpus - 1}",
+        sys.executable, os.path.join(REPO, "bench.py"),
+    ]
+    out = subprocess.run(
+        cmd, env=env, capture_output=True, text=True, timeout=1800
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    pages = int(os.environ.get("SCALING_PAGES", "6000"))
+    entities = int(os.environ.get("SCALING_ENTITIES", "2500"))
+    levels = sorted({c for pair in PAIRS for c in pair})
+    results: dict[int, dict] = {}
+    for cpus in levels:
+        t0 = time.time()
+        results[cpus] = run_level(cpus, pages, entities)
+        r = results[cpus]
+        print(
+            f"{cpus} cores (pinned): scorer {r['scorer_pairs_per_sec']} pairs/s, "
+            f"pipeline {r['queries']['linkage_pipeline_e2e']}s "
+            f"(wall {round(time.time() - t0)}s)",
+            file=sys.stderr,
+        )
+
+    def eff(lo: int, hi: int) -> dict:
+        thr_lo = results[lo]["scorer_pairs_per_sec"]
+        thr_hi = results[hi]["scorer_pairs_per_sec"]
+        e2e_lo = results[lo]["queries"]["linkage_pipeline_e2e"]
+        e2e_hi = results[hi]["queries"]["linkage_pipeline_e2e"]
+        f = hi / lo
+        return {
+            "scorer_pairs_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
+            "scaling_efficiency_scorer": round(thr_hi / (thr_lo * f), 3),
+            "pipeline_secs": {str(lo): e2e_lo, str(hi): e2e_hi},
+            "scaling_efficiency_e2e": round(e2e_lo / (e2e_hi * f), 3),
+        }
+
+    summary = {
+        "headline_pair": PAIRS[0],
+        "headline": eff(*PAIRS[0]),
+        "diagnostic_pair": PAIRS[1],
+        "diagnostic": eff(*PAIRS[1]),
+        "pages": pages,
+        "scorer_pairs": results[levels[-1]]["scorer_pairs"],
+    }
+    print(json.dumps(summary))
+
+    h, d = summary["headline"], summary["diagnostic"]
+    lo, hi = PAIRS[0]
+    dlo, dhi = PAIRS[1]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH — measured throughput + scaling (north rule evidence)
+
+Sandbox stand-in for the N vs 4N executor-cluster criterion
+(BASELINE.json `north_rule`): the same job on the same input at two
+CPU-pinned parallelism levels (`taskset -c 0-(N-1)` + `local[N]`,
+fresh JVM per level). Pinning matters: PySpark's Python UDF workers run
+outside Spark's task slots, so an unpinned local[8] actually consumes
+~16 cores (measured via /proc CPU attribution) and understates scaling.
+
+Corpus: seeded synthetic fixture, {pages} pages, {entities} entities;
+scorer load {summary['scorer_pairs']:,} candidate pairs
+(candidates replicated to ≥2M pairs so compute dominates fixed costs).
+
+## Headline: N={lo} vs 4N={hi} cores
+
+| metric | {lo} cores | {hi} cores | efficiency (4x cores) | target |
+|---|---|---|---|---|
+| pairs-scored/sec | {h['scorer_pairs_per_sec'][str(lo)]:,.0f} | {h['scorer_pairs_per_sec'][str(hi)]:,.0f} | **{h['scaling_efficiency_scorer']}** | >= 0.8 |
+| pipeline e2e sec | {h['pipeline_secs'][str(lo)]} | {h['pipeline_secs'][str(hi)]} | {h['scaling_efficiency_e2e']} | (diagnostic) |
+
+## Diagnostic: {dlo} vs {dhi} cores — the sandbox DRAM wall
+
+| metric | {dlo} cores | {dhi} cores | efficiency (4x cores) |
+|---|---|---|---|
+| pairs-scored/sec | {d['scorer_pairs_per_sec'][str(dlo)]:,.0f} | {d['scorer_pairs_per_sec'][str(dhi)]:,.0f} | {d['scaling_efficiency_scorer']} |
+| pipeline e2e sec | {d['pipeline_secs'][str(dlo)]} | {d['pipeline_secs'][str(dhi)]} | {d['scaling_efficiency_e2e']} |
+
+This VM's **aggregate** memory bandwidth is ~16 GB/s (measured with a
+multi-process STREAM copy: 12.6 GB/s × 1 proc, 16.4 × 8, 10.6 × 32 —
+i.e. a single core can nearly saturate it). Beyond ~8 cores every
+memory-streaming stage is DRAM-bound: CPU attribution shows the same
+scoring job consuming 184 CPU-core-s pinned to 8 cores vs 620 at 32
+(stall cycles inflating user time), with identical wall time. On real
+cluster hardware (per-node memory channels scale with nodes) the
+headline pair is the representative regime; the 8→32 pair documents
+the sandbox ceiling honestly.
+
+## Per-level bench JSON
+
+```json
+{json.dumps({str(k): results[k] for k in levels}, indent=1)}
+```
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -27,9 +27,13 @@ from ..config import LinkerConfig
 from ..functions.strings import embed_text
 from ..textlib import context_window, detect_mentions
 
+# m_emb is float32 bytes, NOT array<float>: Arrow ships one contiguous
+# buffer per value and numpy decodes a whole batch with frombuffer;
+# array<float> columns cost ~4x the whole scorer in per-row object
+# conversion (measured: 22.9s vs 3.2s trivial-UDF on 6.7M pairs).
 MENTION_SCHEMA = (
     "url string, mention_id int, start int, end int, "
-    "sf string, sf_norm string, ner_type string, m_emb array<float>"
+    "sf string, sf_norm string, ner_type string, m_emb binary"
 )
 
 
@@ -85,7 +89,7 @@ def detect_mentions_df(
                     out["sf_norm"].append(sfn)
                     out["ner_type"].append(ner)
                     out["m_emb"].append(
-                        embed_text(sfn + " | " + ctx).astype(np.float32)
+                        embed_text(sfn + " | " + ctx).astype(np.float32).tobytes()
                     )
             yield pd.DataFrame(out)
 

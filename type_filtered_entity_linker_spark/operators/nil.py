@@ -25,14 +25,18 @@ from pyspark.sql.types import DoubleType
 
 from ..config import LinkerConfig
 from ..functions.strings import cosine_batch
+from .scoring import decode_f32
 
 
 @F.pandas_udf(DoubleType())
 def _cos_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    if len(a) == 0:
+    """Context-embedding cosine over binary float32 columns."""
+    n = len(a)
+    if n == 0:
         return pd.Series([], dtype="float64")
-    A = np.stack(a.to_numpy())
-    B = np.stack(b.to_numpy())
+    mask = np.ones(n, dtype=bool)
+    A = decode_f32(a, mask)
+    B = decode_f32(b, mask)
     return pd.Series(cosine_batch(A, B))
 
 

@@ -22,9 +22,19 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import BinaryType, DoubleType
 
-from ..functions.strings import EMB_DIM, cosine_batch, jaro_winkler_batch, pair_score
+from ..functions.strings import cosine_batch, jaro_winkler_batch, pair_score
+
+
+def decode_f32(col: pd.Series, mask: np.ndarray) -> np.ndarray:
+    """(n_masked, dim) float32 matrix from a binary float32 column —
+    one frombuffer over the concatenated batch, no per-row objects."""
+    buf = b"".join(col[mask])
+    flat = np.frombuffer(buf, dtype=np.float32)
+    # stays float32: cosine_batch accumulates in float64 via einsum
+    # dtype — half the DRAM traffic, same numeric result
+    return flat.reshape(int(mask.sum()), -1)
 
 
 @F.pandas_udf(DoubleType())
@@ -38,13 +48,12 @@ def _score_udf(
     n = len(sf_norm)
     if n == 0:
         return pd.Series([], dtype="float64")
-    has_emb = e_emb.notna().to_numpy()
-    M = np.zeros((n, EMB_DIM), dtype=np.float64)
-    E = np.zeros((n, EMB_DIM), dtype=np.float64)
+    has_emb = (e_emb.notna() & m_emb.notna()).to_numpy()
+    cos = np.zeros(n, dtype=np.float64)
     if has_emb.any():
-        M[has_emb] = np.stack(m_emb[has_emb].to_numpy())
-        E[has_emb] = np.stack(e_emb[has_emb].to_numpy())
-    cos = cosine_batch(M, E)
+        M = decode_f32(m_emb, has_emb)
+        E = decode_f32(e_emb, has_emb)
+        cos[has_emb] = cosine_batch(M, E)
     a = sf_norm.fillna("").tolist()
     b = canonical_norm.fillna("").tolist()
     jw = jaro_winkler_batch(a, b)
@@ -54,11 +63,21 @@ def _score_udf(
     return pd.Series(np.where(has_emb, scores, np.nan))
 
 
+@F.pandas_udf(BinaryType())
+def _pack_f32(emb: pd.Series) -> pd.Series:
+    return emb.map(
+        lambda v: None if v is None else np.asarray(v, dtype=np.float32).tobytes()
+    )
+
+
 def entity_dim(entities: DataFrame, embeddings: DataFrame) -> DataFrame:
-    """(item_id, canonical_norm, e_emb) — the scorer's side input
-    (stands in for the reference's PBG store, inout/pbg.py:139-163)."""
+    """(item_id, canonical_norm, e_emb: binary) — the scorer's side
+    input (stands in for the reference's PBG store,
+    inout/pbg.py:139-163). Embeddings are packed to float32 bytes once
+    here (tiny dictionary) so the per-pair join never ships
+    array<float> through Arrow."""
     return entities.select("item_id", "canonical_norm").join(
-        embeddings.select("item_id", F.col("emb").alias("e_emb")),
+        embeddings.select("item_id", _pack_f32(F.col("emb")).alias("e_emb")),
         "item_id",
         "left",
     )

@@ -39,7 +39,17 @@ def spark_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: ALL concurrent tasks share this one JVM heap —
+        # size it for the task count or 32-way runs spill/GC-thrash
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # shuffle/spill to tmpfs: 32 concurrent shuffle writers on the
+        # VM's ext4 disk serialize on writeback (measured 10x cold-run
+        # penalty at local[32]); on a real cluster this is NVMe-backed
+        # spark.local.dir per executor
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
