@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from type_filtered_entity_linker_spark.operators.dedup import (
     exact_duplicates,
     near_duplicates_minhash,
+    near_duplicates_ngram,
     simhash64,
 )
 from type_filtered_entity_linker_spark.operators.multimodal import (
@@ -48,6 +49,64 @@ def test_minhash_finds_planted_near_dup(spark):
     )
     pairs = {(r.doc_a, r.doc_b) for r in near_duplicates_minhash(d, threshold=0.5).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_ngram_jaccard_exact_values(spark):
+    # docs 1/2 share 6 of 8 union 3-shingles; doc 3 is disjoint
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a b c d e f g h",
+                    "a b c d e f g x",
+                    "p q r s t u v w",
+                ],
+            }
+        )
+    )
+    rows = near_duplicates_ngram(d, threshold=0.1).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
+    # 6 shingles each; 5 shared ("a b c".."d e f" span) -> 5/7
+    assert abs(rows[0].jaccard - 5 / 7) < 1e-6
+
+
+def test_ngram_equals_minhash_verified_output(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [base, base + " tonight", "completely different words here now"],
+            }
+        )
+    )
+    ng = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in near_duplicates_ngram(d, threshold=0.5).collect()
+    }
+    mh = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in near_duplicates_minhash(d, threshold=0.5).collect()
+    }
+    assert ng == mh and len(ng) == 1
+
+
+def test_ngram_max_doc_freq_prunes_boilerplate(spark):
+    # identical boilerplate in all docs; unique tails -> with the
+    # boilerplate shingles DF-cut, no pair survives the threshold
+    boiler = "terms of service apply to all pages on this site"
+    d = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [f"{boiler} unique tail number {i} extra" for i in range(4)],
+            }
+        )
+    )
+    full = near_duplicates_ngram(d, threshold=0.5)
+    cut = near_duplicates_ngram(d, threshold=0.5, max_doc_freq=3)
+    assert full.count() == 6 and cut.count() == 0
 
 
 def test_simhash_identical_and_near(spark):

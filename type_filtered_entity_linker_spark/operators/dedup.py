@@ -170,6 +170,62 @@ def near_duplicates_minhash(
     return j.where(F.col("jaccard") >= threshold)
 
 
+def near_duplicates_ngram(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    shingle_n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle
+    index — no candidate generation, no approximation.
+
+    Plan: explode distinct shingles → self-equi-join on the shingle
+    (the inverted-index posting-list join) → groupBy pair count =
+    |A∩B| → join per-doc shingle counts → Jaccard. Every pair with
+    jaccard > 0 shares a shingle, so the join finds all pairs ≥ any
+    positive threshold; exactness is unconditional (unlike MinHash-LSH,
+    which needs recall-1 parameters).
+
+    Scale: the self-join shuffles on the shingle; head shingles
+    (boilerplate) create quadratic posting lists — prune them with
+    ``max_doc_freq`` (drop shingles occurring in more than that many
+    docs; a shingle shared by >F docs contributes pairs that almost
+    surely co-occur in rarer shingles too, and AQE skew-join splits the
+    rest). At 100 TB run with max_doc_freq set; the pruning is the
+    standard DF-cut used by positional-filtering systems.
+    """
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(token_shingles("text", shingle_n)).alias("s"),
+    )
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("s")
+        )
+        sh = sh.join(rare, "s", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash: bigint) — 64-bit SimHash over distinct tokens.
 

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     exact_duplicates,
     near_duplicates_minhash,
+    near_duplicates_ngram,
     near_duplicates_simhash,
 )
 from ..operators.multimodal import extract_media_features, with_binary_payload
@@ -285,6 +286,60 @@ EL_FILTER_STATS_SQL = f"""
     FROM u LEFT JOIN ff USING (doc_id)
 """
 
+def _el_type_freq(spark, sf_dir) -> DataFrame:
+    """O28 analog (reference typerec/create_dataset.py:144-238): type
+    frequency counts + probability distribution over the entity→type
+    dictionary — one hash aggregate plus a scalar total."""
+    t = _el_types(spark, sf_dir)
+    counts = t.groupBy("type_id").agg(F.count("*").alias("n_items"))
+    total = t.count()  # scalar; avoids a window over a 12-row frame
+    return counts.select(
+        "type_id",
+        "n_items",
+        F.round(F.col("n_items") / F.lit(float(total)), 6).alias("p"),
+    )
+
+
+EL_TYPE_FREQ_SQL = f"""
+    WITH t AS ({EL_TYPES_SQL})
+    SELECT type_id, count(*) AS n_items,
+           round(count(*) / (SELECT count(*)::DOUBLE FROM t), 6) AS p
+    FROM t GROUP BY type_id
+"""
+
+
+def _el_pair_expansion(spark, sf_dir) -> DataFrame:
+    """O26 analog (reference preprocess.py:94-107): each labeled line
+    (doc, correct_id, wrong_id) expands to a positive and a negative
+    training sample via explode(array(struct...)) — with independent
+    rows (the reference mutates one shared dict; SURVEY.md §2 O26 flags
+    that as a bug not to replicate)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % 100).alias("correct_id"),
+        ((F.col("doc_id") * 7 + 1) % 100).alias("wrong_id"),
+    )
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("correct_id").alias("item_id"), F.lit(1).alias("label")
+                ),
+                F.struct(
+                    F.col("wrong_id").alias("item_id"), F.lit(0).alias("label")
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.item_id", "s.label")
+
+
+EL_PAIR_EXPANSION_SQL = """
+    SELECT doc_id, doc_id % 100 AS item_id, 1 AS label FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id * 7 + 1) % 100 AS item_id, 0 AS label FROM documents
+"""
+
 # ------------------------------------------------------------- dedup family
 
 
@@ -324,6 +379,15 @@ DEDUP_MINHASH_SQL = f"""
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
 """
+
+
+def q_dedup_ngram(spark, sf_dir) -> DataFrame:
+    return near_duplicates_ngram(_neardup_corpus(spark, sf_dir), threshold=0.6)
+
+
+# exact operator — the brute-force shingle-Jaccard SQL (shared with the
+# minhash oracle above) is literally its definition
+DEDUP_NGRAM_SQL = DEDUP_MINHASH_SQL
 
 
 def q_dedup_simhash(spark, sf_dir) -> DataFrame:
@@ -591,8 +655,11 @@ QUERIES = {
     "el_links": _el_links,
     "el_clusters": _el_clusters,
     "el_filter_stats": _el_filter_stats,
+    "el_type_freq": _el_type_freq,
+    "el_pair_expansion": _el_pair_expansion,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_ngram_jaccard": q_dedup_ngram,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk_bruteforce": q_ann_topk,
@@ -617,8 +684,11 @@ ORACLES = {
     "el_links": EL_LINKS_SQL,
     "el_clusters": EL_CLUSTERS_SQL,
     "el_filter_stats": EL_FILTER_STATS_SQL,
+    "el_type_freq": EL_TYPE_FREQ_SQL,
+    "el_pair_expansion": EL_PAIR_EXPANSION_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
     # dedup_simhash: approximate — rows-only check
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
