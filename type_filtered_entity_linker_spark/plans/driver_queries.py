@@ -16,6 +16,8 @@ shapes against an independent SQL engine.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -572,6 +574,36 @@ EVENTS_WINDOW_SQL = """
 """
 
 
+_STREAM_SEQ = [0]
+
+
+def q_events_stream_window(spark, sf_dir) -> DataFrame:
+    """Same hourly aggregation computed through Structured Streaming
+    (file source → watermark → windowed agg → AvailableNow drain);
+    must equal the batch/DuckDB result exactly."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental import run_stream_once, stream_events_hourly
+
+    path = f"{sf_dir}/events.parquet"
+    # file-source streams list a directory; stage the single file into
+    # a scratch dir keyed by sf_dir (testdata is read-only)
+    key = hashlib.md5(path.encode()).hexdigest()[:10]
+    stage = os.path.join(tempfile.gettempdir(), f"events_stream_src_{key}")
+    os.makedirs(stage, exist_ok=True)
+    dst = os.path.join(stage, "events.parquet")
+    if not os.path.exists(dst):
+        shutil.copy(path, dst)
+    schema = spark.read.parquet(path).schema
+    _STREAM_SEQ[0] += 1
+    return run_stream_once(
+        stream_events_hourly(spark, stage, schema),
+        f"events_stream_{_STREAM_SEQ[0]}",
+    )
+
+
 def q_lineitem_agg(spark, sf_dir) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -670,6 +702,7 @@ QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "media_features": q_media_features,
     "events_hourly_window": q_events_window,
+    "events_stream_window": q_events_stream_window,
     "lineitem_agg": q_lineitem_agg,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_semi_anti": q_semi_anti,
@@ -699,6 +732,7 @@ ORACLES = {
     "doc_fingerprint": FINGERPRINT_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "events_hourly_window": EVENTS_WINDOW_SQL,
+    "events_stream_window": EVENTS_WINDOW_SQL,
     "lineitem_agg": LINEITEM_AGG_SQL,
     "top_orders_per_customer": TOP_ORDERS_SQL,
     "customers_semi_anti": SEMI_ANTI_SQL,

@@ -30,6 +30,26 @@ from ..operators.type_filter import entity_type_summary, filter_candidates
 from ..sources.tableio import fingerprint, read_or_compute
 
 
+def link_pages_batch(
+    pages: DataFrame, inputs: dict[str, DataFrame], cfg: LinkerConfig = LinkerConfig()
+) -> DataFrame:
+    """The linkage chain (extract → detect → block → type-filter →
+    top-K → score → argmax) as one composable transformation over a
+    pages batch — no checkpointing. Used per-micro-batch by
+    ``streaming.incremental.incremental_link_pages``; every stage is
+    per-mention, so linking pages in arbitrary batch splits yields
+    exactly the full-corpus links."""
+    pages_text = with_extracted_text(pages, cfg)
+    mentions = detect_mentions_df(pages_text, inputs["gazetteer"], cfg)
+    cand_u = generate_candidates(mentions, inputs["entity_aliases"], cfg)
+    summary = entity_type_summary(inputs["entity_types"], inputs["type_closure"])
+    cand_f = filter_candidates(cand_u, summary, cfg)
+    cand_k = cap_candidates(cand_f, cfg)
+    dim = entity_dim(inputs["entities"], inputs["entity_embeddings"])
+    scored = score_candidates(cand_k, mentions, dim)
+    return argmax_links(scored)
+
+
 @dataclass
 class PipelineResult:
     mentions: DataFrame

@@ -1,0 +1,132 @@
+"""Structured Streaming surface.
+
+The reference has no streaming — its GERBIL service (gerbil.py:42-63)
+is request/response, which SURVEY.md §3.2 maps to "each request = one
+micro-batch appended to the pages table". This module makes that
+mapping executable:
+
+- ``stream_events_hourly``: watermarked event-time windowed aggregation
+  over a file-source stream (late data bounded by the watermark; state
+  store evicts closed windows — the scalable pattern at 100 TB/day
+  event volume).
+- ``incremental_link_pages``: file-source stream of page batches →
+  ``foreachBatch`` runs the batch linkage chain (blocking equi-join →
+  type-filter semi-join → top-K → score → argmax) per micro-batch and
+  appends links; the streaming checkpoint gives exactly-once file
+  progress, so a killed run resumes at the first unprocessed batch —
+  the streaming twin of the batch pipeline's fingerprint checkpoints.
+
+Clustering stays a periodic batch job over accumulated links (connected
+components is iterative/global — not expressible as a single streaming
+operator; running it per-trigger would recompute the world each batch).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_events_hourly(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming (user_id, hour window) event counts + value sums.
+
+    Append-mode-capable: the watermark bounds state (a window closes
+    once event time passes window_end + watermark) — required for an
+    unbounded run; with Trigger.AvailableNow it also just drains the
+    backlog.
+    """
+    ev = spark.readStream.schema(schema).parquet(path)
+    # event-time watermarks require TimestampType; parquet written with
+    # isAdjustedToUTC=false arrives as TIMESTAMP_NTZ — round-trip the
+    # cast (exact under a fixed session timezone) and emit NTZ again so
+    # results compare equal to the batch/oracle NTZ output
+    ts_type = dict(zip(ev.schema.names, [f.dataType.typeName() for f in ev.schema.fields]))
+    ntz = ts_type.get("ts") == "timestamp_ntz"
+    if ntz:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("hour_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    if ntz:
+        out = out.withColumn("hour_start", F.col("hour_start").cast("timestamp_ntz"))
+    return out
+
+
+def run_stream_once(
+    sdf: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain a streaming DF with Trigger.AvailableNow into an in-memory
+    table and return it as a batch DF (test/driver harness; production
+    sinks are parquet/Iceberg appends)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return sdf.sparkSession.table(name)
+
+
+def incremental_link_pages(
+    spark: SparkSession,
+    pages_dir: str,
+    workdir: str,
+    link_batch,
+    pages_schema: StructType,
+    max_files_per_trigger: int | None = None,
+) -> str:
+    """Stream page files from ``pages_dir``; for each micro-batch run
+    ``link_batch(pages_df) -> links_df`` (the batch linkage chain) and
+    append the links to ``{workdir}/links``. Returns the links path.
+
+    The streaming checkpoint at ``{workdir}/_checkpoint`` records which
+    source files each batch consumed — a rerun after a kill reprocesses
+    only unfinished batches (foreachBatch output is idempotent per
+    batch_id: we overwrite the batch's own output partition).
+    """
+    links_path = os.path.join(workdir, "links")
+    ckpt = os.path.join(workdir, "_checkpoint")
+    reader = spark.readStream.schema(pages_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(pages_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = link_batch(batch_df).withColumn("batch_id", F.lit(batch_id))
+        # partition by batch_id + dynamic overwrite → re-running a
+        # failed batch replaces its own output only (idempotence)
+        out.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(links_path)
+
+    q = (
+        pages.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return links_path
