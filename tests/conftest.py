@@ -6,18 +6,15 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 from type_filtered_entity_linker_spark.config import LinkerConfig
-from type_filtered_entity_linker_spark.fixtures import make_fixtures
+from type_filtered_entity_linker_spark.fixtures import (
+    fixtures_to_spark,
+    make_fixtures,
+)
 from type_filtered_entity_linker_spark.oracle import link_corpus
 from type_filtered_entity_linker_spark.session import spark_session
 
 SEED = 42
 N_PAGES = 400
-
-INPUT_TABLES = (
-    "pages", "gazetteer", "entity_aliases", "entity_types",
-    "type_closure", "entity_embeddings", "entities",
-)
-
 
 @pytest.fixture(scope="session")
 def spark():
@@ -40,7 +37,7 @@ def golden(fx):
 
 @pytest.fixture(scope="session")
 def inputs(spark, fx):
-    return {k: spark.createDataFrame(fx[k]) for k in INPUT_TABLES}
+    return fixtures_to_spark(spark, fx)
 
 
 @pytest.fixture()

@@ -300,6 +300,18 @@ def make_fixtures(
     }
 
 
+INPUT_TABLES = (
+    "pages", "gazetteer", "entity_aliases", "entity_types",
+    "type_closure", "entity_embeddings", "entities",
+)
+
+
+def fixtures_to_spark(spark, fx: dict[str, pd.DataFrame]):
+    """Pipeline input DataFrames from the fixture dict (ground-truth
+    tables stay pandas-side)."""
+    return {k: spark.createDataFrame(fx[k]) for k in INPUT_TABLES}
+
+
 def write_fixtures(fx: dict[str, pd.DataFrame], out_dir: str) -> None:
     import os
 
