@@ -52,6 +52,9 @@ HEADLINE = [
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
 BENCH_ENTITIES = int(os.environ.get("BENCH_ENTITIES", "1200"))
+# ~1500 extra tokens/page ≈ 10KB body: weights per-page extract/detect
+# compute like real web pages instead of fixture snippets
+BENCH_FILLER = int(os.environ.get("BENCH_FILLER", "0"))
 
 
 def _noop_write(df) -> int:
@@ -76,19 +79,49 @@ def main() -> None:
             _noop_write(QUERIES[name](spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
 
-    # full domain pipeline on the seeded synthetic corpus
-    fx = make_fixtures(
-        seed=42, n_pages=BENCH_PAGES, n_entities=BENCH_ENTITIES,
-        head_alias_fanout=900,
+    # full domain pipeline on the seeded synthetic corpus. Inputs are
+    # staged to parquet once (untimed) and read back as file scans:
+    # driver-side pandas→Arrow conversion would otherwise run
+    # single-threaded INSIDE the timed region and poison the
+    # parallelism-scaling measurement; reading files is also the
+    # production shape (column pruning + pushdown at the scan).
+    from type_filtered_entity_linker_spark.fixtures import INPUT_TABLES
+
+    stage_dir = (
+        f"/tmp/bench_fixtures_{BENCH_PAGES}_{BENCH_ENTITIES}_{BENCH_FILLER}"
     )
-    inputs = {
-        k: spark.createDataFrame(fx[k])
-        for k in (
-            "pages", "gazetteer", "entity_aliases", "entity_types",
-            "type_closure", "entity_embeddings", "entities",
+    marker = os.path.join(stage_dir, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        fx = make_fixtures(
+            seed=42, n_pages=BENCH_PAGES, n_entities=BENCH_ENTITIES,
+            head_alias_fanout=900, page_filler_tokens=BENCH_FILLER,
         )
+        for k in INPUT_TABLES:
+            df = spark.createDataFrame(fx[k])
+            if k == "pages":
+                # many small files → the scan parallelizes like a real
+                # multi-file table (one ~100MB file = one task)
+                df = df.repartition(128)
+            df.write.mode("overwrite").parquet(os.path.join(stage_dir, k))
+        with open(marker, "w") as f:
+            f.write("ok")
+    inputs = {
+        k: spark.read.parquet(os.path.join(stage_dir, k))
+        for k in INPUT_TABLES
     }
-    wd = f"/tmp/bench_wd_{cpus}"
+    # warm-up pass on a 200-page slice: compiles every stage's codegen
+    # and spins up the Arrow python workers, so the timed run measures
+    # steady-state throughput (cold-start costs are paid once per JVM
+    # on a real cluster too, amortized over far more data)
+    # checkpoints to tmpfs: the VM's single ext4 disk writes ~40MB/s
+    # regardless of cores (a serial wall a real cluster doesn't have —
+    # stage checkpoints land in HDFS/S3/Iceberg whose aggregate write
+    # bandwidth scales with the cluster)
+    wd = os.environ.get("BENCH_WD_BASE", "/dev/shm") + f"/bench_wd_{cpus}"
+    shutil.rmtree(wd + "_warm", ignore_errors=True)
+    warm_inputs = dict(inputs, pages=inputs["pages"].limit(200))
+    run_pipeline(spark, warm_inputs, wd + "_warm", LinkerConfig(), resume=False)
     shutil.rmtree(wd, ignore_errors=True)
     t0 = time.perf_counter()
     res = run_pipeline(spark, inputs, wd, LinkerConfig(), resume=False)
@@ -124,6 +157,9 @@ def main() -> None:
     n_pairs = cand.count()
     ment.count()
     dim = entity_dim(inputs["entities"], inputs["entity_embeddings"])
+    # warm-up: JVM codegen + Arrow/python-worker spin-up on a small
+    # slice, so the timed run measures steady-state throughput
+    _noop_write(score_candidates(cand.limit(5000), ment, dim))
     t0 = time.perf_counter()
     _noop_write(score_candidates(cand, ment, dim))
     scorer_secs = time.perf_counter() - t0

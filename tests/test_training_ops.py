@@ -16,6 +16,7 @@ from type_filtered_entity_linker_spark.operators.multimodal import (
 )
 from type_filtered_entity_linker_spark.operators.similarity import (
     brute_force_topk,
+    ivf_topk,
 )
 from type_filtered_entity_linker_spark.operators.textstats import (
     fingerprints,
@@ -143,6 +144,49 @@ def test_brute_force_topk_exact(spark):
         for r in brute_force_topk(q, corpus, k=3).orderBy("rank").collect()
     ]
     assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def _random_vectors(spark, n, dim=16, seed=3):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": range(n),
+                "embedding": [rng.randn(dim).tolist() for _ in range(n)],
+            }
+        )
+    )
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(spark):
+    corpus = _random_vectors(spark, 60)
+    queries = corpus.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    bf = brute_force_topk(queries, corpus, k=5).collect()
+    ivf = ivf_topk(queries, corpus, k=5, n_cells=8, n_probe=8).collect()
+    key = lambda rows: sorted((r.query_id, r.vec_id, r.rank) for r in rows)
+    assert key(bf) == key(ivf)
+
+
+def test_ivf_partial_probe_recall(spark):
+    corpus = _random_vectors(spark, 120)
+    queries = corpus.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(queries, corpus, k=5).collect()
+    }
+    got = ivf_topk(queries, corpus, k=5, n_cells=8, n_probe=4).collect()
+    hits = {(r.query_id, r.vec_id) for r in got}
+    # every query returns k results from probed cells, with decent recall
+    assert all(
+        sum(1 for q, _ in hits if q == qid) == 5 for qid in range(6)
+    )
+    assert len(hits & bf) / len(bf) >= 0.5
 
 
 def test_lang_id_markers(spark):

@@ -94,6 +94,7 @@ def make_fixtures(
     n_pages: int = 400,
     n_entities: int = 240,
     head_alias_fanout: int = 620,
+    page_filler_tokens: int = 0,
 ) -> dict[str, pd.DataFrame]:
     rng = random.Random(seed)
 
@@ -237,6 +238,11 @@ def make_fixtures(
             toks.append(sf)
             toks.append(sig[rng.randrange(3)])
         toks += rng.choices(_FILLER, k=rng.randrange(2, 6))
+        # realistic page bodies: trailing filler (after every mention,
+        # so ground-truth offsets are unaffected) lets benches weight
+        # per-page extract/detect compute like real web pages (KBs)
+        if page_filler_tokens:
+            toks += rng.choices(_FILLER, k=page_filler_tokens)
         text = " ".join(toks)
         # char offsets of mentions
         pos, starts = 0, {}

@@ -53,10 +53,25 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 def with_extracted_text(pages: DataFrame, cfg: LinkerConfig) -> DataFrame:
     """pages → (url, warc_ts, lang, text) for the configured language.
     The language filter runs BEFORE extraction so Catalyst prunes
-    non-target rows at the scan (predicate pushdown on `lang`)."""
-    return (
-        pages.where(F.col("lang") == cfg.lang)
-        .select("url", "warc_ts", "lang", extract_text_udf("html").alias("text"))
+    non-target rows at the scan (predicate pushdown on `lang`).
+
+    Defensive repartition: a pages table materialized as a few large
+    row groups (one unsplittable scan partition each) would serialize
+    the whole per-page UDF chain onto one core. A 100 TB table has
+    thousands of files so the scan parallelizes naturally — the shuffle
+    only triggers when the scan's partition count is below the
+    cluster's parallelism, so it never fires at scale."""
+    spark = pages.sparkSession
+    target = spark.sparkContext.defaultParallelism * 3
+    # filter + column-prune FIRST (stays pushed to the scan), then
+    # spread the surviving rows before the UDF chain
+    kept = pages.where(F.col("lang") == cfg.lang).select(
+        "url", "warc_ts", "lang", "html"
+    )
+    if kept.rdd.getNumPartitions() < target:
+        kept = kept.repartition(target)
+    return kept.select(
+        "url", "warc_ts", "lang", extract_text_udf("html").alias("text")
     )
 
 

@@ -38,14 +38,29 @@ def decode_f32(col: pd.Series, mask: np.ndarray) -> np.ndarray:
 
 
 @F.pandas_udf(DoubleType())
+def _jw_udf(sf_norm: pd.Series, canonical_norm: pd.Series) -> pd.Series:
+    """Jaro-Winkler over a batch of string pairs. Called on the DISTINCT
+    (sf_norm, item_id) table only — at web scale the same surface form
+    recurs across millions of pages, so string work per distinct pair
+    (not per mention-candidate pair) is the dominant saving."""
+    a = sf_norm.fillna("").tolist()
+    b = canonical_norm.fillna("").tolist()
+    return pd.Series(jaro_winkler_batch(a, b))
+
+
+@F.pandas_udf(DoubleType())
 def _score_udf(
-    sf_norm: pd.Series,
-    canonical_norm: pd.Series,
     m_emb: pd.Series,
     e_emb: pd.Series,
+    jw: pd.Series,
     lev: pd.Series,
+    la: pd.Series,
+    lb: pd.Series,
 ) -> pd.Series:
-    n = len(sf_norm)
+    """Per-pair kernel: embedding cosine + precomputed string sims →
+    combined score. No strings cross the Arrow boundary here — only
+    fixed-width columns (two f32 blobs + three numerics)."""
+    n = len(m_emb)
     if n == 0:
         return pd.Series([], dtype="float64")
     has_emb = (e_emb.notna() & m_emb.notna()).to_numpy()
@@ -54,12 +69,13 @@ def _score_udf(
         M = decode_f32(m_emb, has_emb)
         E = decode_f32(e_emb, has_emb)
         cos[has_emb] = cosine_batch(M, E)
-    a = sf_norm.fillna("").tolist()
-    b = canonical_norm.fillna("").tolist()
-    jw = jaro_winkler_batch(a, b)
-    la = np.array([len(s) for s in a])
-    lb = np.array([len(s) for s in b])
-    scores = pair_score(cos, jw, lev.to_numpy(dtype=np.float64), la, lb)
+    scores = pair_score(
+        cos,
+        jw.to_numpy(dtype=np.float64),
+        lev.to_numpy(dtype=np.float64),
+        la.to_numpy(dtype=np.int64),
+        lb.to_numpy(dtype=np.int64),
+    )
     return pd.Series(np.where(has_emb, scores, np.nan))
 
 
@@ -83,23 +99,58 @@ def entity_dim(entities: DataFrame, embeddings: DataFrame) -> DataFrame:
     )
 
 
+def string_sims(candidates: DataFrame, dim: DataFrame) -> DataFrame:
+    """(sf_norm, item_id, jw, lev, la, lb) over the DISTINCT
+    surface-form × entity pairs. Levenshtein is the JVM builtin
+    (whole-stage codegen); Jaro-Winkler is one Arrow batch per distinct
+    pair. Values are identical to computing them per mention-candidate
+    pair — they depend only on the two strings — so factoring them out
+    is a pure dataflow optimization."""
+    pairs = candidates.select("sf_norm", "item_id").distinct()
+    withe = pairs.join(
+        dim.select("item_id", "canonical_norm"), "item_id", "left"
+    )
+    lev = F.levenshtein("sf_norm", "canonical_norm")  # JVM builtin
+    return withe.select(
+        "sf_norm",
+        "item_id",
+        _jw_udf(F.col("sf_norm"), F.col("canonical_norm")).alias("jw"),
+        F.coalesce(lev, F.lit(0)).alias("lev"),
+        F.length("sf_norm").cast("long").alias("la"),
+        F.coalesce(F.length("canonical_norm"), F.lit(0))
+        .cast("long")
+        .alias("lb"),
+    )
+
+
 def score_candidates(
     candidates: DataFrame, mentions: DataFrame, dim: DataFrame
 ) -> DataFrame:
     """candidates (url, mention_id, sf_norm, ner_type, item_id) →
-    + score (null when the entity has no embedding)."""
+    + score (null when the entity has no embedding).
+
+    Two-level plan: string similarities once per distinct
+    (sf_norm, item_id) — joined back via broadcast under AQE (the
+    distinct table is orders of magnitude smaller than the pair
+    stream) — then a fixed-width-only Arrow kernel per pair for the
+    contextual embedding cosine + combine."""
     withm = candidates.join(
         mentions.select("url", "mention_id", "m_emb"), ["url", "mention_id"], "inner"
     )
-    withe = withm.join(dim, "item_id", "left")
-    lev = F.levenshtein("sf_norm", "canonical_norm")  # JVM builtin
-    return withe.withColumn(
+    withe = withm.join(dim.select("item_id", "e_emb"), "item_id", "left")
+    # explicit broadcast: the UDF in sims defeats Catalyst's size
+    # estimate, which would otherwise pick a sort-merge join and
+    # shuffle the whole pair stream on (sf_norm, item_id)
+    sims = string_sims(candidates, dim)
+    withs = withe.join(F.broadcast(sims), ["sf_norm", "item_id"], "left")
+    return withs.withColumn(
         "score",
         _score_udf(
-            F.col("sf_norm"),
-            F.col("canonical_norm"),
             F.col("m_emb"),
             F.col("e_emb"),
-            F.coalesce(lev, F.lit(0)),
+            F.col("jw"),
+            F.col("lev"),
+            F.col("la"),
+            F.col("lb"),
         ),
     ).select("url", "mention_id", "sf_norm", "item_id", "score")

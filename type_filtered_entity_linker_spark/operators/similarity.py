@@ -115,6 +115,65 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into cells around coarse
+    centroids, probe only the n_probe nearest cells per query.
+
+    Centroids are deterministic — the n_cells lowest-id corpus vectors
+    act as seeds (a k-means refinement would improve cell balance but
+    adds nondeterminism; seeds keep results reproducible, and the cell
+    assignment is still nearest-centroid). With n_probe == n_cells the
+    result equals brute force exactly.
+
+    Scale: assignment is a broadcast nested-loop vs n_cells rows
+    (linear scans, JVM-side); the probe join shuffles on cell id, so
+    per-query work drops by ~n_cells/n_probe.
+    """
+    w_seed = Window.orderBy("vec_id")
+    cents = (
+        corpus.withColumn("rn", F.row_number().over(w_seed))
+        .where(F.col("rn") <= n_cells)
+        .select(
+            (F.col("rn") - 1).alias("cell"),
+            F.col("embedding").alias("c_emb"),
+        )
+    )
+    # nearest-centroid assignment (argmax cosine, deterministic ties)
+    def assign(df, id_col, emb_col, top):
+        j = df.crossJoin(F.broadcast(cents)).select(
+            "*", cosine(F.col(emb_col), F.col("c_emb")).alias("c_cos")
+        )
+        ww = Window.partitionBy(id_col).orderBy(
+            F.desc("c_cos"), F.col("cell").asc()
+        )
+        return (
+            j.withColumn("crn", F.row_number().over(ww))
+            .where(F.col("crn") <= top)
+            .drop("c_emb", "c_cos", "crn")
+        )
+
+    cb = assign(corpus, "vec_id", "embedding", 1)
+    qb = assign(queries, "query_id", "q_emb", n_probe)
+    j = qb.join(cb, "cell").where(F.col("query_id") != F.col("vec_id"))
+    scored = j.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 def embedding_near_duplicates(
     vectors: DataFrame, tau: float = 0.99, id_col: str = "vec_id",
     emb_col: str = "embedding",

@@ -31,6 +31,7 @@ from ..operators.multimodal import extract_media_features, with_binary_payload
 from ..operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_bucketed_topk,
 )
 from ..operators.textstats import (
@@ -457,6 +458,19 @@ def q_ann_lsh(spark, sf_dir) -> DataFrame:
     )
     return lsh_bucketed_topk(queries, e.select("vec_id", "embedding"), k=5, bits=6)
 
+def q_ann_ivf(spark, sf_dir) -> DataFrame:
+    """IVF ANN with exhaustive probe (n_probe = n_cells) — exact, so the
+    brute-force SQL is its oracle; the approximate n_probe < n_cells
+    path is covered by unit tests (recall vs brute force)."""
+    e = _emb(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return ivf_topk(
+        queries, e.select("vec_id", "embedding"), k=5, n_cells=8, n_probe=8
+    )
+
+
 # ------------------------------------------------------------- text analysis
 
 
@@ -571,6 +585,43 @@ EVENTS_WINDOW_SQL = """
     SELECT user_id, date_trunc('hour', ts) AS hour_start,
            count(*) AS n_events, round(sum(value), 4) AS sum_value
     FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessions(spark, sf_dir) -> DataFrame:
+    """Sessionization: events of a user within 30-minute gaps form one
+    session — Spark's session_window (merging-state session windows;
+    the streaming-capable formulation) vs a gaps-and-islands SQL
+    oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_SESSIONS_SQL = """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_s
+        FROM events),
+    s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sid
 """
 
 
@@ -696,12 +747,14 @@ QUERIES = {
     "dedup_embedding": q_dedup_embedding,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_topk_lsh": q_ann_lsh,
+    "ann_topk_ivf": q_ann_ivf,
     "lang_id": q_lang_id,
     "quality_score": q_quality,
     "token_count": q_token_count,
     "doc_fingerprint": q_fingerprint,
     "media_features": q_media_features,
     "events_hourly_window": q_events_window,
+    "events_session_agg": q_events_sessions,
     "events_stream_window": q_events_stream_window,
     "lineitem_agg": q_lineitem_agg,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -725,6 +778,7 @@ ORACLES = {
     # dedup_simhash: approximate — rows-only check
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
+    "ann_topk_ivf": ANN_TOPK_SQL,
     # ann_topk_lsh: approximate — rows-only check
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
@@ -732,6 +786,7 @@ ORACLES = {
     "doc_fingerprint": FINGERPRINT_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "events_hourly_window": EVENTS_WINDOW_SQL,
+    "events_session_agg": EVENTS_SESSIONS_SQL,
     "events_stream_window": EVENTS_WINDOW_SQL,
     "lineitem_agg": LINEITEM_AGG_SQL,
     "top_orders_per_customer": TOP_ORDERS_SQL,
