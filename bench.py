@@ -51,6 +51,9 @@ HEADLINE = [
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
+# 'cosine' | 'mlp' — the scorer's embedding-similarity head; 'mlp' has
+# the reference neural scorer's compute profile (disamb/model.py:35-84)
+BENCH_HEAD = os.environ.get("BENCH_SCORER_HEAD", "cosine")
 BENCH_ENTITIES = int(os.environ.get("BENCH_ENTITIES", "1200"))
 # ~1500 extra tokens/page ≈ 10KB body: weights per-page extract/detect
 # compute like real web pages instead of fixture snippets
@@ -121,10 +124,10 @@ def main() -> None:
     wd = os.environ.get("BENCH_WD_BASE", "/dev/shm") + f"/bench_wd_{cpus}"
     shutil.rmtree(wd + "_warm", ignore_errors=True)
     warm_inputs = dict(inputs, pages=inputs["pages"].limit(200))
-    run_pipeline(spark, warm_inputs, wd + "_warm", LinkerConfig(), resume=False)
+    run_pipeline(spark, warm_inputs, wd + "_warm", LinkerConfig(scorer_head=BENCH_HEAD), resume=False)
     shutil.rmtree(wd, ignore_errors=True)
     t0 = time.perf_counter()
-    res = run_pipeline(spark, inputs, wd, LinkerConfig(), resume=False)
+    res = run_pipeline(spark, inputs, wd, LinkerConfig(scorer_head=BENCH_HEAD), resume=False)
     timings["linkage_pipeline_e2e"] = round(time.perf_counter() - t0, 3)
 
     stage = {m["stage"]: m for m in res.metrics}
@@ -159,9 +162,9 @@ def main() -> None:
     dim = entity_dim(inputs["entities"], inputs["entity_embeddings"])
     # warm-up: JVM codegen + Arrow/python-worker spin-up on a small
     # slice, so the timed run measures steady-state throughput
-    _noop_write(score_candidates(cand.limit(5000), ment, dim))
+    _noop_write(score_candidates(cand.limit(5000), ment, dim, head=BENCH_HEAD))
     t0 = time.perf_counter()
-    _noop_write(score_candidates(cand, ment, dim))
+    _noop_write(score_candidates(cand, ment, dim, head=BENCH_HEAD))
     scorer_secs = time.perf_counter() - t0
     scorer_pps = round(n_pairs / max(scorer_secs, 1e-9), 1)
     cand.unpersist()
@@ -182,6 +185,7 @@ def main() -> None:
         "scorer_pairs_per_sec": scorer_pps,
         "pipeline_stage_secs": {m["stage"]: m["secs"] for m in res.metrics},
         "bench_pages": BENCH_PAGES,
+        "scorer_head": BENCH_HEAD,
     }
     spark.stop()
     print(json.dumps(out))

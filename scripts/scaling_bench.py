@@ -37,6 +37,12 @@ def run_level(cpus: int, pages: int, entities: int, filler: int) -> dict:
         BENCH_PAGES=str(pages),
         BENCH_ENTITIES=str(entities),
         BENCH_FILLER=str(filler),
+        # neural-comparator head: the reference scorer's compute profile
+        # (disamb/model.py:35-84); the cosine-only head is so light it is
+        # DRAM-bound on this shared-bandwidth VM and cannot evidence
+        # core-scaling (a real N vs 4N EXECUTOR cluster scales memory
+        # bandwidth with nodes)
+        BENCH_SCORER_HEAD=os.environ.get("SCALING_HEAD", "mlp"),
         BENCH_PIPELINE_ONLY="1",
         OMP_NUM_THREADS="1",
         OPENBLAS_NUM_THREADS="1",

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 from conftest import assert_df_equal
 from type_filtered_entity_linker_spark.config import LinkerConfig
 from type_filtered_entity_linker_spark.operators.mentions import with_extracted_text
-from type_filtered_entity_linker_spark.oracle import pairwise_f1
+from type_filtered_entity_linker_spark.oracle import link_corpus, pairwise_f1
 from type_filtered_entity_linker_spark.plans.pipeline import run_pipeline
 
 
@@ -47,6 +47,48 @@ def test_candidates_match_oracle(result, golden):
         golden["golden_candidates"],
         ["url", "mention_id", "item_id"],
     )
+
+
+def test_spark_pairwise_f1_matches_oracle_and_target(result, spark, fx):
+    """The distributed F1 job (operators/evaluation.py) agrees with the
+    pure-Python oracle metric on the same clusters, and meets the
+    BASELINE acceptance threshold (f1 >= 0.99)."""
+    from type_filtered_entity_linker_spark.operators.evaluation import (
+        pairwise_f1_spark,
+    )
+
+    lp = spark.createDataFrame(fx["labeled_pairs"])
+    row = pairwise_f1_spark(result.clusters, lp).collect()[0]
+    got_clusters = result.clusters.toPandas()
+    want = pairwise_f1(got_clusters, fx["labeled_pairs"])
+    assert (row.tp, row.fp, row.fn, row.tn) == (
+        want["tp"], want["fp"], want["fn"], want["tn"],
+    )
+    assert abs(row.f1 - want["f1"]) < 1e-12
+    assert row.f1 >= 0.99
+
+
+def test_mlp_head_matches_oracle_and_f1(spark, inputs, fx, tmp_path):
+    """The neural-comparator scorer head (reference disamb/model.py
+    compute profile) produces oracle-identical links and clusters with
+    pairwise F1 >= 0.99."""
+    from type_filtered_entity_linker_spark.operators.evaluation import (
+        pairwise_f1_spark,
+    )
+
+    cfg = LinkerConfig(scorer_head="mlp")
+    res = run_pipeline(spark, inputs, str(tmp_path / "wd_mlp"), cfg)
+    g = link_corpus(fx, cfg)
+    assert_df_equal(
+        res.links, g["golden_links"], ["url", "mention_id"], float_cols=("score",),
+        tol=1e-6,  # f32 GEMM: reduction order may differ across BLAS paths
+    )
+    assert_df_equal(
+        res.clusters, g["golden_clusters"], ["mention_key"]
+    )
+    lp = spark.createDataFrame(fx["labeled_pairs"])
+    row = pairwise_f1_spark(res.clusters, lp).collect()[0]
+    assert row.f1 >= 0.99
 
 
 def test_links_match_oracle(result, golden):

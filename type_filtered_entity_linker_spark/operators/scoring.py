@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, DoubleType
 
-from ..functions.strings import cosine_batch, jaro_winkler_batch, pair_score
+from ..functions.strings import (
+    cosine_batch,
+    jaro_winkler_batch,
+    mlp_similarity_batch,
+    pair_score,
+)
 
 
 def decode_f32(col: pd.Series, mask: np.ndarray) -> np.ndarray:
@@ -48,35 +53,44 @@ def _jw_udf(sf_norm: pd.Series, canonical_norm: pd.Series) -> pd.Series:
     return pd.Series(jaro_winkler_batch(a, b))
 
 
-@F.pandas_udf(DoubleType())
-def _score_udf(
-    m_emb: pd.Series,
-    e_emb: pd.Series,
-    jw: pd.Series,
-    lev: pd.Series,
-    la: pd.Series,
-    lb: pd.Series,
-) -> pd.Series:
-    """Per-pair kernel: embedding cosine + precomputed string sims →
-    combined score. No strings cross the Arrow boundary here — only
-    fixed-width columns (two f32 blobs + three numerics)."""
-    n = len(m_emb)
-    if n == 0:
-        return pd.Series([], dtype="float64")
-    has_emb = (e_emb.notna() & m_emb.notna()).to_numpy()
-    cos = np.zeros(n, dtype=np.float64)
-    if has_emb.any():
-        M = decode_f32(m_emb, has_emb)
-        E = decode_f32(e_emb, has_emb)
-        cos[has_emb] = cosine_batch(M, E)
-    scores = pair_score(
-        cos,
-        jw.to_numpy(dtype=np.float64),
-        lev.to_numpy(dtype=np.float64),
-        la.to_numpy(dtype=np.int64),
-        lb.to_numpy(dtype=np.int64),
-    )
-    return pd.Series(np.where(has_emb, scores, np.nan))
+def _make_score_udf(head: str):
+    """Per-pair kernel factory: embedding similarity (cosine, or the
+    neural comparator head — reference disamb/model.py:35-84 profile) +
+    precomputed string sims → combined score. No strings cross the
+    Arrow boundary here — only fixed-width columns (two f32 blobs +
+    three numerics)."""
+
+    @F.pandas_udf(DoubleType())
+    def _score_udf(
+        m_emb: pd.Series,
+        e_emb: pd.Series,
+        jw: pd.Series,
+        lev: pd.Series,
+        la: pd.Series,
+        lb: pd.Series,
+    ) -> pd.Series:
+        n = len(m_emb)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        has_emb = (e_emb.notna() & m_emb.notna()).to_numpy()
+        sim = np.zeros(n, dtype=np.float64)
+        if has_emb.any():
+            M = decode_f32(m_emb, has_emb)
+            E = decode_f32(e_emb, has_emb)
+            if head == "mlp":
+                sim[has_emb] = mlp_similarity_batch(M, E)
+            else:
+                sim[has_emb] = cosine_batch(M, E)
+        scores = pair_score(
+            sim,
+            jw.to_numpy(dtype=np.float64),
+            lev.to_numpy(dtype=np.float64),
+            la.to_numpy(dtype=np.int64),
+            lb.to_numpy(dtype=np.int64),
+        )
+        return pd.Series(np.where(has_emb, scores, np.nan))
+
+    return _score_udf
 
 
 @F.pandas_udf(BinaryType())
@@ -124,7 +138,10 @@ def string_sims(candidates: DataFrame, dim: DataFrame) -> DataFrame:
 
 
 def score_candidates(
-    candidates: DataFrame, mentions: DataFrame, dim: DataFrame
+    candidates: DataFrame,
+    mentions: DataFrame,
+    dim: DataFrame,
+    head: str = "cosine",
 ) -> DataFrame:
     """candidates (url, mention_id, sf_norm, ner_type, item_id) →
     + score (null when the entity has no embedding).
@@ -145,7 +162,7 @@ def score_candidates(
     withs = withe.join(F.broadcast(sims), ["sf_norm", "item_id"], "left")
     return withs.withColumn(
         "score",
-        _score_udf(
+        _make_score_udf(head)(
             F.col("m_emb"),
             F.col("e_emb"),
             F.col("jw"),

@@ -176,10 +176,46 @@ def ivf_topk(
 
 def embedding_near_duplicates(
     vectors: DataFrame, tau: float = 0.99, id_col: str = "vec_id",
-    emb_col: str = "embedding",
+    emb_col: str = "embedding", lsh_bits: int | None = None,
+    dim: int = 64, seed: int = 11,
 ) -> DataFrame:
-    """(id_a, id_b, cos) pairs with cosine ≥ tau. Small-side self-join;
-    at scale, route through lsh_bucket blocking first."""
+    """(id_a, id_b, cos) pairs with cosine ≥ tau.
+
+    With ``lsh_bits`` set: sign-LSH bucket blocking, then exact cosine
+    verify within buckets (candidates-then-verify). For the near-dup
+    regime (tau → 1) identical/near-identical vectors hash to the same
+    bucket with probability → 1, so the blocked result equals the
+    brute-force result while scoring ~2^bits fewer pairs. Without it:
+    exhaustive self-join (the small-corpus / oracle baseline)."""
+    if lsh_bits:
+        planes = hyperplanes(dim, lsh_bits, seed)
+        b = vectors.select(
+            F.col(id_col).alias("vid"),
+            F.col(emb_col).alias("e"),
+            norm(F.col(emb_col)).alias("n"),
+            lsh_bucket(F.col(emb_col), planes).alias("bucket"),
+        )
+        a_side = b.select(
+            F.col("vid").alias("id_a"), F.col("e").alias("ea"),
+            F.col("n").alias("na"), "bucket",
+        )
+        b_side = b.select(
+            F.col("vid").alias("id_b"), F.col("e").alias("eb"),
+            F.col("n").alias("nb"), "bucket",
+        )
+        return (
+            a_side.join(b_side, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                F.round(
+                    dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+                    6,
+                ).alias("cos"),
+            )
+            .where(F.col("cos") >= tau)
+            .dropDuplicates(["id_a", "id_b"])
+        )
     v = vectors.select(
         F.col(id_col).alias("vid"),
         F.col(emb_col).alias("e"),

@@ -28,6 +28,7 @@ from .functions.strings import (
     embed_text,
     jaro_winkler_batch,
     levenshtein_batch,
+    mlp_similarity_batch,
     pair_score,
 )
 from .textlib import context_window, detect_mentions, extract_text
@@ -104,7 +105,10 @@ def link_corpus(fx: dict[str, pd.DataFrame], cfg: LinkerConfig) -> dict[str, pd.
             else:
                 e_embs = np.stack([emb_map[q] for q in scored])
                 m_embs = np.tile(m_emb, (len(scored), 1))
-                cos = cosine_batch(m_embs, e_embs)
+                if cfg.scorer_head == "mlp":
+                    cos = mlp_similarity_batch(m_embs, e_embs)
+                else:
+                    cos = cosine_batch(m_embs, e_embs)
                 canon = [canon_map[q] for q in scored]
                 sfs = [sf_norm] * len(scored)
                 jw = jaro_winkler_batch(sfs, canon)

@@ -44,12 +44,23 @@ from ..operators.textstats import (
 # ---------------------------------------------------------------- helpers
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """The driver's tables are single parquet files with one row group —
+    one scan task no matter the cluster size. Repartition up to the
+    session's parallelism when the scan can't (real multi-file tables
+    skip this: their scan already yields enough partitions)."""
+    target = df.sparkSession.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,7 +414,11 @@ def q_dedup_embedding(spark, sf_dir) -> DataFrame:
     copies = e.where(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
     )
-    return embedding_near_duplicates(e.unionByName(copies), tau=0.9999)
+    # LSH-blocked + exact verify: equals brute force at tau→1 (planted
+    # exact copies always share a bucket) while scoring far fewer pairs
+    return embedding_near_duplicates(
+        e.unionByName(copies), tau=0.9999, lsh_bits=12
+    )
 
 
 DEDUP_EMBEDDING_SQL = """

@@ -46,7 +46,7 @@ def link_pages_batch(
     cand_f = filter_candidates(cand_u, summary, cfg)
     cand_k = cap_candidates(cand_f, cfg)
     dim = entity_dim(inputs["entities"], inputs["entity_embeddings"])
-    scored = score_candidates(cand_k, mentions, dim)
+    scored = score_candidates(cand_k, mentions, dim, head=cfg.scorer_head)
     return argmax_links(scored)
 
 
@@ -116,7 +116,9 @@ def run_pipeline(
     )
     dim = entity_dim(inputs["entities"], inputs["entity_embeddings"])
     scored, fp6 = stage(
-        "scored", fp5, lambda: score_candidates(cand_k, mentions, dim)
+        "scored",
+        fp5,
+        lambda: score_candidates(cand_k, mentions, dim, head=cfg.scorer_head),
     )
     links, fp7 = stage("links", fp6, lambda: argmax_links(scored))
 
