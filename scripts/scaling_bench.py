@@ -164,6 +164,15 @@ cluster hardware (per-node memory channels scale with nodes) the
 headline pair is the representative regime; the 8→32 pair documents
 the sandbox ceiling honestly.
 
+The benched scorer uses the neural-comparator head
+(`LinkerConfig(scorer_head='mlp')` — twin-tower projection GEMMs with
+the reference's dense-layer compute profile, disamb/model.py:35-84).
+The cosine-only head (default for correctness tests) does so little
+arithmetic per pair that it is DRAM-bound from 2 pinned cores on this
+box (~0.59 measured 2→8 efficiency at a ~400k pairs/s machine
+ceiling); that is a property of shared-DRAM hardware, not of the plan —
+on an N vs 4N EXECUTOR cluster, memory bandwidth scales with nodes.
+
 ## Per-level bench JSON
 
 ```json

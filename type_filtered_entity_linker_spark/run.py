@@ -32,6 +32,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="recompute every stage even if checkpointed")
     p.add_argument("--filter-mode", default="rule",
                    choices=["rule", "none"])
+    p.add_argument("--scorer-head", default="cosine",
+                   choices=["cosine", "mlp"])
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -58,7 +60,9 @@ def main(argv: list[str] | None = None) -> int:
         inputs = fixtures_to_spark(spark, fx)
         version = f"fixture:{args.seed}:{args.n_pages}"
 
-    cfg = LinkerConfig(filter_mode=args.filter_mode)
+    cfg = LinkerConfig(
+        filter_mode=args.filter_mode, scorer_head=args.scorer_head
+    )
     t0 = time.perf_counter()
     res = run_pipeline(
         spark, inputs, args.workdir, cfg,
