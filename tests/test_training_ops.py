@@ -214,6 +214,24 @@ def test_fingerprint_order_sensitive(spark):
     assert fps[1] != fps[2]
 
 
+def test_media_features_segmented_reduction(spark):
+    # empty payloads interleaved: checksum 0 / first_byte -1, and the
+    # neighbors' segment sums must be unaffected
+    d = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["abc", "", "z", ""]})
+    )
+    rows = {
+        r.doc_id: (r.n_bytes, r.first_byte, r.byte_checksum)
+        for r in extract_media_features(with_binary_payload(d)).collect()
+    }
+    assert rows == {
+        1: (3, 97, 97 + 98 + 99),
+        2: (0, -1, 0),
+        3: (1, 122, 122),
+        4: (0, -1, 0),
+    }
+
+
 def test_media_stub_raises_for_real_media(spark):
     d = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1], "text": ["hello"]})

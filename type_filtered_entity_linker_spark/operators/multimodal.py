@@ -48,13 +48,33 @@ def decode_media_batch(payloads: pd.Series, media_types: pd.Series) -> pd.DataFr
         raise NotImplementedError(
             f"media codecs unavailable in this environment: {set(real)}"
         )
-    n_bytes = payloads.str.len().astype("int32")
-    first = payloads.apply(lambda b: int(b[0]) if len(b) else -1).astype("int32")
-    checksum = payloads.apply(
-        lambda b: int(np.frombuffer(b, dtype=np.uint8).sum()) if len(b) else 0
-    ).astype("int64")
+    lens = payloads.str.len().to_numpy(dtype=np.int64)
+    n = len(lens)
+    total = int(lens.sum())
+    if total == 0:
+        first = np.full(n, -1, dtype=np.int32)
+        checksum = np.zeros(n, dtype=np.int64)
+    else:
+        # one concatenated buffer + segmented reduction: no per-row
+        # python in the hot path (np.add.reduceat over byte offsets)
+        arr = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        empty = lens == 0
+        checksum = np.zeros(n, dtype=np.int64)
+        first = np.full(n, -1, dtype=np.int32)
+        ne = ~empty
+        if ne.any():
+            # reduceat over the non-empty offsets only: strictly
+            # increasing, so each segment sums [off_i, off_{i+1})
+            checksum[ne] = np.add.reduceat(arr, offs[ne])
+            first[ne] = arr[offs[ne]]
     return pd.DataFrame(
-        {"n_bytes": n_bytes, "first_byte": first, "byte_checksum": checksum}
+        {
+            "n_bytes": lens.astype("int32"),
+            "first_byte": first,
+            "byte_checksum": checksum,
+        }
     )
 
 
