@@ -323,4 +323,10 @@ def write_fixtures(fx: dict[str, pd.DataFrame], out_dir: str) -> None:
 
     os.makedirs(out_dir, exist_ok=True)
     for name, df in fx.items():
-        df.to_parquet(f"{out_dir}/{name}.parquet", index=False)
+        # microsecond timestamps: Spark's reader rejects TIMESTAMP(NANOS)
+        df.to_parquet(
+            f"{out_dir}/{name}.parquet",
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )

@@ -119,16 +119,33 @@ EL_MENTIONS_SQL = """
 
 
 def _el_entities(spark, sf_dir) -> DataFrame:
-    """Entity dictionary: corpus vocabulary, item_id = alphabetic rank."""
+    """Entity dictionary: corpus vocabulary, item_id = alphabetic rank.
+
+    Global ranking WITHOUT a global sort: lexicographic order on name
+    equals order on (first_char, name), so rank = partition-local
+    row_number within the first-char partition + the broadcast running
+    offset of earlier partitions (a ~26-row side table). A plain
+    `Window.orderBy(name)` would funnel the whole vocabulary through
+    one partition — fine at test scale, a serial wall at 10^12 docs."""
     d = _docs(spark, sf_dir)
     vocab = (
         d.select(F.explode(F.split("text", " ")).alias("name"))
         .where(F.length("name") >= 3)
         .distinct()
+        .withColumn("blk", F.substring("name", 1, 1))
     )
-    w = Window.orderBy("name")
-    return vocab.select(
-        F.row_number().over(w).cast("long").alias("item_id"), "name"
+    counts = vocab.groupBy("blk").agg(F.count("*").alias("n"))
+    w_off = Window.orderBy("blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # window over ~26 rows — trivially small
+    offsets = counts.select(
+        "blk", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
+    )
+    w_local = Window.partitionBy("blk").orderBy("name")
+    return (
+        vocab.withColumn("rn", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "blk")
+        .select((F.col("off") + F.col("rn")).cast("long").alias("item_id"), "name")
     )
 
 

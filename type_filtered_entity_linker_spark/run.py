@@ -48,10 +48,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.input_dir:
         names = ["pages", "gazetteer", "entity_aliases", "entity_types",
                  "type_closure", "entity_embeddings", "entities"]
-        inputs = {
-            n: spark.read.parquet(os.path.join(args.input_dir, n))
-            for n in names
-        }
+        def tbl(n: str):
+            d = os.path.join(args.input_dir, n)
+            return spark.read.parquet(d if os.path.isdir(d) else d + ".parquet")
+
+        inputs = {n: tbl(n) for n in names}
         version = f"dir:{args.input_dir}"
     else:
         from .fixtures import fixtures_to_spark, make_fixtures
