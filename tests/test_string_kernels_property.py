@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis): the batch-vectorized string
+kernels agree with straightforward per-pair reference implementations
+on arbitrary inputs. No Spark session needed — these pin down the
+numpy kernels the UDFs and the oracle share."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from type_filtered_entity_linker_spark.functions.strings import (
+    jaro_winkler_batch,
+    levenshtein_batch,
+)
+
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    max_size=24,
+)
+
+
+def ref_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(cur[j - 1] + 1, prev[j] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[len(b)]
+
+
+def ref_jaro(a: str, b: str) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    window = max(max(len(a), len(b)) // 2 - 1, 0)
+    ma = [False] * len(a)
+    mb = [False] * len(b)
+    m = 0
+    for i, ca in enumerate(a):
+        lo, hi = max(0, i - window), min(len(b), i + window + 1)
+        for j in range(lo, hi):
+            if not mb[j] and b[j] == ca:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(len(a)):
+        if ma[i]:
+            while not mb[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / len(a) + m / len(b) + (m - t) / m) / 3
+
+
+def ref_jaro_winkler(a: str, b: str, p: float = 0.1, max_l: int = 4) -> float:
+    j = ref_jaro(a, b)
+    l = 0
+    for ca, cb in zip(a[:max_l], b[:max_l]):
+        if ca != cb:
+            break
+        l += 1
+    return j + l * p * (1 - j)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=8))
+def test_levenshtein_matches_reference(pairs):
+    a = [x for x, _ in pairs]
+    b = [y for _, y in pairs]
+    got = levenshtein_batch(a, b)
+    want = np.array([ref_levenshtein(x, y) for x, y in pairs])
+    assert (got == want).all()
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.tuples(TEXT, TEXT), min_size=1, max_size=8))
+def test_jaro_winkler_matches_reference(pairs):
+    a = [x for x, _ in pairs]
+    b = [y for _, y in pairs]
+    got = jaro_winkler_batch(a, b)
+    want = np.array([ref_jaro_winkler(x, y) for x, y in pairs])
+    assert np.abs(got - want).max() < 1e-12
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT)
+def test_similarity_identities(s):
+    assert levenshtein_batch([s], [s])[0] == 0
+    assert abs(jaro_winkler_batch([s], [s])[0] - (1.0 if s else 1.0)) < 1e-12
+    # symmetry
+    t = s[::-1]
+    assert levenshtein_batch([s], [t])[0] == levenshtein_batch([t], [s])[0]
