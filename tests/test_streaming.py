@@ -98,6 +98,52 @@ def test_watermark_emits_closed_windows_across_restarts(spark, tmp_path):
     }
 
 
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user state persists across restarts
+    via the checkpointed state store; the second drain's emitted rows
+    are CUMULATIVE over both file batches."""
+    from type_filtered_entity_linker_spark.streaming.incremental import (
+        stream_running_user_totals,
+    )
+
+    src, ckpt, out = str(tmp_path / "ev"), str(tmp_path / "ck"), str(tmp_path / "out")
+    _write_events(spark, src, [(0, "2024-01-01 00:00:00", 1, 1.0),
+                               (1, "2024-01-01 00:01:00", 1, 2.0),
+                               (2, "2024-01-01 00:02:00", 2, 5.0)])
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        def sink(df, batch_id):
+            df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            stream_running_user_totals(spark, src, schema)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+        rows = spark.read.parquet(out).collect()
+        last = max(r.batch_id for r in rows)
+        return {
+            r.user_id: (r.n_events, r.sum_value)
+            for r in rows
+            if r.batch_id == last
+        }
+
+    first = drain()
+    assert first == {1: (2, 3.0), 2: (1, 5.0)}
+    _write_events(spark, src, [(3, "2024-01-01 00:03:00", 1, 10.0)])
+    second = drain()
+    # only user 1 appears in batch 2, with state carried forward
+    assert second == {1: (3, 13.0)}
+
+
 def test_incremental_linkage_matches_batch(spark, inputs, fx, tmp_path):
     """Pages arriving in two file batches through the stream produce
     exactly the batch pipeline's links; the checkpoint makes run 2 skip

@@ -89,6 +89,44 @@ def run_stream_once(
     return sdf.sparkSession.table(name)
 
 
+def stream_running_user_totals(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``
+    (the build brief's 'custom stateful operators' pattern): per-user
+    RUNNING totals across micro-batches — state (n_events, sum_value)
+    persists in the state store and each batch emits the updated
+    cumulative row per user seen in that batch.
+
+    This is the operator shape Spark's built-in windowed aggs can't
+    express: arbitrary per-key state evolution with custom merge logic,
+    batch-vectorized through Arrow."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = spark.readStream.schema(schema).parquet(path).select("user_id", "value")
+
+    def update(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def incremental_link_pages(
     spark: SparkSession,
     pages_dir: str,
