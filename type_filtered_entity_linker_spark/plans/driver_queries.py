@@ -171,6 +171,23 @@ EL_CANDIDATES_SQL = f"""
 """
 
 
+def _el_candidates_salted(spark, sf_dir, n_salt: int = 8) -> DataFrame:
+    """The same blocking equi-join with SALTED keys (the skew strategy
+    the domain pipeline applies to head surface forms,
+    operators/blocking.py): the probe side gets a deterministic salt
+    from its row identity, the dictionary side is replicated across all
+    salts, and the join key becomes (blk, salt) — so one hot blocking
+    key spreads over n_salt reducers. Output is identical to
+    el_candidates (same oracle SQL)."""
+    m = _el_mentions(spark, sf_dir).withColumn("blk", F.substring("sf", 1, 1))
+    m = m.withColumn("salt", F.pmod(F.hash("doc_id", "sf"), F.lit(n_salt)))
+    e = _el_entities(spark, sf_dir).withColumn("blk", F.substring("name", 1, 1))
+    e = e.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    return m.join(e, ["blk", "salt"]).select("doc_id", "sf", "item_id", "name")
+
+
 def _el_types(spark, sf_dir) -> DataFrame:
     """Entity→supertype dictionary: primary type by name-length band;
     every 5th entity gets a second type (multi-type closure semantics,
@@ -765,6 +782,7 @@ QUERIES = {
     "el_mentions": _el_mentions,
     "el_entities": _el_entities,
     "el_candidates": _el_candidates,
+    "el_candidates_salted": _el_candidates_salted,
     "el_type_filter": _el_filtered,
     "el_topk": _el_topk,
     "el_links": _el_links,
@@ -797,6 +815,7 @@ ORACLES = {
     "el_mentions": EL_MENTIONS_SQL,
     "el_entities": EL_ENTITIES_SQL,
     "el_candidates": EL_CANDIDATES_SQL,
+    "el_candidates_salted": EL_CANDIDATES_SQL,
     "el_type_filter": EL_FILTERED_SQL,
     "el_topk": EL_TOPK_SQL,
     "el_links": EL_LINKS_SQL,
