@@ -68,6 +68,25 @@ def test_spark_pairwise_f1_matches_oracle_and_target(result, spark, fx):
     assert row.f1 >= 0.99
 
 
+def test_d2kb_premarked_equals_a2kb(spark, inputs, fx, tmp_path, result):
+    """D2KB with the ground-truth spans pre-marked reproduces the A2KB
+    links exactly (fixture mentions == detectable mentions), proving
+    the premarked path feeds the identical downstream chain."""
+    gt_en = fx["gt_mentions"][fx["gt_mentions"].lang == "en"]
+    premarked = spark.createDataFrame(gt_en[["url", "start", "end"]])
+    res = run_pipeline(
+        spark, inputs, str(tmp_path / "wd_d2kb"), LinkerConfig(),
+        premarked=premarked,
+    )
+    a = result.links.toPandas().sort_values(["url", "mention_id"]).reset_index(drop=True)
+    d = res.links.toPandas().sort_values(["url", "mention_id"]).reset_index(drop=True)
+    assert len(a) == len(d)
+    assert a[["url", "mention_id", "item_id"]].equals(
+        d[["url", "mention_id", "item_id"]]
+    )
+    assert (a.score - d.score).abs().max() < 1e-12
+
+
 def test_mlp_head_matches_oracle_and_f1(spark, inputs, fx, tmp_path):
     """The neural-comparator scorer head (reference disamb/model.py
     compute profile) produces oracle-identical links and clusters with

@@ -109,3 +109,55 @@ def detect_mentions_df(
             yield pd.DataFrame(out)
 
     return pages_text.select("url", "text").mapInPandas(run, MENTION_SCHEMA)
+
+
+def prepare_premarked_mentions(
+    pages_text: DataFrame, premarked: DataFrame, cfg: LinkerConfig
+) -> DataFrame:
+    """D2KB path (reference ``el/entity_linker.py:49-64``: link
+    PRE-MARKED mentions, skipping detection): premarked (url, start,
+    end) spans join their page text, then one Arrow pass derives the
+    surface form, normalized form, rule NER type and context embedding
+    — the same downstream shape ``detect_mentions_df`` emits, so every
+    later stage is identical for A2KB and D2KB.
+
+    mention_id = rank of start offset within the url (the reference's
+    arrival order made deterministic)."""
+    from ..textlib import normalize_sf, rule_ner_type
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("start", "end")
+    spans = premarked.select(
+        "url", F.col("start").cast("int"), F.col("end").cast("int")
+    ).withColumn("mention_id", (F.row_number().over(w) - 1).cast("int"))
+    joined = spans.join(pages_text.select("url", "text"), "url")
+    window = cfg.context_window
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "url", "mention_id", "start", "end", "sf", "sf_norm",
+                "ner_type", "m_emb",
+            )}
+            for url, mid, s, e, text in zip(
+                pdf["url"], pdf["mention_id"], pdf["start"], pdf["end"],
+                pdf["text"],
+            ):
+                sf = text[s:e]
+                sfn = normalize_sf(sf)
+                ctx = context_window(text, s, e, window)
+                out["url"].append(url)
+                out["mention_id"].append(int(mid))
+                out["start"].append(int(s))
+                out["end"].append(int(e))
+                out["sf"].append(sf)
+                out["sf_norm"].append(sfn)
+                out["ner_type"].append(rule_ner_type(sfn))
+                out["m_emb"].append(
+                    embed_text(sfn + " | " + ctx).astype(np.float32).tobytes()
+                )
+            yield pd.DataFrame(out)
+
+    return joined.select("url", "mention_id", "start", "end", "text").mapInPandas(
+        run, MENTION_SCHEMA
+    )

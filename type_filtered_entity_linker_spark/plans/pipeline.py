@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from ..config import LinkerConfig
 from ..operators.blocking import generate_candidates
 from ..operators.clustering import cluster_mentions
-from ..operators.mentions import detect_mentions_df, with_extracted_text
+from ..operators.mentions import (
+    detect_mentions_df,
+    prepare_premarked_mentions,
+    with_extracted_text,
+)
 from ..operators.nil import nil_edges, nil_mentions
 from ..operators.scoring import entity_dim, score_candidates
 from ..operators.topk import argmax_links, cap_candidates
@@ -67,9 +71,15 @@ def run_pipeline(
     cfg: LinkerConfig = LinkerConfig(),
     resume: bool = True,
     input_version: str = "v1",
+    premarked: DataFrame | None = None,
 ) -> PipelineResult:
     """inputs: pages, gazetteer, entity_aliases, entity_types,
-    type_closure, entity_embeddings, entities."""
+    type_closure, entity_embeddings, entities.
+
+    ``premarked`` switches A2KB → D2KB (reference
+    el/entity_linker.py:36-64): mentions come from the given (url,
+    start, end) spans instead of detection; everything downstream is
+    identical."""
     os.makedirs(workdir, exist_ok=True)
     metrics: list[dict] = []
     base_fp = fingerprint(repr(cfg), input_version)
@@ -95,11 +105,18 @@ def run_pipeline(
     pages_text, fp1 = stage(
         "pages_text", "", lambda: with_extracted_text(inputs["pages"], cfg)
     )
-    mentions, fp2 = stage(
-        "mentions",
-        fp1,
-        lambda: detect_mentions_df(pages_text, inputs["gazetteer"], cfg),
-    )
+    if premarked is not None:
+        mentions, fp2 = stage(
+            "mentions",
+            fingerprint(fp1, "d2kb"),
+            lambda: prepare_premarked_mentions(pages_text, premarked, cfg),
+        )
+    else:
+        mentions, fp2 = stage(
+            "mentions",
+            fp1,
+            lambda: detect_mentions_df(pages_text, inputs["gazetteer"], cfg),
+        )
     cand_u, fp3 = stage(
         "candidates_unfiltered",
         fp2,

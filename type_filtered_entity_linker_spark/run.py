@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["rule", "none"])
     p.add_argument("--scorer-head", default="cosine",
                    choices=["cosine", "mlp"])
+    p.add_argument("--task", default="a2kb", choices=["a2kb", "d2kb"],
+                   help="a2kb detects mentions; d2kb links pre-marked "
+                   "spans from <input-dir>/premarked_mentions")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -61,13 +64,20 @@ def main(argv: list[str] | None = None) -> int:
         inputs = fixtures_to_spark(spark, fx)
         version = f"fixture:{args.seed}:{args.n_pages}"
 
+    premarked = None
+    if args.task == "d2kb":
+        if not args.input_dir:
+            p.error("--task d2kb requires --input-dir with premarked_mentions")
+        premarked = tbl("premarked_mentions")
+
     cfg = LinkerConfig(
         filter_mode=args.filter_mode, scorer_head=args.scorer_head
     )
     t0 = time.perf_counter()
     res = run_pipeline(
         spark, inputs, args.workdir, cfg,
-        resume=not args.no_resume, input_version=version,
+        resume=not args.no_resume, input_version=f"{version}:{args.task}",
+        premarked=premarked,
     )
     out = os.path.join(args.workdir, "out_clusters")
     res.clusters.write.mode("overwrite").parquet(out)
