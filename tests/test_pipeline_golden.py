@@ -68,6 +68,27 @@ def test_spark_pairwise_f1_matches_oracle_and_target(result, spark, fx):
     assert row.f1 >= 0.99
 
 
+def test_model_filter_mode_matches_oracle(spark, inputs, fx, tmp_path):
+    """filter_mode='model' (TypeRec classifier path, O13): the batched-
+    inference UDF's filter decisions equal the oracle's bit-for-bit
+    (same shared predict function on both sides)."""
+    cfg = LinkerConfig(filter_mode="model")
+    res = run_pipeline(spark, inputs, str(tmp_path / "wd_model"), cfg)
+    g = link_corpus(fx, cfg)
+    assert_df_equal(
+        res.candidates.select("url", "mention_id", "item_id"),
+        g["golden_candidates"],
+        ["url", "mention_id", "item_id"],
+    )
+    # model mode must actually change decisions vs rule mode somewhere
+    rule = run_pipeline(
+        spark, inputs, str(tmp_path / "wd_rule_cmp"), LinkerConfig()
+    )
+    n_model = res.candidates.count()
+    n_rule = rule.candidates.count()
+    assert n_model != n_rule
+
+
 def test_d2kb_premarked_equals_a2kb(spark, inputs, fx, tmp_path, result):
     """D2KB with the ground-truth spans pre-marked reproduces the A2KB
     links exactly (fixture mentions == detectable mentions), proving

@@ -16,7 +16,9 @@ from dataclasses import dataclass
 @dataclass(frozen=True)
 class LinkerConfig:
     lang: str = "en"
-    filter_mode: str = "rule"  # 'rule' (NER→type map path) | 'none'
+    # 'rule' (NER→type map, reference spaCy path) | 'model' (TypeRec
+    # classifier over mention embeddings, reference BERT path) | 'none'
+    filter_mode: str = "rule"
     other_passes_all: bool = True  # OTHER mention type passes all (el/filter.py:43-47)
     keep_typeless: bool = True  # typeless candidate kept (el/filter.py:57-66)
     candidates_limit: int | None = 500  # top-K (el/entity_linker.py:94-108)

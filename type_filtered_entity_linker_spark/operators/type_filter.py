@@ -68,12 +68,28 @@ def mention_type_col() -> F.Column:
 
 
 def filter_candidates(
-    candidates: DataFrame, type_summary: DataFrame, cfg: LinkerConfig
+    candidates: DataFrame,
+    type_summary: DataFrame,
+    cfg: LinkerConfig,
+    mentions: DataFrame | None = None,
 ) -> DataFrame:
+    """``filter_mode``: 'rule' maps the detection NER label (O14);
+    'model' runs the TypeRec classifier over mention embeddings (O13,
+    requires ``mentions`` with m_emb); 'none' skips the stage."""
     if cfg.filter_mode == "none":
         return candidates
 
-    c = candidates.withColumn("m_type", mention_type_col())
+    if cfg.filter_mode == "model":
+        if mentions is None:
+            raise ValueError("filter_mode='model' needs the mentions table")
+        from .typerec import with_predicted_types
+
+        mtypes = with_predicted_types(
+            mentions.select("url", "mention_id", "m_emb")
+        ).select("url", "mention_id", "m_type")
+        c = candidates.join(mtypes, ["url", "mention_id"])
+    else:
+        c = candidates.withColumn("m_type", mention_type_col())
     joined = c.join(type_summary, "item_id", "left")
 
     keep = F.array_contains(F.col("supertypes"), F.col("m_type"))

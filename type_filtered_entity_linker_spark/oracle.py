@@ -76,7 +76,12 @@ def link_corpus(fx: dict[str, pd.DataFrame], cfg: LinkerConfig) -> dict[str, pd.
 
             # type filter (reference el/filter.py:49-92, rule path :183-227)
             if cfg.filter_mode != "none":
-                m_type = NER_TO_SUPERTYPE.get(ner, OTHER_TYPE)
+                if cfg.filter_mode == "model":
+                    from .operators.typerec import predict_supertype_batch
+
+                    m_type = predict_supertype_batch(m_emb[None, :])[0]
+                else:
+                    m_type = NER_TO_SUPERTYPE.get(ner, OTHER_TYPE)
                 if m_type == OTHER_TYPE and cfg.other_passes_all:
                     kept = cands
                 else:

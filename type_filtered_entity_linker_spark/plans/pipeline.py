@@ -47,7 +47,7 @@ def link_pages_batch(
     mentions = detect_mentions_df(pages_text, inputs["gazetteer"], cfg)
     cand_u = generate_candidates(mentions, inputs["entity_aliases"], cfg)
     summary = entity_type_summary(inputs["entity_types"], inputs["type_closure"])
-    cand_f = filter_candidates(cand_u, summary, cfg)
+    cand_f = filter_candidates(cand_u, summary, cfg, mentions=mentions)
     cand_k = cap_candidates(cand_f, cfg)
     dim = entity_dim(inputs["entities"], inputs["entity_embeddings"])
     scored = score_candidates(cand_k, mentions, dim, head=cfg.scorer_head)
@@ -126,7 +126,7 @@ def run_pipeline(
     cand_f, fp4 = stage(
         "candidates_filtered",
         fp3,
-        lambda: filter_candidates(cand_u, summary, cfg),
+        lambda: filter_candidates(cand_u, summary, cfg, mentions=mentions),
     )
     cand_k, fp5 = stage(
         "candidates_topk", fp4, lambda: cap_candidates(cand_f, cfg)
