@@ -674,6 +674,30 @@ EVENTS_SESSIONS_SQL = """
 """
 
 
+def q_events_json(spark, sf_dir) -> DataFrame:
+    """Semi-structured path (O3 analog — schema'd JSON ingestion):
+    parse the events `props` JSON column with from_json and aggregate
+    an extracted field per event type."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k int").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("p.k")).alias("sum_k"),
+        F.round(F.avg(F.col("p.k")), 6).alias("avg_k"),
+    )
+
+
+EVENTS_JSON_SQL = """
+    SELECT event_type, count(*) AS n,
+           sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+           round(avg(json_extract(props, '$.k')::INT), 6) AS avg_k
+    FROM events GROUP BY event_type
+"""
+
+
 _STREAM_SEQ = [0]
 
 
@@ -806,6 +830,7 @@ QUERIES = {
     "events_hourly_window": q_events_window,
     "events_session_agg": q_events_sessions,
     "events_stream_window": q_events_stream_window,
+    "events_json_agg": q_events_json,
     "lineitem_agg": q_lineitem_agg,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_semi_anti": q_semi_anti,
@@ -839,6 +864,7 @@ ORACLES = {
     "events_hourly_window": EVENTS_WINDOW_SQL,
     "events_session_agg": EVENTS_SESSIONS_SQL,
     "events_stream_window": EVENTS_WINDOW_SQL,
+    "events_json_agg": EVENTS_JSON_SQL,
     "lineitem_agg": LINEITEM_AGG_SQL,
     "top_orders_per_customer": TOP_ORDERS_SQL,
     "customers_semi_anti": SEMI_ANTI_SQL,
