@@ -90,8 +90,18 @@ def main() -> None:
     # production shape (column pruning + pushdown at the scan).
     from type_filtered_entity_linker_spark.fixtures import INPUT_TABLES
 
+    import hashlib
+
+    import type_filtered_entity_linker_spark.fixtures as _fx_mod
+
+    # cache key includes the fixture-generator SOURCE: editing
+    # make_fixtures invalidates staged corpora instead of silently
+    # benching stale data
+    with open(_fx_mod.__file__, "rb") as f:
+        fx_src_hash = hashlib.md5(f.read()).hexdigest()[:10]
     stage_dir = (
         f"/tmp/bench_fixtures_{BENCH_PAGES}_{BENCH_ENTITIES}_{BENCH_FILLER}"
+        f"_{fx_src_hash}"
     )
     marker = os.path.join(stage_dir, "_STAGED")
     if not os.path.exists(marker):

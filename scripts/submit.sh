@@ -32,6 +32,7 @@ EOF
 
 exec spark-submit \
   --master "$MASTER" \
+  --driver-memory "${SPARK_DRIVER_MEM:-16g}" \
   --conf spark.sql.adaptive.enabled=true \
   --conf spark.sql.execution.arrow.pyspark.enabled=true \
   --py-files "$PKG_ZIP" \

@@ -61,6 +61,7 @@ def test_spark_pairwise_f1_matches_oracle_and_target(result, spark, fx):
     row = pairwise_f1_spark(result.clusters, lp).collect()[0]
     got_clusters = result.clusters.toPandas()
     want = pairwise_f1(got_clusters, fx["labeled_pairs"])
+    assert row.n_pairs_evaluated > 0
     assert (row.tp, row.fp, row.fn, row.tn) == (
         want["tp"], want["fp"], want["fn"], want["tn"],
     )
@@ -128,6 +129,7 @@ def test_mlp_head_matches_oracle_and_f1(spark, inputs, fx, tmp_path):
     )
     lp = spark.createDataFrame(fx["labeled_pairs"])
     row = pairwise_f1_spark(res.clusters, lp).collect()[0]
+    assert row.n_pairs_evaluated > 0
     assert row.f1 >= 0.99
 
 

@@ -93,6 +93,17 @@ def test_ngram_equals_minhash_verified_output(spark):
     assert ng == mh and len(ng) == 1
 
 
+def test_ngram_short_doc_fallback_shingle(spark):
+    # docs with < 3 tokens contribute one whole-text shingle; two
+    # identical short docs must pair with jaccard 1.0 (the SQL oracle
+    # mirrors this CASE branch)
+    d = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["tiny doc", "tiny doc", "other"]})
+    )
+    rows = near_duplicates_ngram(d, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard) for r in rows] == [(1, 2, 1.0)]
+
+
 def test_ngram_max_doc_freq_prunes_boilerplate(spark):
     # identical boilerplate in all docs; unique tails -> with the
     # boilerplate shingles DF-cut, no pair survives the threshold

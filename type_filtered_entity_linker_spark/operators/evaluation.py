@@ -57,4 +57,10 @@ def pairwise_f1_spark(clusters: DataFrame, labeled_pairs: DataFrame) -> DataFram
         .otherwise(F.lit(0.0))
         .alias("f1"),
         "tp", "fp", "fn", "tn",
+        # guards against a vacuous perfect score: if key formats ever
+        # drift the joins go empty and f1 would read 1.0 — consumers
+        # must check this is > 0
+        (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")).alias(
+            "n_pairs_evaluated"
+        ),
     )

@@ -88,17 +88,27 @@ def lsh_bucket(emb: F.Column, planes: list[list[float]]) -> F.Column:
     return bucket
 
 
+def _infer_dim(df: DataFrame, emb_col: str) -> int:
+    """Embedding dimension from the data (one 1-row job). A wrong
+    literal dim would make every hyperplane dot null (zip_with pads
+    with null) → all vectors in bucket 0 → silent O(n²) degeneration."""
+    row = df.select(F.size(F.col(emb_col)).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer embedding dim from column {emb_col!r}")
+    return int(row["d"])
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     bits: int = 8,
-    dim: int = 64,
+    dim: int | None = None,
     seed: int = 11,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's LSH bucket
     are scored. Buckets shrink the candidate set ~2^bits-fold."""
-    planes = hyperplanes(dim, bits, seed)
+    planes = hyperplanes(dim or _infer_dim(corpus, "embedding"), bits, seed)
     qb = queries.withColumn("bucket", lsh_bucket(F.col("q_emb"), planes))
     cb = corpus.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
     j = qb.join(cb, "bucket").where(F.col("query_id") != F.col("vec_id"))
@@ -135,14 +145,15 @@ def ivf_topk(
     (linear scans, JVM-side); the probe join shuffles on cell id, so
     per-query work drops by ~n_cells/n_probe.
     """
+    # seed selection via orderBy+limit (TakeOrdered — parallel partial
+    # top-K, no global sort); the cell-id window then runs over only
+    # n_cells rows. A bare Window.orderBy over the corpus would funnel
+    # every row through one partition.
+    seeds = corpus.orderBy("vec_id").limit(n_cells)
     w_seed = Window.orderBy("vec_id")
-    cents = (
-        corpus.withColumn("rn", F.row_number().over(w_seed))
-        .where(F.col("rn") <= n_cells)
-        .select(
-            (F.col("rn") - 1).alias("cell"),
-            F.col("embedding").alias("c_emb"),
-        )
+    cents = seeds.select(
+        (F.row_number().over(w_seed) - 1).alias("cell"),
+        F.col("embedding").alias("c_emb"),
     )
     # nearest-centroid assignment (argmax cosine, deterministic ties)
     def assign(df, id_col, emb_col, top):
@@ -177,7 +188,7 @@ def ivf_topk(
 def embedding_near_duplicates(
     vectors: DataFrame, tau: float = 0.99, id_col: str = "vec_id",
     emb_col: str = "embedding", lsh_bits: int | None = None,
-    dim: int = 64, seed: int = 11,
+    dim: int | None = None, seed: int = 11,
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine ≥ tau.
 
@@ -188,7 +199,9 @@ def embedding_near_duplicates(
     brute-force result while scoring ~2^bits fewer pairs. Without it:
     exhaustive self-join (the small-corpus / oracle baseline)."""
     if lsh_bits:
-        planes = hyperplanes(dim, lsh_bits, seed)
+        planes = hyperplanes(
+            dim or _infer_dim(vectors, emb_col), lsh_bits, seed
+        )
         b = vectors.select(
             F.col(id_col).alias("vid"),
             F.col(emb_col).alias("e"),

@@ -340,11 +340,16 @@ def _el_type_freq(spark, sf_dir) -> DataFrame:
     dictionary — one hash aggregate plus a scalar total."""
     t = _el_types(spark, sf_dir)
     counts = t.groupBy("type_id").agg(F.count("*").alias("n_items"))
-    total = t.count()  # scalar; avoids a window over a 12-row frame
+    # denominator from the ALREADY-AGGREGATED ~12-row frame (an
+    # unpartitioned window here is trivially cheap); a t.count() would
+    # re-execute the whole vocabulary derivation as a second job
+    w_all = Window.partitionBy()
     return counts.select(
         "type_id",
         "n_items",
-        F.round(F.col("n_items") / F.lit(float(total)), 6).alias("p"),
+        F.round(
+            F.col("n_items") / F.sum("n_items").over(w_all).cast("double"), 6
+        ).alias("p"),
     )
 
 
@@ -413,9 +418,14 @@ def q_dedup_minhash(spark, sf_dir) -> DataFrame:
 DEDUP_MINHASH_SQL = f"""
     WITH corpus AS ({NEARDUP_CORPUS_SQL}),
     toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+    -- short-doc fallback matches Spark token_shingles: docs with < 3
+    -- tokens contribute one whole-text shingle instead of none
     sh AS (SELECT DISTINCT doc_id, s
-           FROM toks, unnest([array_to_string(l[i:i+2], ' ')
-                              for i in generate_series(1, len(l) - 2)]) AS t(s)),
+           FROM toks, unnest(
+               CASE WHEN len(l) >= 3
+                    THEN [array_to_string(l[i:i+2], ' ')
+                          for i in generate_series(1, len(l) - 2)]
+                    ELSE [array_to_string(l, ' ')] END) AS t(s)),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -713,8 +723,12 @@ def q_events_stream_window(spark, sf_dir) -> DataFrame:
 
     path = f"{sf_dir}/events.parquet"
     # file-source streams list a directory; stage the single file into
-    # a scratch dir keyed by sf_dir (testdata is read-only)
-    key = hashlib.md5(path.encode()).hexdigest()[:10]
+    # a scratch dir keyed by (path, mtime, size) so a regenerated
+    # events table invalidates the staged copy
+    st = os.stat(path)
+    key = hashlib.md5(
+        f"{path}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
     stage = os.path.join(tempfile.gettempdir(), f"events_stream_src_{key}")
     os.makedirs(stage, exist_ok=True)
     dst = os.path.join(stage, "events.parquet")

@@ -46,11 +46,15 @@ def main(argv: list[str] | None = None) -> int:
     from .session import spark_session
 
     active = SparkSession.getActiveSession()
-    spark = active or spark_session(app_name="entity-linkage")
+    # inherit_cluster_conf: under spark-submit the submitted --master /
+    # --driver-memory must win; standalone runs fall back to local[*]
+    spark = active or spark_session(
+        app_name="entity-linkage", inherit_cluster_conf=True
+    )
 
     if args.input_dir:
-        names = ["pages", "gazetteer", "entity_aliases", "entity_types",
-                 "type_closure", "entity_embeddings", "entities"]
+        from .fixtures import INPUT_TABLES as names
+
         def tbl(n: str):
             d = os.path.join(args.input_dir, n)
             return spark.read.parquet(d if os.path.isdir(d) else d + ".parquet")

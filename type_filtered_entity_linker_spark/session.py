@@ -21,18 +21,32 @@ def spark_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    inherit_cluster_conf: bool = False,
 ) -> SparkSession:
+    """``inherit_cluster_conf=True`` (job entry points run via
+    spark-submit): do NOT set master or driver memory — builder-level
+    values would override the submitted ``--master``/``--driver-memory``
+    and silently run the whole job local[N] inside the driver. A bare
+    ``getOrCreate()`` inherits the submitted conf, and falls back to
+    local[*] for standalone ``python -m`` invocations (verified both
+    ways)."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
+    if not inherit_cluster_conf:
+        master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         # local mode: ~1x cores; on a cluster this should be
         # 2-3x total executor cores (AQE coalesces small partitions)
-        n = master[len("local[") : -1] if master.startswith("local[") else str(cpus)
+        n = (
+            master[len("local[") : -1]
+            if master and master.startswith("local[")
+            else str(cpus)
+        )
         shuffle_partitions = cpus if n == "*" else int(n)
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -41,17 +55,22 @@ def spark_session(
         .config("spark.sql.session.timeZone", "UTC")
         # local mode: ALL concurrent tasks share this one JVM heap —
         # size it for the task count or 32-way runs spill/GC-thrash
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not inherit_cluster_conf:
+        # static confs, only meaningful when THIS process launches the
+        # JVM (under spark-submit they're set by --driver-memory etc.)
+        b = b.config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g")
+        )
         # shuffle/spill to tmpfs: 32 concurrent shuffle writers on the
         # VM's ext4 disk serialize on writeback (measured 10x cold-run
         # penalty at local[32]); on a real cluster this is NVMe-backed
         # spark.local.dir per executor
-        .config(
+        b = b.config(
             "spark.local.dir",
             os.environ.get("SPARK_LOCAL_DIR", "/dev/shm/spark-local"),
         )
-        .config("spark.ui.enabled", "false")
-    )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
