@@ -711,20 +711,15 @@ EVENTS_JSON_SQL = """
 _STREAM_SEQ = [0]
 
 
-def q_events_stream_window(spark, sf_dir) -> DataFrame:
-    """Same hourly aggregation computed through Structured Streaming
-    (file source → watermark → windowed agg → AvailableNow drain);
-    must equal the batch/DuckDB result exactly."""
+def _staged_events_dir(sf_dir: str) -> str:
+    """File-source streams list a directory; stage the single events
+    file into a scratch dir keyed by (path, mtime, size) so a
+    regenerated table invalidates the staged copy."""
     import hashlib
     import shutil
     import tempfile
 
-    from ..streaming.incremental import run_stream_once, stream_events_hourly
-
     path = f"{sf_dir}/events.parquet"
-    # file-source streams list a directory; stage the single file into
-    # a scratch dir keyed by (path, mtime, size) so a regenerated
-    # events table invalidates the staged copy
     st = os.stat(path)
     key = hashlib.md5(
         f"{path}:{st.st_mtime_ns}:{st.st_size}".encode()
@@ -734,12 +729,46 @@ def q_events_stream_window(spark, sf_dir) -> DataFrame:
     dst = os.path.join(stage, "events.parquet")
     if not os.path.exists(dst):
         shutil.copy(path, dst)
+    return stage
+
+
+def q_events_stream_window(spark, sf_dir) -> DataFrame:
+    """Same hourly aggregation computed through Structured Streaming
+    (file source → watermark → windowed agg → AvailableNow drain);
+    must equal the batch/DuckDB result exactly."""
+    from ..streaming.incremental import run_stream_once, stream_events_hourly
+
+    path = f"{sf_dir}/events.parquet"
+    stage = _staged_events_dir(sf_dir)
     schema = spark.read.parquet(path).schema
     _STREAM_SEQ[0] += 1
     return run_stream_once(
         stream_events_hourly(spark, stage, schema),
         f"events_stream_{_STREAM_SEQ[0]}",
     )
+
+
+def q_events_stateful_totals(spark, sf_dir) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState)
+    drained over the staged events: with the whole table in one
+    AvailableNow batch the per-user running totals equal the batch
+    aggregate — oracle-checkable."""
+    from ..streaming.incremental import run_stream_once, stream_running_user_totals
+
+    stage = _staged_events_dir(sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    _STREAM_SEQ[0] += 1
+    return run_stream_once(
+        stream_running_user_totals(spark, stage, schema),
+        f"events_state_{_STREAM_SEQ[0]}",
+        output_mode="update",
+    )
+
+
+EVENTS_STATEFUL_SQL = """
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY user_id
+"""
 
 
 def q_lineitem_agg(spark, sf_dir) -> DataFrame:
@@ -844,6 +873,7 @@ QUERIES = {
     "events_hourly_window": q_events_window,
     "events_session_agg": q_events_sessions,
     "events_stream_window": q_events_stream_window,
+    "events_stateful_totals": q_events_stateful_totals,
     "events_json_agg": q_events_json,
     "lineitem_agg": q_lineitem_agg,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -878,6 +908,7 @@ ORACLES = {
     "events_hourly_window": EVENTS_WINDOW_SQL,
     "events_session_agg": EVENTS_SESSIONS_SQL,
     "events_stream_window": EVENTS_WINDOW_SQL,
+    "events_stateful_totals": EVENTS_STATEFUL_SQL,
     "events_json_agg": EVENTS_JSON_SQL,
     "lineitem_agg": LINEITEM_AGG_SQL,
     "top_orders_per_customer": TOP_ORDERS_SQL,
