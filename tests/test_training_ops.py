@@ -200,6 +200,36 @@ def test_ivf_partial_probe_recall(spark):
     assert len(hits & bf) / len(bf) >= 0.5
 
 
+def test_embedding_dedup_lsh_blocks_on_any_dim(spark):
+    """Inferred-dim hyperplanes: with 24-dim vectors (not the old
+    hardcoded 64) the LSH path still finds exactly the planted copies,
+    and the bucketing actually splits the corpus (no silent
+    one-bucket degeneration)."""
+    from type_filtered_entity_linker_spark.operators.similarity import (
+        embedding_near_duplicates,
+        hyperplanes,
+        lsh_bucket,
+    )
+
+    v = _random_vectors(spark, 50, dim=24)
+    copies = v.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    corpus = v.unionByName(copies)
+    got = embedding_near_duplicates(corpus, tau=0.9999, lsh_bits=6)
+    assert {(r.id_a, r.id_b) for r in got.collect()} == {
+        (i, i + 1000) for i in range(5)
+    }
+    n_buckets = (
+        corpus.select(
+            lsh_bucket(F.col("embedding"), hyperplanes(24, 6, 11)).alias("b")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1
+
+
 def test_lang_id_markers(spark):
     d = spark.createDataFrame(
         pd.DataFrame(
