@@ -174,7 +174,7 @@ def cosine_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 # --- neural comparator head (reference disamb/model.py:35-84 analog) -------
 
-MLP_HIDDEN = 384
+MLP_HIDDEN = 768
 _MLP_CACHE: dict = {}
 
 
