@@ -54,10 +54,13 @@ def _checksum(e: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, checkpoint_every: int = 1
+    edges: DataFrame, max_iter: int = 25, checkpoint_every: int = 1,
+    stats: list | None = None,
 ) -> DataFrame:
     """edges(src, dst) → assignments(node, cluster_id) for every node
-    appearing in the edge set. cluster_id = min node id in component."""
+    appearing in the edge set. cluster_id = min node id in component.
+    ``stats`` (optional) collects per-iteration {iteration, edges}
+    convergence metrics (north rule: per-stage metrics)."""
     e = (
         edges.where(F.col("src") != F.col("dst"))
         .select(
@@ -73,6 +76,8 @@ def connected_components(
         if (i + 1) % checkpoint_every == 0:
             e = e.localCheckpoint(eager=True)
         cur = _checksum(e)
+        if stats is not None:
+            stats.append({"iteration": i + 1, "edges": cur[0]})
         if cur == prev:
             break
         prev = cur
@@ -83,7 +88,8 @@ def connected_components(
 
 
 def cluster_mentions(
-    links: DataFrame, nil_edges: DataFrame, all_mentions: DataFrame
+    links: DataFrame, nil_edges: DataFrame, all_mentions: DataFrame,
+    cc_stats: list | None = None,
 ) -> DataFrame:
     """Final clusters table (mention_key, cluster_id).
 
@@ -98,7 +104,7 @@ def cluster_mentions(
         mkey.alias("src"), F.concat(F.lit("E:"), F.col("item_id")).alias("dst")
     )
     edges = link_edges.union(nil_edges.select("src", "dst"))
-    assign = connected_components(edges)
+    assign = connected_components(edges, stats=cc_stats)
     # min MENTION key per component via agg+join (no collect_list — a
     # head-entity component can hold millions of mentions at scale)
     m_assign = assign.where(~F.col("node").startswith("E:"))

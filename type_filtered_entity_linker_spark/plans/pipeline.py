@@ -139,12 +139,17 @@ def run_pipeline(
     )
     links, fp7 = stage("links", fp6, lambda: argmax_links(scored))
 
+    cc_stats: list[dict] = []
+
     def compute_clusters() -> DataFrame:
         nils = nil_mentions(mentions, cand_k)
         ne = nil_edges(nils, cfg)
-        return cluster_mentions(links, ne, mentions)
+        return cluster_mentions(links, ne, mentions, cc_stats=cc_stats)
 
     clusters, fp8 = stage("clusters", fp7, compute_clusters)
+    if cc_stats:
+        metrics[-1]["cc_iterations"] = len(cc_stats)
+        metrics[-1]["cc_convergence"] = cc_stats
 
     return PipelineResult(
         mentions=mentions,
