@@ -195,7 +195,7 @@ def mlp_similarity_batch(M: np.ndarray, E: np.ndarray) -> np.ndarray:
     encodings, batched f32 GEMM like its TF graph).
 
     (MP)·(EP)/h is an unbiased Johnson-Lindenstrauss estimator of M·E
-    (σ ≈ ‖m‖‖e‖/√h ≈ 0.05 at h=384), so for the L2-normalized
+    (σ ≈ ‖m‖‖e‖/√h ≈ 0.036 at h=MLP_HIDDEN=768), so for the L2-normalized
     embeddings it reproduces cosine up to small deterministic
     distortion — a genuine similarity with heavy, honest compute."""
     P = _mlp_weights(M.shape[1])

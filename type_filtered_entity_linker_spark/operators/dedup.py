@@ -226,7 +226,26 @@ def near_duplicates_ngram(
     )
 
 
-def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def shingle_hash(col: str = "tok", hash_fn: str = "xxhash64") -> F.Column:
+    """64-bit shingle hash. ``xxhash64`` (default): the JVM-native fast
+    path for production. ``md5_60``: 60-bit hash derived from the first
+    15 hex chars of md5 — slower, but md5 is identical in every engine,
+    so results are reproducible in DuckDB/Trino/Postgres for oracle
+    verification (bits 60-63 are always 0; SimHash/banding semantics
+    are unaffected, the top bits simply never vote set)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def simhash64(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
     """(doc_id, simhash: bigint) — 64-bit SimHash over distinct tokens.
 
     Plan: explode tokens → one hash-aggregate with 64 static-bit vote
@@ -236,7 +255,7 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     th = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(token_shingles(text_col, 3)).alias("tok"),
-    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ).select("doc_id", shingle_hash("tok", hash_fn).alias("h"))
     votes = th.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -258,12 +277,21 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def near_duplicates_simhash(
-    docs: DataFrame, max_hamming: int = 3
+    docs: DataFrame, max_hamming: int = 3, hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ max_hamming.
-    Pigeonhole blocking: with 4 16-bit bands, any pair within Hamming 3
-    agrees on ≥1 band → exact recall, then bit_count(xor) verify."""
-    sh = simhash64(docs)
+
+    Pigeonhole blocking with ``max_hamming + 1`` bands: a pair within
+    Hamming ≤ h differs in at most h bands, so with h+1 bands it agrees
+    on ≥1 band → EXACT recall, then bit_count(xor) verify. The whole
+    operator is therefore exact (equals the brute-force all-pairs
+    Hamming join) at any max_hamming, while only shuffling banded keys.
+    """
+    bands = max_hamming + 1
+    width = 64 // bands  # last band absorbs the remainder
+    offs = [bi * width for bi in range(bands)]
+    widths = [width] * (bands - 1) + [64 - width * (bands - 1)]
+    sh = simhash64(docs, hash_fn=hash_fn)
     banded = sh.select(
         "doc_id",
         "simhash",
@@ -272,11 +300,17 @@ def near_duplicates_simhash(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.shiftright(F.col("simhash"), bi * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), offs[bi])
+                        .bitwiseAND(
+                            F.lit(
+                                (1 << widths[bi]) - 1
+                                if widths[bi] < 64
+                                else -1
+                            )
+                        )
                         .alias("bh"),
                     )
-                    for bi in range(4)
+                    for bi in range(bands)
                 ]
             )
         ).alias("b"),

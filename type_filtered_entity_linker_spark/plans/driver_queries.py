@@ -449,8 +449,51 @@ DEDUP_NGRAM_SQL = DEDUP_MINHASH_SQL
 
 
 def q_dedup_simhash(spark, sf_dir) -> DataFrame:
-    # rows-only check: SimHash is approximate (no SQL-exact oracle)
-    return near_duplicates_simhash(_neardup_corpus(spark, sf_dir), max_hamming=6)
+    """Exact SimHash near-dup join: pigeonhole banding (max_hamming+1
+    bands → recall 1) + Hamming verify, keyed on the md5-derived 60-bit
+    shingle hash so the whole computation is bit-identical in DuckDB
+    (the production default stays xxhash64 — see operators.dedup)."""
+    return near_duplicates_simhash(
+        _neardup_corpus(spark, sf_dir), max_hamming=6, hash_fn="md5_60"
+    )
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB replica of simhash64(hash_fn='md5_60') + brute-force
+    Hamming-≤-6 pair join (banding is a pure optimization with exact
+    recall, so brute force is the correct oracle)."""
+    h60 = (
+        "list_reduce([strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 "
+        "for i in generate_series(1, 15)], (a, b) -> a * 16 + b)::BIGINT"
+    )
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(60)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(60)
+    )
+    return f"""
+    WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+    sh AS (SELECT DISTINCT doc_id, s
+           FROM toks, unnest(
+               CASE WHEN len(l) >= 3
+                    THEN [array_to_string(l[i:i+2], ' ')
+                          for i in generate_series(1, len(l) - 2)]
+                    ELSE [array_to_string(l, ' ')] END) AS t(s)),
+    h AS (SELECT doc_id, {h60} AS h FROM sh),
+    votes AS (SELECT doc_id, {votes}
+              FROM h GROUP BY doc_id),
+    sim AS (SELECT doc_id, ({sim})::BIGINT AS simhash FROM votes)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_oracle_sql()
 
 
 def q_dedup_embedding(spark, sf_dir) -> DataFrame:
@@ -510,12 +553,56 @@ ANN_TOPK_SQL = """
 
 
 def q_ann_lsh(spark, sf_dir) -> DataFrame:
-    # rows-only: LSH-bucketed ANN is approximate by design
+    """LSH-bucketed ANN. Approximate vs brute force by design, but
+    fully DETERMINISTIC given the hyperplanes — the oracle replicates
+    the literal hyperplanes in SQL, so this gets an exact value-hash
+    check, not a rows-only pass."""
     e = _emb(spark, sf_dir)
     queries = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     return lsh_bucketed_topk(queries, e.select("vec_id", "embedding"), k=5, bits=6)
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, bits: int = 6, seed: int = 11) -> str:
+    """DuckDB replica of lsh_bucketed_topk with the SAME deterministic
+    hyperplanes embedded as double literals (repr round-trips exactly;
+    both engines fold the dot product left-to-right in float64, so the
+    sign tests — hence the buckets — are bit-identical)."""
+    from ..operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, bits, seed)
+
+    def bucket(col: str) -> str:
+        terms = []
+        for b, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, {lit}) > 0 "
+                f"THEN {1 << b} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    qb AS (SELECT query_id, qe, {bucket('qe')} AS bucket FROM q),
+    cb AS (SELECT vec_id, e, {bucket('e')} AS bucket FROM c),
+    scored AS (
+        SELECT query_id, vec_id,
+               round(list_dot_product(qe, e) /
+                     (sqrt(list_dot_product(qe, qe)) *
+                      sqrt(list_dot_product(e, e))), 6) AS cos
+        FROM qb JOIN cb USING (bucket) WHERE query_id != vec_id)
+    SELECT query_id, vec_id, cos, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        FROM scored) WHERE rank <= 5
+"""
+
+
+ANN_LSH_SQL = _ann_lsh_oracle_sql()
 
 def q_ann_ivf(spark, sf_dir) -> DataFrame:
     """IVF ANN with exhaustive probe (n_probe = n_cells) — exact, so the
@@ -895,11 +982,11 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
-    # dedup_simhash: approximate — rows-only check
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_ivf": ANN_TOPK_SQL,
-    # ann_topk_lsh: approximate — rows-only check
+    "ann_topk_lsh": ANN_LSH_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
     "token_count": TOKEN_COUNT_SQL,

@@ -33,9 +33,14 @@ def spark_session(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if not inherit_cluster_conf:
         master = master or f"local[{cpus}]"
-    if shuffle_partitions is None:
+    if shuffle_partitions is None and not inherit_cluster_conf:
         # local mode: ~1x cores; on a cluster this should be
-        # 2-3x total executor cores (AQE coalesces small partitions)
+        # 2-3x total executor cores (AQE coalesces small partitions).
+        # Under inherit_cluster_conf the default stays UNSET: builder
+        # conf overrides spark-submit --conf, so sizing it here would
+        # cap every shuffle on a real cluster at this local guess
+        # (AQE can coalesce but never split). Callers that really want
+        # a specific value pass it explicitly.
         n = (
             master[len("local[") : -1]
             if master and master.startswith("local[")
@@ -45,9 +50,10 @@ def spark_session(
     b = SparkSession.builder.appName(app_name)
     if master:
         b = b.master(master)
+    if shuffle_partitions is not None:
+        b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     b = (
-        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
