@@ -28,12 +28,13 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"mention_key", "cluster_id"}
 
 
-def test_every_query_has_callable_and_most_have_oracles():
+def test_every_query_has_callable_and_an_oracle():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert len(qs) >= 20
     assert set(os_) <= set(qs)
-    # only approximate ops may omit oracles
-    assert set(qs) - set(os_) == {"dedup_simhash", "ann_topk_lsh"}
+    # round 2: EVERY query is exactly oracle-checked — SimHash via the
+    # md5-rekeyed SQL replica, LSH-ANN via literal-hyperplane SQL
+    assert set(qs) - set(os_) == set()
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries()))

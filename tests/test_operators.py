@@ -196,3 +196,145 @@ def test_cc_self_loops_ignored(spark):
 def test_cc_merged_components(spark):
     comp = _cc(spark, [("a", "b"), ("c", "d"), ("b", "c")])
     assert {comp[x] for x in "abcd"} == {"a"}
+
+
+# --- scorer broadcast size gate --------------------------------------------
+
+
+def _scorer_fixture(spark):
+    import numpy as np
+
+    from type_filtered_entity_linker_spark.functions.strings import embed_text
+    from type_filtered_entity_linker_spark.operators.scoring import entity_dim
+
+    m_emb = embed_text("alvar x | some ctx").astype(np.float32).tobytes()
+    mentions = spark.createDataFrame(
+        pd.DataFrame({"url": ["u"], "mention_id": [0], "m_emb": [m_emb]})
+    )
+    cands = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u"] * 2,
+                "mention_id": [0, 0],
+                "sf_norm": ["alvar x"] * 2,
+                "ner_type": ["PERSON"] * 2,
+                "item_id": ["Q1", "Q2"],
+            }
+        )
+    )
+    entities = spark.createDataFrame(
+        pd.DataFrame(
+            {"item_id": ["Q1", "Q2"], "canonical_norm": ["alvar x", "alvar y"]}
+        )
+    )
+    embs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "item_id": ["Q1", "Q2"],
+                "emb": [
+                    [float(v) for v in embed_text("alvar x | sig")],
+                    [float(v) for v in embed_text("alvar y | sig")],
+                ],
+            }
+        )
+    )
+    return cands, mentions, entity_dim(entities, embs)
+
+
+def _physical_plan(df) -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+
+
+def test_scorer_broadcast_gate(spark):
+    """Above the row threshold the sims join must NOT be a forced
+    broadcast (web-scale distinct-pair tables can exceed the 8 GB
+    broadcast hard limit); scores are identical on both paths."""
+    from type_filtered_entity_linker_spark.operators.scoring import (
+        score_candidates,
+    )
+
+    cands, mentions, dim = _scorer_fixture(spark)
+    small = score_candidates(
+        cands, mentions, dim, sims_rows_hint=2, broadcast_max_rows=1000
+    )
+    large = score_candidates(
+        cands, mentions, dim, sims_rows_hint=10**9, broadcast_max_rows=1000
+    )
+    # disable Catalyst's size-based auto-broadcast so the plan shows
+    # only EXPLICIT broadcast hints (test tables are tiny; in
+    # production the auto path never fires on an unbounded pair table)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_small = _physical_plan(small)
+        plan_large = _physical_plan(large)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan_small.count("BroadcastHashJoin") > plan_large.count(
+        "BroadcastHashJoin"
+    ), "gate did not switch the sims join off the broadcast path"
+
+    def scores(df):
+        return {
+            (r.url, r.mention_id, r.item_id): round(r.score, 12)
+            for r in df.collect()
+        }
+
+    assert scores(small) == scores(large)
+
+
+def test_scorer_gate_counts_distinct_pairs_without_hint(spark):
+    """No hint → the gate measures the narrow distinct pair count
+    itself (2 pairs here → under any sane threshold → broadcast)."""
+    from type_filtered_entity_linker_spark.operators.scoring import (
+        score_candidates,
+    )
+
+    cands, mentions, dim = _scorer_fixture(spark)
+    scored = score_candidates(cands, mentions, dim)
+    assert {r.item_id for r in scored.collect()} == {"Q1", "Q2"}
+
+
+# --- containment-join span type assignment ---------------------------------
+
+
+def test_span_mention_types_containment_and_default(spark):
+    """First CONTAINED span wins (span fully inside the mention range);
+    partially-overlapping spans are ignored; mentions containing no
+    span default to OTHER (reference el/filter.py:123,146-175)."""
+    from type_filtered_entity_linker_spark.operators.type_filter import (
+        span_mention_types,
+    )
+
+    mentions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u", "u", "u"],
+                "mention_id": [0, 1, 2],
+                "start": [10, 50, 90],
+                "end": [30, 60, 95],
+            }
+        )
+    )
+    spans = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u"] * 4,
+                # span A: overlaps mention 0's start but NOT contained;
+                # span B and C contained in mention 0 (B first);
+                # span D contained in mention 1; mention 2 has none
+                "s_start": [5, 12, 20, 52],
+                "s_end": [15, 18, 28, 58],
+                "s_label": ["GPE", "ORG", "PERSON", "PRODUCT"],
+            }
+        )
+    )
+    got = {
+        r.mention_id: r.m_type
+        for r in span_mention_types(mentions, spans).collect()
+    }
+    # NER→supertype: ORG→S2, PRODUCT→S4; no contained span → OTHER
+    assert got == {0: "S2", 1: "S4", 2: "OTHER"}

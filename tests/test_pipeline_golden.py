@@ -167,3 +167,20 @@ def test_fallback_links_present(result):
     """Ghost alias: all candidates lack embeddings → first-candidate
     fallback with score 0.0 (el/entity_disambiguator.py:49-55)."""
     assert result.links.where(F.col("score") == 0.0).count() > 0
+
+
+def test_span_filter_mode_matches_oracle(spark, inputs, fx, tmp_path):
+    """filter_mode='span' (containment-join type assignment, reference
+    el/filter.py:123,146-175): the range-join plan must reproduce the
+    oracle's filter decisions exactly. With rule-NER token spans the
+    first span contained in a mention IS its first token, whose band
+    equals the mention's — so the oracle's rule path is the correct
+    golden for the span plan."""
+    cfg = LinkerConfig(filter_mode="span")
+    res = run_pipeline(spark, inputs, str(tmp_path / "wd_span"), cfg)
+    g = link_corpus(fx, cfg)
+    assert_df_equal(
+        res.candidates.select("url", "mention_id", "item_id"),
+        g["golden_candidates"],
+        ["url", "mention_id", "item_id"],
+    )

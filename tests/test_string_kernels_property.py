@@ -99,3 +99,32 @@ def test_similarity_identities(s):
     # symmetry
     t = s[::-1]
     assert levenshtein_batch([s], [t])[0] == levenshtein_batch([t], [s])[0]
+
+
+# --- batch text embedding parity -------------------------------------------
+
+# excludes surrogates (category Cs): not encodable in UTF-8 — the
+# scalar reference raises on them too, and Arrow columns never carry them
+WIDE_TEXT = st.text(
+    alphabet=st.characters(
+        min_codepoint=1, max_codepoint=0x10FFF, exclude_categories=("Cs",)
+    ),
+    max_size=48,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(WIDE_TEXT, max_size=12))
+def test_embed_texts_matches_scalar_reference(strs):
+    """The vectorized batch FNV/char-3-gram kernel is bit-identical to
+    the scalar reference per row, across the full unicode range
+    (1-4 byte UTF-8 chars exercise every fast/slow path)."""
+    from type_filtered_entity_linker_spark.functions.strings import (
+        _embed_text_scalar,
+        embed_texts,
+    )
+
+    mat = embed_texts(strs)
+    assert mat.shape == (len(strs), 192)
+    for i, s in enumerate(strs):
+        assert mat[i].tobytes() == _embed_text_scalar(s).tobytes()

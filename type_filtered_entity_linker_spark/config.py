@@ -24,9 +24,18 @@ class LinkerConfig:
     candidates_limit: int | None = 500  # top-K (el/entity_linker.py:94-108)
     context_window: int = 3  # tokens each side feeding the mention embedding
     nil_tau: float = 0.80  # NIL-mention dedup-edge cosine threshold
+    # sorted-neighborhood width inside a NIL block: only mentions within
+    # this many ranks (ordered by mention key) are compared — bounds a
+    # pathological block at O(n·w) pairs instead of O(n²); blocks of
+    # ≤ w+1 mentions are compared all-pairs exactly
+    nil_neighborhood: int = 16
     n_salt: int = 8  # salt buckets for head blocking keys
     salt_threshold: int = 100  # keys with more candidates than this get salted
     # 'cosine' (embedding cosine) | 'mlp' (neural comparator head with
     # the reference scorer's dense-layer compute profile,
     # disamb/model.py:35-84; see functions.strings.mlp_similarity_batch)
     scorer_head: str = "cosine"
+    # broadcast the distinct string-sims table only below this row
+    # count; above it the scorer falls back to a shuffle join (AQE
+    # re-plans at runtime) — see operators.scoring.score_candidates
+    scorer_broadcast_max_rows: int = 5_000_000

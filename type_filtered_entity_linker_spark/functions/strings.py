@@ -141,11 +141,9 @@ def levenshtein_batch(a: "list[str]", b: "list[str]") -> np.ndarray:
 # --- deterministic text embedding (stand-in for PBG vectors) ---------------
 
 
-def embed_text(s: str, dim: int = EMB_DIM) -> np.ndarray:
-    """Feature-hashed char-3-gram embedding, L2-normalized float32.
-    Deterministic pure function — the fixture's entity_embeddings table
-    and the scorer's mention embeddings both come from here (stands in
-    for the reference's PBG store, inout/pbg.py:139-163)."""
+def _embed_text_scalar(s: str, dim: int = EMB_DIM) -> np.ndarray:
+    """Reference scalar implementation (kept for the parity property
+    test only — production paths call the batch kernel below)."""
     v = np.zeros(dim, dtype=np.float64)
     for g in char_ngrams(s, 3):
         h = fnv1a64(g.encode("utf-8"))
@@ -156,6 +154,107 @@ def embed_text(s: str, dim: int = EMB_DIM) -> np.ndarray:
     if norm > 0:
         v /= norm
     return v.astype(np.float32)
+
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _utf8_bytes_per_char(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(C, 4) uint8 UTF-8 byte matrix + per-char byte count for a flat
+    codepoint array — vectorized UTF-8 encoding."""
+    c = codes.astype(np.uint32)
+    cn = np.where(c < 0x80, 1, np.where(c < 0x800, 2, np.where(c < 0x10000, 3, 4)))
+    cb = np.zeros((len(c), 4), dtype=np.uint8)
+    m = cn == 1
+    cb[m, 0] = c[m]
+    m = cn == 2
+    cb[m, 0] = 0xC0 | (c[m] >> 6)
+    cb[m, 1] = 0x80 | (c[m] & 0x3F)
+    m = cn == 3
+    cb[m, 0] = 0xE0 | (c[m] >> 12)
+    cb[m, 1] = 0x80 | ((c[m] >> 6) & 0x3F)
+    cb[m, 2] = 0x80 | (c[m] & 0x3F)
+    m = cn == 4
+    cb[m, 0] = 0xF0 | (c[m] >> 18)
+    cb[m, 1] = 0x80 | ((c[m] >> 12) & 0x3F)
+    cb[m, 2] = 0x80 | ((c[m] >> 6) & 0x3F)
+    cb[m, 3] = 0x80 | (c[m] & 0x3F)
+    return cb, cn.astype(np.int64)
+
+
+def embed_texts(strs: "list[str]", dim: int = EMB_DIM) -> np.ndarray:
+    """Batch feature-hashed char-3-gram embeddings, (n, dim) float32
+    L2-normalized — bit-identical to ``_embed_text_scalar`` per row
+    (hypothesis property test), but ALL grams of the batch are hashed
+    in one numpy pass: the FNV-1a state advances for every gram
+    simultaneously, one vectorized step per (char-slot, utf8-byte)
+    position (≤ 12 steps/batch instead of a Python loop per gram).
+    This was the #1 profiled stage of the linkage pipeline at low
+    parallelism (per-mention Python in mapInPandas); the batch kernel
+    is the input_hint's 'no per-row Python' fix."""
+    n = len(strs)
+    if n == 0:
+        return np.zeros((0, dim), dtype=np.float32)
+    # padded codepoints of all strings, concatenated flat
+    joined = "".join(f"^{s}$" for s in strs)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.array([len(s) + 2 for s in strs], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+
+    # gram layout: len-2 grams of 3 chars, or ONE 2-char gram ("^$")
+    # for the empty string (char_ngrams: padded shorter than n)
+    n_grams = np.maximum(lens - 2, 1)
+    G = int(n_grams.sum())
+    gram_str = np.repeat(np.arange(n), n_grams)
+    gram_starts = np.concatenate(([0], np.cumsum(n_grams)[:-1]))
+    gram_off = np.arange(G) - np.repeat(gram_starts, n_grams)
+    gram_c0 = starts[gram_str] + gram_off  # first char index
+    gram_nchars = np.minimum(lens[gram_str], 3)
+
+    # FNV-1a over the gram's UTF-8 bytes: chars in order, bytes within
+    # char in order — identical byte stream to g.encode('utf-8')
+    h = np.full(G, _FNV_OFFSET, dtype=np.uint64)
+    C = len(codes)
+    if int(codes.max(initial=0)) < 0x80:
+        # ASCII fast path (normalized/casefolded web text is mostly
+        # ASCII): 1 byte/char, 3 vectorized FNV steps, no UTF-8 table
+        b64 = codes.astype(np.uint64)
+        for slot in range(3):
+            cidx = np.minimum(gram_c0 + slot, C - 1)
+            act = slot < gram_nchars
+            h = np.where(act, (h ^ b64[cidx]) * _FNV_PRIME, h)
+    else:
+        cb, cn = _utf8_bytes_per_char(codes)
+        for slot in range(3):
+            cidx = np.minimum(gram_c0 + slot, C - 1)
+            char_ok = slot < gram_nchars
+            slot_cn = cn[cidx]
+            max_b = int(slot_cn[char_ok].max()) if char_ok.any() else 0
+            for j in range(max_b):
+                act = char_ok & (j < slot_cn)
+                b = cb[cidx, j].astype(np.uint64)
+                h = np.where(act, (h ^ b) * _FNV_PRIME, h)
+
+    # signed wrap (fnv1a64 returns signed int64) drives the index;
+    # numpy's % matches Python's non-negative convention
+    idx = h.view(np.int64) % dim
+    sign = 1.0 - 2.0 * ((h >> np.uint64(8)) & np.uint64(1)).astype(np.float64)
+    flat = gram_str * dim + idx
+    out = np.bincount(flat, weights=sign, minlength=n * dim).reshape(n, dim)
+    n2 = np.einsum("ij,ij->i", out, out)
+    norms = np.sqrt(n2)[:, None]
+    np.divide(out, norms, out=out, where=norms > 0)
+    return out.astype(np.float32)
+
+
+def embed_text(s: str, dim: int = EMB_DIM) -> np.ndarray:
+    """Feature-hashed char-3-gram embedding, L2-normalized float32.
+    Deterministic pure function — the fixture's entity_embeddings table
+    and the scorer's mention embeddings both come from here (stands in
+    for the reference's PBG store, inout/pbg.py:139-163). Single-row
+    wrapper over the batch kernel (one implementation everywhere)."""
+    return embed_texts([s], dim)[0]
 
 
 def cosine_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -8,11 +8,15 @@ get a dedup edge. This produces genuine multi-hop components (m1–m2,
 m2–m3 chains) for the connected-components stage — standard NIL
 clustering in entity-linking systems.
 
-Scale note: NIL blocks are self-joined all-pairs. Blocking keys bound
-the quadratic term (a NIL block shares an exact normalized surface
-form); the same salting/cap machinery as the candidate join applies if
-a pathological NIL key appears — at that point switch to
-sorted-neighborhood within the block.
+Scale note: within a block (same normalized surface form) the join is
+SORTED-NEIGHBORHOOD, not all-pairs: mentions are ranked by mention key
+and only pairs within ``cfg.nil_neighborhood`` ranks are compared, so
+a pathological NIL key (one viral out-of-KB surface form across
+millions of pages) costs O(n·w) pairs instead of O(n²). Blocks no
+larger than w+1 mentions still get every pair (identical to all-pairs
+there), and larger blocks stay connected through overlapping
+neighborhoods when their contexts genuinely agree — the standard
+sorted-neighborhood trade for entity resolution.
 """
 
 from __future__ import annotations
@@ -51,18 +55,34 @@ def nil_mentions(mentions: DataFrame, candidates: DataFrame) -> DataFrame:
 
 def nil_edges(nils: DataFrame, cfg: LinkerConfig) -> DataFrame:
     """(src, dst) mention-key edges between same-block NIL mentions with
-    context cosine ≥ nil_tau."""
+    context cosine ≥ nil_tau, bounded by sorted-neighborhood ranks
+    (≤ ``cfg.nil_neighborhood`` apart within the block)."""
+    from pyspark.sql import Window
+
     mkey = F.concat_ws("#", "url", "mention_id")
-    n = nils.select(
-        F.col("sf_norm").alias("k"), mkey.alias("mk"), F.col("m_emb").alias("e")
+    w = Window.partitionBy("k").orderBy("mk")
+    n = (
+        nils.select(
+            F.col("sf_norm").alias("k"), mkey.alias("mk"),
+            F.col("m_emb").alias("e"),
+        )
+        .withColumn("rn", F.row_number().over(w))
     )
     a = n.select(
-        F.col("k"), F.col("mk").alias("src"), F.col("e").alias("ea")
+        "k", F.col("mk").alias("src"), F.col("e").alias("ea"),
+        F.col("rn").alias("rn_a"),
     )
     b = n.select(
-        F.col("k"), F.col("mk").alias("dst"), F.col("e").alias("eb")
+        "k", F.col("mk").alias("dst"), F.col("e").alias("eb"),
+        F.col("rn").alias("rn_b"),
     )
-    pairs = a.join(b, "k").where(F.col("src") < F.col("dst"))
+    pairs = (
+        a.join(b, "k")
+        .where(
+            (F.col("rn_b") > F.col("rn_a"))
+            & (F.col("rn_b") <= F.col("rn_a") + cfg.nil_neighborhood)
+        )
+    )
     return (
         pairs.withColumn("cos", _cos_udf("ea", "eb"))
         .where(F.col("cos") >= cfg.nil_tau)

@@ -142,24 +142,40 @@ def score_candidates(
     mentions: DataFrame,
     dim: DataFrame,
     head: str = "cosine",
+    sims_rows_hint: int | None = None,
+    broadcast_max_rows: int = 5_000_000,
 ) -> DataFrame:
     """candidates (url, mention_id, sf_norm, ner_type, item_id) →
     + score (null when the entity has no embedding).
 
     Two-level plan: string similarities once per distinct
-    (sf_norm, item_id) — joined back via broadcast under AQE (the
-    distinct table is orders of magnitude smaller than the pair
-    stream) — then a fixed-width-only Arrow kernel per pair for the
-    contextual embedding cosine + combine."""
+    (sf_norm, item_id) — joined back to the pair stream — then a
+    fixed-width-only Arrow kernel per pair for the contextual
+    embedding cosine + combine.
+
+    The sims join is broadcast ONLY under a size gate: the JW UDF in
+    ``string_sims`` defeats Catalyst's size estimate (it would pick a
+    sort-merge join and shuffle the whole pair stream), but a forced
+    broadcast of an unbounded distinct-pair table would blow the 8 GB
+    broadcast limit / driver memory at web scale. ``sims_rows_hint``
+    is an upper bound on the distinct (sf_norm, item_id) count —
+    callers with lineage metadata (stage manifests) pass their row
+    count for free; otherwise one narrow distinct-count job measures
+    it. Above ``broadcast_max_rows`` the join falls back to a shuffle
+    join and AQE decides at runtime (including its own broadcast
+    conversion if the built side turns out small)."""
     withm = candidates.join(
         mentions.select("url", "mention_id", "m_emb"), ["url", "mention_id"], "inner"
     )
     withe = withm.join(dim.select("item_id", "e_emb"), "item_id", "left")
-    # explicit broadcast: the UDF in sims defeats Catalyst's size
-    # estimate, which would otherwise pick a sort-merge join and
-    # shuffle the whole pair stream on (sf_norm, item_id)
     sims = string_sims(candidates, dim)
-    withs = withe.join(F.broadcast(sims), ["sf_norm", "item_id"], "left")
+    if sims_rows_hint is None:
+        sims_rows_hint = (
+            candidates.select("sf_norm", "item_id").distinct().count()
+        )
+    if sims_rows_hint <= broadcast_max_rows:
+        sims = F.broadcast(sims)
+    withs = withe.join(sims, ["sf_norm", "item_id"], "left")
     return withs.withColumn(
         "score",
         _make_score_udf(head)(

@@ -67,15 +67,60 @@ def mention_type_col() -> F.Column:
     return F.coalesce(mapping[F.col("ner_type")], F.lit(OTHER_TYPE))
 
 
+def span_mention_types(
+    mentions: DataFrame, spans: DataFrame
+) -> DataFrame:
+    """(url, mention_id, m_type) via CONTAINMENT JOIN: the mention's
+    type comes from the FIRST NER span fully inside its char range
+    (reference ``el/filter.py:146-175``; predicate at ``:123``) — a
+    genuine non-equi range join (equi on url + two range predicates;
+    Catalyst executes it as the url hash join with post-join range
+    filter, so the shuffle stays keyed on url). Mentions containing no
+    span default to OTHER (reference ``el/filter.py:169-171``)."""
+    from pyspark.sql import Window
+
+    m = mentions.select("url", "mention_id", "start", "end")
+    s = spans.select("url", "s_start", "s_end", "s_label")
+    contained = m.join(s, "url").where(
+        (F.col("s_start") >= F.col("start")) & (F.col("s_end") <= F.col("end"))
+    )
+    w = Window.partitionBy("url", "mention_id").orderBy(
+        F.col("s_start").asc(), F.col("s_end").asc()
+    )
+    mapping = F.create_map(
+        *[F.lit(x) for kv in NER_TO_SUPERTYPE.items() for x in kv]
+    )
+    first = (
+        contained.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "url",
+            "mention_id",
+            F.coalesce(mapping[F.col("s_label")], F.lit(OTHER_TYPE)).alias(
+                "m_type"
+            ),
+        )
+    )
+    return (
+        m.select("url", "mention_id")
+        .join(first, ["url", "mention_id"], "left")
+        .withColumn("m_type", F.coalesce("m_type", F.lit(OTHER_TYPE)))
+    )
+
+
 def filter_candidates(
     candidates: DataFrame,
     type_summary: DataFrame,
     cfg: LinkerConfig,
     mentions: DataFrame | None = None,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
     """``filter_mode``: 'rule' maps the detection NER label (O14);
     'model' runs the TypeRec classifier over mention embeddings (O13,
-    requires ``mentions`` with m_emb); 'none' skips the stage."""
+    requires ``mentions`` with m_emb); 'span' assigns the type of the
+    first NER span contained in the mention via a range join (the
+    reference's spaCy re-tag path, needs ``mentions`` + ``spans``);
+    'none' skips the stage."""
     if cfg.filter_mode == "none":
         return candidates
 
@@ -87,6 +132,13 @@ def filter_candidates(
         mtypes = with_predicted_types(
             mentions.select("url", "mention_id", "m_emb")
         ).select("url", "mention_id", "m_type")
+        c = candidates.join(mtypes, ["url", "mention_id"])
+    elif cfg.filter_mode == "span":
+        if mentions is None or spans is None:
+            raise ValueError(
+                "filter_mode='span' needs the mentions and spans tables"
+            )
+        mtypes = span_mention_types(mentions, spans)
         c = candidates.join(mtypes, ["url", "mention_id"])
     else:
         c = candidates.withColumn("m_type", mention_type_col())

@@ -304,6 +304,61 @@ EL_CLUSTERS_SQL = f"""
 """
 
 
+def _el_span_containment(spark, sf_dir) -> DataFrame:
+    """O14 containment-join analog (reference ``el/filter.py:123,146-175``):
+    mention windows = token bigrams [pos, pos+1]; NER spans = single
+    tokens with a rule label; the mention's type is the FIRST span
+    CONTAINED in its window — a genuine non-equi range join (equi on
+    doc_id + two range predicates) with a first-match window, the one
+    join shape in the reference that is not an equi/semi join."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    spans = toks.select(
+        "doc_id",
+        "pos",
+        F.concat(F.lit("S"), (F.length("tok") % 3).cast("string")).alias(
+            "s_label"
+        ),
+    )
+    m = toks.where(F.length("tok") >= 6).select(
+        "doc_id",
+        F.col("pos").alias("m_start"),
+        (F.col("pos") + 1).alias("m_end"),
+        F.col("tok").alias("sf"),
+    )
+    contained = m.join(spans, "doc_id").where(
+        (F.col("pos") >= F.col("m_start")) & (F.col("pos") <= F.col("m_end"))
+    )
+    w = Window.partitionBy("doc_id", "m_start").orderBy(F.col("pos").asc())
+    return (
+        contained.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "m_start", "sf", F.col("s_label").alias("m_type"))
+    )
+
+
+EL_SPAN_CONTAINMENT_SQL = """
+    WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    -- zipped unnest: position list and token list align row-wise
+    toks AS (SELECT doc_id,
+                    unnest(generate_series(1, len(l))) - 1 AS pos,
+                    unnest(l) AS tok
+             FROM s),
+    spans AS (SELECT doc_id, pos, 'S' || (length(tok) % 3) AS s_label
+              FROM toks),
+    m AS (SELECT doc_id, pos AS m_start, pos + 1 AS m_end, tok AS sf
+          FROM toks WHERE length(tok) >= 6),
+    c AS (SELECT m.doc_id, m.m_start, m.sf, sp.s_label,
+                 row_number() OVER (PARTITION BY m.doc_id, m.m_start
+                                    ORDER BY sp.pos) AS rn
+          FROM m JOIN spans sp ON sp.doc_id = m.doc_id
+               AND sp.pos >= m.m_start AND sp.pos <= m.m_end)
+    SELECT doc_id, m_start, sf, s_label AS m_type FROM c WHERE rn = 1
+"""
+
+
 def _el_filter_stats(spark, sf_dir) -> DataFrame:
     """O18/O29 analog: per-document unfiltered vs filtered candidate
     counts — the reference's filter-effectiveness metric
@@ -941,6 +996,7 @@ QUERIES = {
     "el_topk": _el_topk,
     "el_links": _el_links,
     "el_clusters": _el_clusters,
+    "el_span_containment": _el_span_containment,
     "el_filter_stats": _el_filter_stats,
     "el_type_freq": _el_type_freq,
     "el_pair_expansion": _el_pair_expansion,
@@ -976,6 +1032,7 @@ ORACLES = {
     "el_topk": EL_TOPK_SQL,
     "el_links": EL_LINKS_SQL,
     "el_clusters": EL_CLUSTERS_SQL,
+    "el_span_containment": EL_SPAN_CONTAINMENT_SQL,
     "el_filter_stats": EL_FILTER_STATS_SQL,
     "el_type_freq": EL_TYPE_FREQ_SQL,
     "el_pair_expansion": EL_PAIR_EXPANSION_SQL,

@@ -24,6 +24,7 @@ from ..operators.blocking import generate_candidates
 from ..operators.clustering import cluster_mentions
 from ..operators.mentions import (
     detect_mentions_df,
+    ner_spans_df,
     prepare_premarked_mentions,
     with_extracted_text,
 )
@@ -47,10 +48,19 @@ def link_pages_batch(
     mentions = detect_mentions_df(pages_text, inputs["gazetteer"], cfg)
     cand_u = generate_candidates(mentions, inputs["entity_aliases"], cfg)
     summary = entity_type_summary(inputs["entity_types"], inputs["type_closure"])
-    cand_f = filter_candidates(cand_u, summary, cfg, mentions=mentions)
+    spans = ner_spans_df(pages_text) if cfg.filter_mode == "span" else None
+    cand_f = filter_candidates(
+        cand_u, summary, cfg, mentions=mentions, spans=spans
+    )
     cand_k = cap_candidates(cand_f, cfg)
     dim = entity_dim(inputs["entities"], inputs["entity_embeddings"])
-    scored = score_candidates(cand_k, mentions, dim, head=cfg.scorer_head)
+    scored = score_candidates(
+        cand_k,
+        mentions,
+        dim,
+        head=cfg.scorer_head,
+        broadcast_max_rows=cfg.scorer_broadcast_max_rows,
+    )
     return argmax_links(scored)
 
 
@@ -123,19 +133,33 @@ def run_pipeline(
         lambda: generate_candidates(mentions, inputs["entity_aliases"], cfg),
     )
     summary = entity_type_summary(inputs["entity_types"], inputs["type_closure"])
+    spans = ner_spans_df(pages_text) if cfg.filter_mode == "span" else None
     cand_f, fp4 = stage(
         "candidates_filtered",
         fp3,
-        lambda: filter_candidates(cand_u, summary, cfg, mentions=mentions),
+        lambda: filter_candidates(
+            cand_u, summary, cfg, mentions=mentions, spans=spans
+        ),
     )
     cand_k, fp5 = stage(
         "candidates_topk", fp4, lambda: cap_candidates(cand_f, cfg)
     )
+    # stage manifest rows = free upper bound on the distinct
+    # (sf_norm, item_id) table — drives the scorer's broadcast gate
+    # without an extra counting job
+    cand_k_rows = metrics[-1]["rows"]
     dim = entity_dim(inputs["entities"], inputs["entity_embeddings"])
     scored, fp6 = stage(
         "scored",
         fp5,
-        lambda: score_candidates(cand_k, mentions, dim, head=cfg.scorer_head),
+        lambda: score_candidates(
+            cand_k,
+            mentions,
+            dim,
+            head=cfg.scorer_head,
+            sims_rows_hint=cand_k_rows,
+            broadcast_max_rows=cfg.scorer_broadcast_max_rows,
+        ),
     )
     links, fp7 = stage("links", fp6, lambda: argmax_links(scored))
 

@@ -111,6 +111,88 @@ def rule_ner_type(sf_norm: str) -> str:
     return "MISC"
 
 
+MAX_WINDOW = 4  # max tokens per candidate surface form
+
+
+def _cap_runs(
+    text: str,
+) -> tuple[list[str], list[list[tuple[int, int, int]]]]:
+    """Tokenize and group into maximal Capitalized runs.
+    Returns (all token strings, runs of (global_tok_idx, start, end))."""
+    toks = [(m.start(), m.end(), m.group()) for m in _TOKEN_RE.finditer(text)]
+    words = [t[2] for t in toks]
+    runs: list[list[tuple[int, int, int]]] = []
+    cur: list[tuple[int, int, int]] = []
+    for gi, (s, e, w) in enumerate(toks):
+        if _CAP_RE.match(w):
+            cur.append((gi, s, e))
+        else:
+            if cur:
+                runs.append(cur)
+            cur = []
+    if cur:
+        runs.append(cur)
+    return words, runs
+
+
+def candidate_windows(
+    text: str, ctx_window: int = 3
+) -> list[tuple[int, int, int, int, int, str, str, str]]:
+    """ALL dictionary-lookup candidate windows (1..MAX_WINDOW tokens)
+    over Capitalized runs, each with its context string — the probe
+    side of the distributed gazetteer membership JOIN (the scalable
+    replacement for a driver-collected gazetteer set; the gazetteer
+    stays a DataFrame and Catalyst picks broadcast vs shuffle).
+
+    Returns [(run_id, i, j, start, end, sf, sf_norm, ctx)] where the
+    window covers run tokens [i, j). ``ctx`` equals
+    ``context_window(text, start, end, ctx_window)`` by construction
+    (tokens fully before/after the span), computed here from the token
+    list in O(1) per window instead of rescanning the text."""
+    words, runs = _cap_runs(text)
+    out = []
+    for rid, run in enumerate(runs):
+        for i in range(len(run)):
+            ga = run[i][0]
+            for j in range(i + 1, min(len(run), i + MAX_WINDOW) + 1):
+                start, end = run[i][1], run[j - 1][2]
+                sf = text[start:end]
+                gb = run[j - 1][0] + 1
+                ctx = normalize_sf(
+                    " ".join(
+                        words[max(0, ga - ctx_window) : ga]
+                        + words[gb : gb + ctx_window]
+                    )
+                )
+                out.append(
+                    (rid, i, j, start, end, sf, normalize_sf(sf), ctx)
+                )
+    return out
+
+
+def greedy_select(
+    windows: list[tuple],
+) -> list[tuple]:
+    """Greedy longest-match-first, left-to-right, within each run —
+    over GAZETTEER-MATCHED windows only. Input tuples must lead with
+    (run_id, i, j, ...); returns the selected subset in textual order.
+
+    Equivalent to scanning positions 0.. and taking the longest match
+    at each available position: sorted by (i asc, j desc), the first
+    window with i ≥ pos is exactly that match."""
+    sel = []
+    by_run: dict[int, list[tuple]] = {}
+    for w in windows:
+        by_run.setdefault(w[0], []).append(w)
+    for rid in sorted(by_run):
+        pos = 0
+        for w in sorted(by_run[rid], key=lambda w: (w[1], -w[2])):
+            if w[1] >= pos:
+                sel.append(w)
+                pos = w[2]
+    return sel
+
+
 def detect_mentions(
     text: str, gazetteer: frozenset[str] | set[str]
 ) -> list[tuple[int, int, str, str, str]]:
@@ -120,40 +202,15 @@ def detect_mentions(
 
     Returns [(start, end, sf, sf_norm, ner_type)] with char offsets,
     end exclusive — the reference mention shape
-    (el/mention_detector.py:21-27).
+    (el/mention_detector.py:21-27). Implemented as candidate_windows →
+    membership filter → greedy_select, the SAME primitives the
+    distributed join-based detector composes — parity by construction.
     """
-    tokens = [(m.start(), m.end(), m.group()) for m in _TOKEN_RE.finditer(text)]
-    # group into maximal capitalized runs
-    runs: list[list[tuple[int, int, str]]] = []
-    cur: list[tuple[int, int, str]] = []
-    for tok in tokens:
-        if _CAP_RE.match(tok[2]):
-            cur.append(tok)
-        else:
-            if cur:
-                runs.append(cur)
-            cur = []
-    if cur:
-        runs.append(cur)
-
-    out: list[tuple[int, int, str, str, str]] = []
-    for run in runs:
-        i = 0
-        while i < len(run):
-            matched = False
-            # longest candidate window first (cap window at 4 tokens)
-            for j in range(min(len(run), i + 4), i, -1):
-                start, end = run[i][0], run[j - 1][1]
-                sf = text[start:end]
-                sf_norm = normalize_sf(sf)
-                if sf_norm in gazetteer:
-                    out.append((start, end, sf, sf_norm, rule_ner_type(sf_norm)))
-                    i = j
-                    matched = True
-                    break
-            if not matched:
-                i += 1
-    return out
+    matched = [w for w in candidate_windows(text) if w[6] in gazetteer]
+    return [
+        (start, end, sf, sf_norm, rule_ner_type(sf_norm))
+        for (_, _, _, start, end, sf, sf_norm, _) in greedy_select(matched)
+    ]
 
 
 def context_window(text: str, start: int, end: int, window: int = 3) -> str:
