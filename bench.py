@@ -36,6 +36,9 @@ HEADLINE = [
     "el_clusters",
     "dedup_exact",
     "dedup_minhash_lsh",
+    # head-shingle stress: every doc shares a boilerplate footer; at
+    # sf0.1 the DF-cut prunes those shingles — bounded runtime evidence
+    "dedup_ngram_boilerplate",
     "dedup_simhash",
     "dedup_embedding",
     "ann_topk_bruteforce",

@@ -338,3 +338,52 @@ def test_span_mention_types_containment_and_default(spark):
     }
     # NER→supertype: ORG→S2, PRODUCT→S4; no contained span → OTHER
     assert got == {0: "S2", 1: "S4", 2: "OTHER"}
+
+
+# --- filter effectiveness summary ------------------------------------------
+
+
+def test_filter_effectiveness_micro_vs_macro(spark):
+    """Micro = totals over all mentions; macro = mean of per-doc means
+    (reference evaluation.py:84-159 semantics, computed from candidate
+    tables instead of scraped logs)."""
+    from type_filtered_entity_linker_spark.operators.evaluation import (
+        filter_effectiveness,
+    )
+
+    def cands(counts):
+        rows = [
+            {"url": u, "mention_id": m, "item_id": f"Q{i}"}
+            for (u, m), n in counts.items()
+            for i in range(n)
+        ]
+        return spark.createDataFrame(pd.DataFrame(rows))
+
+    unfiltered = cands({("a", 0): 4, ("a", 1): 2, ("b", 0): 10})
+    filtered = cands({("a", 0): 1, ("a", 1): 1, ("b", 0): 5})
+    row = filter_effectiveness(unfiltered, filtered).collect()[0]
+    assert row.micro_avg_unfiltered == round(16 / 3, 6)
+    assert row.micro_avg_filtered == round(7 / 3, 6)
+    assert row.macro_avg_unfiltered == 6.5  # mean(3, 10)
+    assert row.macro_avg_filtered == 3.0  # mean(1, 5)
+    assert row.reduction_micro == 0.4375
+
+
+def test_filter_effectiveness_zero_filtered_mention(spark):
+    """A mention whose candidates are ALL filtered still counts with 0
+    (left join, not inner)."""
+    from type_filtered_entity_linker_spark.operators.evaluation import (
+        filter_effectiveness,
+    )
+
+    unfiltered = spark.createDataFrame(
+        pd.DataFrame(
+            {"url": ["a", "a"], "mention_id": [0, 1], "item_id": ["Q1", "Q2"]}
+        )
+    )
+    filtered = spark.createDataFrame(
+        pd.DataFrame({"url": ["a"], "mention_id": [0], "item_id": ["Q1"]})
+    )
+    row = filter_effectiveness(unfiltered, filtered).collect()[0]
+    assert row.micro_avg_filtered == 0.5
+    assert row.macro_avg_filtered == 0.5

@@ -174,25 +174,32 @@ def near_duplicates_ngram(
     docs: DataFrame,
     threshold: float = 0.6,
     shingle_n: int = 3,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via an inverted shingle
-    index — no candidate generation, no approximation.
+    """n-gram Jaccard near-dup pairs via an inverted shingle index —
+    no candidate generation.
 
     Plan: explode distinct shingles → self-equi-join on the shingle
     (the inverted-index posting-list join) → groupBy pair count =
-    |A∩B| → join per-doc shingle counts → Jaccard. Every pair with
-    jaccard > 0 shares a shingle, so the join finds all pairs ≥ any
-    positive threshold; exactness is unconditional (unlike MinHash-LSH,
-    which needs recall-1 parameters).
+    |A∩B| → join per-doc shingle counts → Jaccard.
+
+    Exactness: with ``max_doc_freq=None`` the result is EXACT Jaccard,
+    unconditionally (every pair with jaccard > 0 shares a shingle).
+    With the DF-cut active, per-doc sizes and intersections are counted
+    AFTER pruning, so surviving pairs report Jaccard over the pruned
+    shingle sets — an approximation that can drop pairs held together
+    only by boilerplate shingles (usually the desired behavior for
+    near-dup mining) and shifts reported values on docs that contain
+    pruned shingles. On a corpus where no shingle exceeds the cut the
+    two modes are identical.
 
     Scale: the self-join shuffles on the shingle; head shingles
-    (boilerplate) create quadratic posting lists — prune them with
-    ``max_doc_freq`` (drop shingles occurring in more than that many
-    docs; a shingle shared by >F docs contributes pairs that almost
-    surely co-occur in rarer shingles too, and AQE skew-join splits the
-    rest). At 100 TB run with max_doc_freq set; the pruning is the
-    standard DF-cut used by positional-filtering systems.
+    (boilerplate headers/footers shared by millions of pages) create
+    QUADRATIC posting lists, so the DF-cut ships ON by default
+    (``max_doc_freq=1000`` → any shingle's pair contribution is
+    bounded at ~500k instead of corpus²). Use ``shingle_df_stats`` to
+    observe how many shingles the cut drops; AQE skew-join splits the
+    surviving heavy keys.
     """
     sh = docs.select(
         F.col("doc_id"),
@@ -238,6 +245,31 @@ def shingle_hash(col: str = "tok", hash_fn: str = "xxhash64") -> F.Column:
     if hash_fn == "md5_60":
         return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
     raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def shingle_df_stats(
+    docs: DataFrame, shingle_n: int = 3, max_doc_freq: int = 1000
+) -> DataFrame:
+    """One-row metrics table for the DF-cut: total distinct shingles,
+    how many the cut would drop, and the worst posting-list length —
+    the observable 'logged drop count' companion of
+    ``near_duplicates_ngram`` (run it as a metrics query next to the
+    dedup job; at scale silently-pruned coverage must be visible)."""
+    df = (
+        docs.select(
+            F.col("doc_id"),
+            F.explode(token_shingles("text", shingle_n)).alias("s"),
+        )
+        .groupBy("s")
+        .agg(F.count("*").alias("df"))
+    )
+    return df.agg(
+        F.count("*").alias("n_shingles"),
+        F.sum((F.col("df") > max_doc_freq).cast("long")).alias(
+            "n_dropped_shingles"
+        ),
+        F.max("df").alias("max_doc_freq_seen"),
+    )
 
 
 def simhash64(

@@ -16,6 +16,51 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def filter_effectiveness(
+    unfiltered: DataFrame, filtered: DataFrame, doc_col: str = "url"
+) -> DataFrame:
+    """Corpus-level filter-effectiveness summary (reference
+    ``evaluation.py:84-159``, which derives it by scraping 'Filtered to
+    X/Y' log lines — here it is one aggregation over the real candidate
+    tables). One row:
+
+    - ``micro_avg_unfiltered`` / ``micro_avg_filtered``: total
+      candidates / total mentions (the reference's
+      ``faction_micro`` numerator/denominator split per mention);
+    - ``macro_avg_unfiltered`` / ``macro_avg_filtered``: mean over
+      documents of the per-document mean candidates per mention
+      (the reference's ``avg_*_micro`` — its "micro" names actually
+      average per-doc averages, i.e. macro; we use the standard names);
+    - ``reduction_micro``: total filtered / total unfiltered — the
+      search-space shrink factor the type filter buys the scorer.
+
+    Both inputs are candidate tables keyed by (doc, mention_id);
+    mentions with zero surviving candidates count 0 filtered."""
+    u = unfiltered.groupBy(doc_col, "mention_id").agg(
+        F.count("*").alias("n_u")
+    )
+    f = filtered.groupBy(doc_col, "mention_id").agg(F.count("*").alias("n_f"))
+    m = u.join(f, [doc_col, "mention_id"], "left").select(
+        doc_col, "mention_id", "n_u", F.coalesce("n_f", F.lit(0)).alias("n_f")
+    )
+    per_doc = m.groupBy(doc_col).agg(
+        F.sum("n_u").alias("du"),
+        F.sum("n_f").alias("df"),
+        F.count("*").alias("dm"),
+    )
+    return per_doc.agg(
+        F.round(F.sum("du") / F.sum("dm"), 6).alias("micro_avg_unfiltered"),
+        F.round(F.sum("df") / F.sum("dm"), 6).alias("micro_avg_filtered"),
+        F.round(F.avg(F.col("du") / F.col("dm")), 6).alias(
+            "macro_avg_unfiltered"
+        ),
+        F.round(F.avg(F.col("df") / F.col("dm")), 6).alias(
+            "macro_avg_filtered"
+        ),
+        F.round(F.sum("df") / F.sum("du"), 6).alias("reduction_micro"),
+    )
+
+
 def pairwise_f1_spark(clusters: DataFrame, labeled_pairs: DataFrame) -> DataFrame:
     """clusters (mention_key, cluster_id) × labeled_pairs
     (url_a, mention_id_a, url_b, mention_id_b, same_entity) → one-row DataFrame

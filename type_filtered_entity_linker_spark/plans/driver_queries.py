@@ -389,6 +389,39 @@ EL_FILTER_STATS_SQL = f"""
     FROM u LEFT JOIN ff USING (doc_id)
 """
 
+def _el_filter_effectiveness(spark, sf_dir) -> DataFrame:
+    """O29 analog (reference ``evaluation.py:84-159``): corpus-level
+    micro/macro average candidates per mention before/after the type
+    filter + the micro reduction ratio — computed from the real
+    candidate tables, not log scraping."""
+    from ..operators.evaluation import filter_effectiveness
+
+    u = _el_candidates(spark, sf_dir).select(
+        "doc_id", F.col("sf").alias("mention_id")
+    )
+    f = _el_filtered(spark, sf_dir).select(
+        "doc_id", F.col("sf").alias("mention_id")
+    )
+    return filter_effectiveness(u, f, doc_col="doc_id")
+
+
+EL_FILTER_EFFECTIVENESS_SQL = f"""
+    WITH c AS ({EL_CANDIDATES_SQL}), fil AS ({EL_FILTERED_SQL}),
+    u AS (SELECT doc_id, sf, count(*) AS n_u FROM c GROUP BY 1, 2),
+    ff AS (SELECT doc_id, sf, count(*) AS n_f FROM fil GROUP BY 1, 2),
+    m AS (SELECT u.doc_id, u.sf, u.n_u, coalesce(ff.n_f, 0) AS n_f
+          FROM u LEFT JOIN ff USING (doc_id, sf)),
+    d AS (SELECT doc_id, sum(n_u) AS du, sum(n_f) AS df, count(*) AS dm
+          FROM m GROUP BY doc_id)
+    SELECT round(sum(du) / sum(dm), 6) AS micro_avg_unfiltered,
+           round(sum(df) / sum(dm), 6) AS micro_avg_filtered,
+           round(avg(du / dm), 6) AS macro_avg_unfiltered,
+           round(avg(df / dm), 6) AS macro_avg_filtered,
+           round(sum(df) / sum(du), 6) AS reduction_micro
+    FROM d
+"""
+
+
 def _el_type_freq(spark, sf_dir) -> DataFrame:
     """O28 analog (reference typerec/create_dataset.py:144-238): type
     frequency counts + probability distribution over the entity→type
@@ -468,10 +501,11 @@ def q_dedup_minhash(spark, sf_dir) -> DataFrame:
     return near_duplicates_minhash(_neardup_corpus(spark, sf_dir), threshold=0.6)
 
 
-# oracle = brute-force shingle Jaccard (LSH+verify equals it when LSH
-# recall at the threshold is 1 — see near_duplicates_minhash docstring)
-DEDUP_MINHASH_SQL = f"""
-    WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+def _jaccard_oracle_sql(corpus_sql: str, threshold: float = 0.6) -> str:
+    """Brute-force distinct-shingle Jaccard over a corpus CTE — the
+    shared oracle for every shingle-Jaccard-equivalent dedup operator."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
     toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
     -- short-doc fallback matches Spark token_shingles: docs with < 3
     -- tokens contribute one whole-text shingle instead of none
@@ -490,8 +524,13 @@ DEDUP_MINHASH_SQL = f"""
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.6
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= {threshold}
 """
+
+
+# oracle = brute-force shingle Jaccard (LSH+verify equals it when LSH
+# recall at the threshold is 1 — see near_duplicates_minhash docstring)
+DEDUP_MINHASH_SQL = _jaccard_oracle_sql(NEARDUP_CORPUS_SQL)
 
 
 def q_dedup_ngram(spark, sf_dir) -> DataFrame:
@@ -501,6 +540,65 @@ def q_dedup_ngram(spark, sf_dir) -> DataFrame:
 # exact operator — the brute-force shingle-Jaccard SQL (shared with the
 # minhash oracle above) is literally its definition
 DEDUP_NGRAM_SQL = DEDUP_MINHASH_SQL
+
+
+# shared boilerplate suffix: every doc gains these head shingles —
+# the pathological posting-list case the DF-cut exists for
+BOILERPLATE = (
+    "all rights reserved contact us terms apply privacy policy subscribe"
+)
+
+
+def _boiler_corpus(spark, sf_dir) -> DataFrame:
+    return _neardup_corpus(spark, sf_dir).select(
+        "doc_id", F.concat_ws(" ", "text", F.lit(BOILERPLATE)).alias("text")
+    )
+
+
+BOILER_CORPUS_SQL = (
+    f"SELECT doc_id, text || ' {BOILERPLATE}' AS text "
+    f"FROM ({NEARDUP_CORPUS_SQL})"
+)
+
+
+def q_dedup_ngram_boilerplate(spark, sf_dir) -> DataFrame:
+    """The head-shingle stress case: every doc shares a boilerplate
+    footer. The default DF-cut (max_doc_freq=1000) bounds the posting
+    lists at bench scale (sf0.1: footer shingles hit every doc and are
+    pruned); at the sf0.01 oracle gate the cut is inert (no shingle
+    reaches 1000 docs), so the brute-force Jaccard SQL is exact."""
+    return near_duplicates_ngram(_boiler_corpus(spark, sf_dir), threshold=0.6)
+
+
+DEDUP_NGRAM_BOILER_SQL = _jaccard_oracle_sql(BOILER_CORPUS_SQL)
+
+
+def q_ngram_df_stats(spark, sf_dir) -> DataFrame:
+    """DF-cut observability: shingle counts + how many a
+    max_doc_freq=500 cut would drop on the boilerplate corpus (at
+    sf0.01 the footer shingles exceed 500 docs → nonzero drop count —
+    the 'logged drop count' the operator's scale story requires)."""
+    from ..operators.dedup import shingle_df_stats
+
+    return shingle_df_stats(_boiler_corpus(spark, sf_dir), max_doc_freq=500)
+
+
+NGRAM_DF_STATS_SQL = f"""
+    WITH corpus AS ({BOILER_CORPUS_SQL}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+    sh AS (SELECT DISTINCT doc_id, s
+           FROM toks, unnest(
+               CASE WHEN len(l) >= 3
+                    THEN [array_to_string(l[i:i+2], ' ')
+                          for i in generate_series(1, len(l) - 2)]
+                    ELSE [array_to_string(l, ' ')] END) AS t(s)),
+    d AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+    SELECT count(*) AS n_shingles,
+           sum(CASE WHEN df > 500 THEN 1 ELSE 0 END)::BIGINT
+               AS n_dropped_shingles,
+           max(df) AS max_doc_freq_seen
+    FROM d
+"""
 
 
 def q_dedup_simhash(spark, sf_dir) -> DataFrame:
@@ -998,11 +1096,14 @@ QUERIES = {
     "el_clusters": _el_clusters,
     "el_span_containment": _el_span_containment,
     "el_filter_stats": _el_filter_stats,
+    "el_filter_effectiveness": _el_filter_effectiveness,
     "el_type_freq": _el_type_freq,
     "el_pair_expansion": _el_pair_expansion,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_ngram_jaccard": q_dedup_ngram,
+    "dedup_ngram_boilerplate": q_dedup_ngram_boilerplate,
+    "dedup_ngram_df_stats": q_ngram_df_stats,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "ann_topk_bruteforce": q_ann_topk,
@@ -1034,11 +1135,14 @@ ORACLES = {
     "el_clusters": EL_CLUSTERS_SQL,
     "el_span_containment": EL_SPAN_CONTAINMENT_SQL,
     "el_filter_stats": EL_FILTER_STATS_SQL,
+    "el_filter_effectiveness": EL_FILTER_EFFECTIVENESS_SQL,
     "el_type_freq": EL_TYPE_FREQ_SQL,
     "el_pair_expansion": EL_PAIR_EXPANSION_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_SQL,
+    "dedup_ngram_boilerplate": DEDUP_NGRAM_BOILER_SQL,
+    "dedup_ngram_df_stats": NGRAM_DF_STATS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,

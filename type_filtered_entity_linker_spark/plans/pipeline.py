@@ -20,6 +20,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config import LinkerConfig
+from ..functions.ids import with_entity_urls
 from ..operators.blocking import generate_candidates
 from ..operators.clustering import cluster_mentions
 from ..operators.mentions import (
@@ -61,7 +62,7 @@ def link_pages_batch(
         head=cfg.scorer_head,
         broadcast_max_rows=cfg.scorer_broadcast_max_rows,
     )
-    return argmax_links(scored)
+    return with_entity_urls(argmax_links(scored))
 
 
 @dataclass
@@ -161,7 +162,13 @@ def run_pipeline(
             broadcast_max_rows=cfg.scorer_broadcast_max_rows,
         ),
     )
-    links, fp7 = stage("links", fp6, lambda: argmax_links(scored))
+    links, fp7 = stage(
+        "links",
+        fp6,
+        # item_url projection on the final links (reference O25,
+        # el/entity_disambiguator.py:62)
+        lambda: with_entity_urls(argmax_links(scored)),
+    )
 
     cc_stats: list[dict] = []
 
