@@ -24,7 +24,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, StringType
+from pyspark.sql.types import StringType
 
 from ..config import LinkerConfig
 from ..functions.strings import embed_texts
@@ -43,12 +43,6 @@ WINDOW_SCHEMA = (
     "url string, run_id int, i int, j int, start int, end int, "
     "sf string, sf_norm string, ctx string"
 )
-
-SELECTED_SCHEMA = (
-    "url string, mention_id int, start int, end int, "
-    "sf string, sf_norm string, ner_type string, ctx string"
-)
-
 
 @F.pandas_udf(StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
@@ -88,32 +82,6 @@ def with_extracted_text(pages: DataFrame, cfg: LinkerConfig) -> DataFrame:
     )
 
 
-@F.pandas_udf(BinaryType())
-def _embed_key_udf(key: pd.Series) -> pd.Series:
-    """Batch context-embedding of 'sf_norm | ctx' keys: factorize to
-    distinct keys (repeated surface forms in repeated contexts hash
-    once), ONE vectorized numpy pass over all grams of the batch
-    (functions.strings.embed_texts), gather back. No per-row Python —
-    the VERDICT r01 #1 profiled hotspot, fixed."""
-    if len(key) == 0:
-        return pd.Series([], dtype=object)
-    codes, uniques = pd.factorize(key, use_na_sentinel=False)
-    mat = embed_texts(["" if u is None else u for u in uniques])
-    bufs = [mat[i].tobytes() for i in range(len(uniques))]
-    return pd.Series([bufs[c] for c in codes])
-
-
-def _with_context_embedding(selected: DataFrame) -> DataFrame:
-    """selected (…, sf_norm, ctx) → mention rows with m_emb; the key
-    concat stays JVM-side, only fixed keys cross into Arrow."""
-    return selected.withColumn(
-        "m_emb",
-        _embed_key_udf(F.concat(F.col("sf_norm"), F.lit(" | "), F.col("ctx"))),
-    ).select(
-        "url", "mention_id", "start", "end", "sf", "sf_norm", "ner_type", "m_emb"
-    )
-
-
 def emit_candidate_windows(pages_text: DataFrame, cfg: LinkerConfig) -> DataFrame:
     """(url, text) → ALL capitalized-run candidate windows (1..4
     tokens) with char offsets and context strings — the probe side of
@@ -146,36 +114,56 @@ def emit_candidate_windows(pages_text: DataFrame, cfg: LinkerConfig) -> DataFram
     return pages_text.select("url", "text").mapInPandas(run, WINDOW_SCHEMA)
 
 
-def select_mentions(matched: DataFrame) -> DataFrame:
-    """Gazetteer-matched windows → final mentions: greedy
-    longest-match-first within each run (textlib.greedy_select — shared
-    with the oracle), mention_id = textual rank within the url. Groups
-    by url via applyInPandas: only MATCHED windows shuffle (gazetteer
-    hits, a small fraction of all windows)."""
+def resolve_and_embed(matched: DataFrame) -> DataFrame:
+    """Gazetteer-matched windows → final mention rows with context
+    embeddings, in ONE ``mapInPandas`` pass over url-co-located
+    partitions (``repartition("url")``): a per-group ``applyInPandas``
+    costs ~4-5 ms of Arrow per group — 2,500 pages paid ~11 s at
+    local[32] (measured) — while one pandas groupby inside a
+    partition-level pass amortizes that overhead across every url in
+    the partition. Only MATCHED windows shuffle (gazetteer hits, a
+    small fraction of all windows).
 
-    def resolve(pdf: pd.DataFrame) -> pd.DataFrame:
-        wins = list(
-            zip(
-                pdf["run_id"], pdf["i"], pdf["j"], pdf["start"], pdf["end"],
-                pdf["sf"], pdf["sf_norm"], pdf["ctx"],
+    Greedy longest-match-first per run via textlib.greedy_select
+    (shared with the oracle), mention_id = textual rank within the
+    url, then one vectorized embedding pass (factorized distinct keys)
+    per partition batch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # a url's rows are within one PARTITION but may span Arrow
+        # batches — concatenate before grouping (matched windows per
+        # partition are small: gazetteer hits only)
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        out = {k: [] for k in (
+            "url", "mention_id", "start", "end", "sf", "sf_norm", "ner_type",
+        )}
+        keys: list[str] = []
+        for url, g in pdf.groupby("url", sort=False):
+            wins = list(
+                zip(
+                    g["run_id"], g["i"], g["j"], g["start"], g["end"],
+                    g["sf"], g["sf_norm"], g["ctx"],
+                )
             )
-        )
-        sel = greedy_select(wins)
-        url = pdf["url"].iloc[0]
-        return pd.DataFrame(
-            {
-                "url": [url] * len(sel),
-                "mention_id": range(len(sel)),
-                "start": [int(w[3]) for w in sel],
-                "end": [int(w[4]) for w in sel],
-                "sf": [w[5] for w in sel],
-                "sf_norm": [w[6] for w in sel],
-                "ner_type": [rule_ner_type(w[6]) for w in sel],
-                "ctx": [w[7] for w in sel],
-            }
-        )
+            for mid, w in enumerate(greedy_select(wins)):
+                out["url"].append(url)
+                out["mention_id"].append(mid)
+                out["start"].append(int(w[3]))
+                out["end"].append(int(w[4]))
+                out["sf"].append(w[5])
+                out["sf_norm"].append(w[6])
+                out["ner_type"].append(rule_ner_type(w[6]))
+                keys.append(w[6] + " | " + w[7])
+        codes, uniques = pd.factorize(pd.Series(keys, dtype=object))
+        mat = embed_texts(list(uniques))
+        bufs = [mat[i].tobytes() for i in range(len(uniques))]
+        out["m_emb"] = [bufs[c] for c in codes]
+        yield pd.DataFrame(out, columns=list(out))
 
-    return matched.groupBy("url").applyInPandas(resolve, SELECTED_SCHEMA)
+    return matched.repartition("url").mapInPandas(run, MENTION_SCHEMA)
 
 
 NER_SPAN_SCHEMA = "url string, s_start int, s_end int, s_label string"
@@ -226,7 +214,7 @@ def detect_mentions_df(
         "sf_norm",
         "left_semi",
     )
-    return _with_context_embedding(select_mentions(matched))
+    return resolve_and_embed(matched)
 
 
 def prepare_premarked_mentions(
