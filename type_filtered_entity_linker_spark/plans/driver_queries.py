@@ -988,6 +988,43 @@ def q_events_stream_window(spark, sf_dir) -> DataFrame:
     )
 
 
+def _staged_events_dir_dup(sf_dir: str) -> str:
+    """Staging dir containing TWO copies of the events file — the
+    duplicate-delivery scenario the streaming dedup must absorb across
+    micro-batches via its state store."""
+    import shutil
+
+    stage = _staged_events_dir(sf_dir)
+    dup = stage + "_dup"
+    os.makedirs(dup, exist_ok=True)
+    for name in ("events.parquet", "events_copy.parquet"):
+        dst = os.path.join(dup, name)
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(stage, "events.parquet"), dst)
+    return dup
+
+
+def q_events_stream_dedup(spark, sf_dir) -> DataFrame:
+    """Streaming exact dedup: the same events file delivered twice;
+    watermarked dropDuplicates state removes the second copy across
+    micro-batches — result equals DISTINCT over one copy."""
+    from ..streaming.incremental import run_stream_once, stream_deduplicated_events
+
+    stage = _staged_events_dir_dup(sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    _STREAM_SEQ[0] += 1
+    return run_stream_once(
+        stream_deduplicated_events(spark, stage, schema),
+        f"events_dedup_{_STREAM_SEQ[0]}",
+        output_mode="append",
+    )
+
+
+EVENTS_STREAM_DEDUP_SQL = """
+    SELECT DISTINCT user_id, ts, event_type, value FROM events
+"""
+
+
 def q_events_stateful_totals(spark, sf_dir) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState)
     drained over the staged events: with the whole table in one
@@ -1117,6 +1154,7 @@ QUERIES = {
     "events_hourly_window": q_events_window,
     "events_session_agg": q_events_sessions,
     "events_stream_window": q_events_stream_window,
+    "events_stream_dedup": q_events_stream_dedup,
     "events_stateful_totals": q_events_stateful_totals,
     "events_json_agg": q_events_json,
     "lineitem_agg": q_lineitem_agg,
@@ -1156,6 +1194,7 @@ ORACLES = {
     "events_hourly_window": EVENTS_WINDOW_SQL,
     "events_session_agg": EVENTS_SESSIONS_SQL,
     "events_stream_window": EVENTS_WINDOW_SQL,
+    "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stateful_totals": EVENTS_STATEFUL_SQL,
     "events_json_agg": EVENTS_JSON_SQL,
     "lineitem_agg": LINEITEM_AGG_SQL,

@@ -31,7 +31,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-resume", action="store_true",
                    help="recompute every stage even if checkpointed")
     p.add_argument("--filter-mode", default="rule",
-                   choices=["rule", "model", "none"])
+                   choices=["rule", "model", "span", "none"])
     p.add_argument("--scorer-head", default="cosine",
                    choices=["cosine", "mlp"])
     p.add_argument("--task", default="a2kb", choices=["a2kb", "d2kb"],

@@ -89,6 +89,35 @@ def run_stream_once(
     return sdf.sparkSession.table(name)
 
 
+def stream_deduplicated_events(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication on (user_id, ts, event_type) —
+    the training-data-pipeline dedup pattern applied to an unbounded
+    stream: ``dropDuplicates`` keeps per-key state; the event-time
+    watermark bounds that state (a key is evictable once its event
+    time passes the watermark), so the query runs forever without
+    unbounded memory. Duplicates arriving across micro-batches (e.g.
+    the same file delivered twice) are removed by the state store, not
+    just within a batch."""
+    ev = spark.readStream.schema(schema).parquet(path)
+    ts_type = {f.name: f.dataType.typeName() for f in ev.schema.fields}
+    ntz = ts_type.get("ts") == "timestamp_ntz"
+    if ntz:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    out = (
+        ev.withWatermark("ts", watermark)
+        .dropDuplicates(["user_id", "ts", "event_type"])
+        .select("user_id", "ts", "event_type", "value")
+    )
+    if ntz:
+        out = out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    return out
+
+
 def stream_running_user_totals(
     spark: SparkSession,
     path: str,
