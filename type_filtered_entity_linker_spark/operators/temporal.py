@@ -1,0 +1,67 @@
+"""Temporal joins over event streams — the as-of join Spark lacks as a
+builtin, expressed as a composition of existing DataFrame ops (the
+build brief's 'custom operators' rule: composition first, UDFs only if
+semantics demand them — none do here).
+
+``asof_join`` attaches, to every left row, the most recent right row
+with the same key and ``right.ts <= left.ts`` (backward as-of, the
+trade-matching / feature-at-time semantics). Plan: tag both sides,
+``unionByName``, ONE window pass per key ordered by (ts, side) with a
+running ``last(..., ignorenulls=True)`` carry-forward — a single
+shuffle on the key, no per-key merge loops, no range self-join blowup.
+
+Scale notes: state is one row of carried values per window frame —
+Spark's window operator streams partition-sorted rows, so memory is
+O(1) per key beyond the sort. A pathologically hot key serializes its
+own rows through one task (inherent to per-key ordering); cap or
+pre-bucket upstream if a single key exceeds a task's sort budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: left rows + the latest right row at-or-before
+    their timestamp (per key). Right columns arrive as
+    ``{ts_col}{suffix}`` and ``{v}{suffix}``; left rows with no prior
+    right row keep nulls (LEFT ASOF semantics)."""
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (*on, ts_col)
+    ]
+    l_tag = left.withColumn("_side", F.lit(0))
+    r_tag = (
+        right.select(*on, ts_col, *value_cols)
+        # keep the right timestamp visible after the union under its
+        # output name; the shared ts_col drives the ordering
+        .withColumn(f"{ts_col}{suffix}", F.col(ts_col))
+        .withColumn("_side", F.lit(1))
+    )
+    tagged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    # right rows sort BEFORE left rows at equal timestamps (_side desc)
+    # so an exactly-simultaneous right row is visible to the left row —
+    # the inclusive <= of ASOF semantics
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [f"{ts_col}{suffix}"] + [f"{v}{suffix}" for v in value_cols]
+    out = tagged
+    for v, c in zip([f"{ts_col}{suffix}"] + value_cols, carried):
+        src = F.col(v) if v.endswith(suffix) else F.when(
+            F.col("_side") == 1, F.col(v)
+        )
+        out = out.withColumn(c, F.last(src, ignorenulls=True).over(w))
+    return out.where(F.col("_side") == 0).select(
+        *[c for c in left.columns], *carried
+    )

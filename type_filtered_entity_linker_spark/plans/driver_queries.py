@@ -948,6 +948,57 @@ EVENTS_JSON_SQL = """
 """
 
 
+def q_events_asof_join(spark, sf_dir) -> DataFrame:
+    """AS-OF JOIN (custom operator the reference/Spark lack as a
+    builtin — composed from union + one carry-forward window,
+    operators/temporal.py): every click event gets the user's most
+    recent purchase at-or-before its timestamp. Oracle: DuckDB's
+    native ASOF LEFT JOIN — two independent implementations of the
+    same temporal-join semantics."""
+    from ..operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round("value", 4).alias("p_value")
+    )
+    return asof_join(clicks, purchases, on=["user_id"], ts_col="ts")
+
+
+EVENTS_ASOF_SQL = """
+    WITH c AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, round(value, 4) AS p_value FROM events
+          WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, c.ts,
+           p.ts AS ts_right, p.p_value AS p_value_right
+    FROM c ASOF LEFT JOIN p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
+def q_corpus_stats_rollup(spark, sf_dir) -> DataFrame:
+    """Corpus reporting rollup: per-(lang, source), per-lang subtotals
+    and the grand total in one pass (ROLLUP grouping sets — partial
+    aggregation handles all levels map-side, one shuffle)."""
+    d = _docs(spark, sf_dir)
+    return d.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+CORPUS_ROLLUP_SQL = """
+    SELECT lang, source, count(*) AS n_docs,
+           sum(n_chars)::BIGINT AS sum_chars,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents GROUP BY ROLLUP (lang, source)
+"""
+
+
 _STREAM_SEQ = [0]
 
 
@@ -1152,6 +1203,8 @@ QUERIES = {
     "doc_fingerprint": q_fingerprint,
     "media_features": q_media_features,
     "events_hourly_window": q_events_window,
+    "events_asof_join": q_events_asof_join,
+    "corpus_stats_rollup": q_corpus_stats_rollup,
     "events_session_agg": q_events_sessions,
     "events_stream_window": q_events_stream_window,
     "events_stream_dedup": q_events_stream_dedup,
@@ -1192,6 +1245,8 @@ ORACLES = {
     "doc_fingerprint": FINGERPRINT_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "events_hourly_window": EVENTS_WINDOW_SQL,
+    "events_asof_join": EVENTS_ASOF_SQL,
+    "corpus_stats_rollup": CORPUS_ROLLUP_SQL,
     "events_session_agg": EVENTS_SESSIONS_SQL,
     "events_stream_window": EVENTS_WINDOW_SQL,
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
