@@ -979,6 +979,33 @@ EVENTS_ASOF_SQL = """
 """
 
 
+def q_events_moving_avg(spark, sf_dir) -> DataFrame:
+    """Sliding window FRAME (ROWS BETWEEN 9 PRECEDING AND CURRENT ROW):
+    per-user 10-event moving average — the window-frame shape beyond
+    top-K/argmax, deterministically ordered by (ts, event_id)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-9, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("mavg10"),
+    )
+
+
+EVENTS_MAVG_SQL = """
+    SELECT event_id, user_id, ts,
+           round(avg(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS mavg10
+    FROM events
+"""
+
+
 def q_corpus_stats_rollup(spark, sf_dir) -> DataFrame:
     """Corpus reporting rollup: per-(lang, source), per-lang subtotals
     and the grand total in one pass (ROLLUP grouping sets — partial
@@ -1204,6 +1231,7 @@ QUERIES = {
     "media_features": q_media_features,
     "events_hourly_window": q_events_window,
     "events_asof_join": q_events_asof_join,
+    "events_moving_avg": q_events_moving_avg,
     "corpus_stats_rollup": q_corpus_stats_rollup,
     "events_session_agg": q_events_sessions,
     "events_stream_window": q_events_stream_window,
@@ -1246,6 +1274,7 @@ ORACLES = {
     "media_features": MEDIA_FEATURES_SQL,
     "events_hourly_window": EVENTS_WINDOW_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
+    "events_moving_avg": EVENTS_MAVG_SQL,
     "corpus_stats_rollup": CORPUS_ROLLUP_SQL,
     "events_session_agg": EVENTS_SESSIONS_SQL,
     "events_stream_window": EVENTS_WINDOW_SQL,
