@@ -50,6 +50,10 @@ HEADLINE = [
     "media_features",
     "events_hourly_window",
     "events_asof_join",
+    # streaming surfaces: AvailableNow drain of the staged file source
+    # (windowed agg + cross-batch dedup state)
+    "events_stream_window",
+    "events_stream_dedup",
     "lineitem_agg",
     "top_orders_per_customer",
 ]

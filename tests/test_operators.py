@@ -429,3 +429,107 @@ def test_asof_join_backward_inclusive_and_nulls(spark):
     assert rows[2] == (t(1), 10.0)  # t=7 purchase must not leak back
     assert rows[3] == (t(7), 20.0)
     assert rows[4] == (None, None)  # user 2: no prior right row
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-check vs pandas.merge_asof (backward,
+    allow_exact_matches) — an independent implementation of the same
+    semantics."""
+    import datetime as dt
+    import random
+
+    import numpy as np
+
+    from type_filtered_entity_linker_spark.operators.temporal import asof_join
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+
+    def ts():
+        return base + dt.timedelta(minutes=rng.randrange(0, 500))
+
+    left_pd = pd.DataFrame(
+        {
+            "event_id": range(120),
+            "user_id": [rng.randrange(6) for _ in range(120)],
+            "ts": [ts() for _ in range(120)],
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "user_id": [rng.randrange(6) for _ in range(80)],
+            "ts": [ts() for _ in range(80)],
+            "p_value": [round(rng.random(), 6) for _ in range(80)],
+        }
+    )
+    # merge_asof requires unique right (user_id, ts) for determinism
+    right_pd = right_pd.drop_duplicates(["user_id", "ts"])
+    got = (
+        asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            on=["user_id"],
+        )
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left_pd.sort_values("ts"),
+        right_pd.sort_values("ts").rename(
+            columns={"ts": "ts_right", "p_value": "p_value_right"}
+        ),
+        left_on="ts",
+        right_on="ts_right",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("event_id").reset_index(drop=True)
+    for c in ("ts_right", "p_value_right"):
+        a, b = got[c], want[c]
+        assert ((a.isna() & b.isna()) | (a == b)).all(), c
+
+
+def test_simhash_banding_exact_at_any_hamming(spark):
+    """Generalized pigeonhole banding (max_hamming+1 bands) must equal
+    the brute-force Hamming join at max_hamming values beyond the
+    original 4x16 design (recall-1 claim of the operator docstring)."""
+    from type_filtered_entity_linker_spark.operators.dedup import (
+        near_duplicates_simhash,
+        simhash64,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for d in range(40):
+        toks = [rng.choice(words) for _ in range(12)]
+        rows.append((d, " ".join(toks)))
+        if d % 3 == 0:  # near-copy: one token changed
+            toks2 = list(toks)
+            toks2[rng.randrange(12)] = rng.choice(words)
+            rows.append((d + 1000, " ".join(toks2)))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    for mh in (3, 6, 9):
+        banded = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in near_duplicates_simhash(docs, max_hamming=mh).collect()
+        }
+        sh = simhash64(docs)
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+        brute = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in a.crossJoin(b)
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+            )
+            .where(F.col("hamming") <= mh)
+            .collect()
+        }
+        assert banded == brute, f"max_hamming={mh}"
