@@ -533,3 +533,36 @@ def test_simhash_banding_exact_at_any_hamming(spark):
             .collect()
         }
         assert banded == brute, f"max_hamming={mh}"
+
+
+def test_detector_correct_under_shuffle_join_plan(spark):
+    """With auto-broadcast disabled (the huge-gazetteer regime), the
+    membership semi join takes the shuffle path and the detector output
+    must be identical to the broadcast-plan output."""
+    from type_filtered_entity_linker_spark.config import LinkerConfig
+    from type_filtered_entity_linker_spark.fixtures import make_fixtures
+    from type_filtered_entity_linker_spark.operators.mentions import (
+        detect_mentions_df,
+        with_extracted_text,
+    )
+
+    fx = make_fixtures(seed=43, n_pages=40)
+    cfg = LinkerConfig()
+    pages = spark.createDataFrame(fx["pages"])
+    gaz = spark.createDataFrame(fx["gazetteer"])
+    pt = with_extracted_text(pages, cfg)
+
+    def mentions():
+        return sorted(
+            (r.url, r.mention_id, r.start, r.end, r.sf_norm, r.ner_type)
+            for r in detect_mentions_df(pt, gaz, cfg).collect()
+        )
+
+    broadcast_run = mentions()
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffle_run = mentions()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert broadcast_run and broadcast_run == shuffle_run

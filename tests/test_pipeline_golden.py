@@ -184,3 +184,26 @@ def test_span_filter_mode_matches_oracle(spark, inputs, fx, tmp_path):
         g["golden_candidates"],
         ["url", "mention_id", "item_id"],
     )
+
+
+def test_d2kb_with_span_filter_mode(spark, inputs, fx, tmp_path):
+    """Premarked (D2KB) + filter_mode='span' compose: the containment
+    join types premarked spans from the re-tagged page spans, and the
+    result equals the rule-mode D2KB run (first contained span = first
+    token of the mention)."""
+    gt_en = fx["gt_mentions"][fx["gt_mentions"].lang == "en"]
+    premarked = spark.createDataFrame(gt_en[["url", "start", "end"]])
+    span = run_pipeline(
+        spark, inputs, str(tmp_path / "wd_d2kb_span"),
+        LinkerConfig(filter_mode="span"), premarked=premarked,
+    )
+    rule = run_pipeline(
+        spark, inputs, str(tmp_path / "wd_d2kb_rule"),
+        LinkerConfig(filter_mode="rule"), premarked=premarked,
+    )
+    a = span.candidates.select("url", "mention_id", "item_id").toPandas()
+    b = rule.candidates.select("url", "mention_id", "item_id").toPandas()
+    key = ["url", "mention_id", "item_id"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
