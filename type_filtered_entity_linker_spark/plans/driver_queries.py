@@ -100,15 +100,42 @@ NEARDUP_CORPUS_SQL = """
 # ------------------------------------------------- entity-linkage mini-pipeline
 # dictionary derived from corpus vocabulary; blocking key = 2-char prefix
 
+# The el_* chain is deeply nested (clusters ← links ← topk ← filtered ←
+# candidates ← mentions + entities): the DataFrame API has no CTE
+# materialization, so without help Spark recomputes the shared bases
+# once per reference (~8x vocabulary derivations in el_clusters). The
+# memo below localCheckpoints the two shared bases once per
+# (session, table-file) — the DataFrame twin of WITH ... AS MATERIALIZED.
+_EL_BASE_CACHE: dict = {}
+
+
+def _el_base(name: str, spark, sf_dir: str, builder) -> DataFrame:
+    path = f"{sf_dir}/documents.parquet"
+    st = os.stat(path)
+    key = (
+        name,
+        sf_dir,
+        st.st_mtime_ns,
+        st.st_size,
+        spark.sparkContext.applicationId,
+    )
+    if key not in _EL_BASE_CACHE:
+        _EL_BASE_CACHE[key] = builder().localCheckpoint(eager=True)
+    return _EL_BASE_CACHE[key]
+
 
 def _el_mentions(spark, sf_dir) -> DataFrame:
     """O7/O8 analog: explode document tokens → distinct mentions."""
-    d = _docs(spark, sf_dir)
-    return (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("sf"))
-        .where(F.length("sf") >= 3)
-        .distinct()
-    )
+
+    def build():
+        d = _docs(spark, sf_dir)
+        return (
+            d.select("doc_id", F.explode(F.split("text", " ")).alias("sf"))
+            .where(F.length("sf") >= 3)
+            .distinct()
+        )
+
+    return _el_base("mentions", spark, sf_dir, build)
 
 
 EL_MENTIONS_SQL = """
@@ -127,26 +154,33 @@ def _el_entities(spark, sf_dir) -> DataFrame:
     offset of earlier partitions (a ~26-row side table). A plain
     `Window.orderBy(name)` would funnel the whole vocabulary through
     one partition — fine at test scale, a serial wall at 10^12 docs."""
-    d = _docs(spark, sf_dir)
-    vocab = (
-        d.select(F.explode(F.split("text", " ")).alias("name"))
-        .where(F.length("name") >= 3)
-        .distinct()
-        .withColumn("blk", F.substring("name", 1, 1))
-    )
-    counts = vocab.groupBy("blk").agg(F.count("*").alias("n"))
-    w_off = Window.orderBy("blk").rowsBetween(
-        Window.unboundedPreceding, -1
-    )  # window over ~26 rows — trivially small
-    offsets = counts.select(
-        "blk", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
-    )
-    w_local = Window.partitionBy("blk").orderBy("name")
-    return (
-        vocab.withColumn("rn", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "blk")
-        .select((F.col("off") + F.col("rn")).cast("long").alias("item_id"), "name")
-    )
+
+    def build():
+        d = _docs(spark, sf_dir)
+        vocab = (
+            d.select(F.explode(F.split("text", " ")).alias("name"))
+            .where(F.length("name") >= 3)
+            .distinct()
+            .withColumn("blk", F.substring("name", 1, 1))
+        )
+        counts = vocab.groupBy("blk").agg(F.count("*").alias("n"))
+        w_off = Window.orderBy("blk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )  # window over ~26 rows — trivially small
+        offsets = counts.select(
+            "blk", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
+        )
+        w_local = Window.partitionBy("blk").orderBy("name")
+        return (
+            vocab.withColumn("rn", F.row_number().over(w_local))
+            .join(F.broadcast(offsets), "blk")
+            .select(
+                (F.col("off") + F.col("rn")).cast("long").alias("item_id"),
+                "name",
+            )
+        )
+
+    return _el_base("entities", spark, sf_dir, build)
 
 
 EL_ENTITIES_SQL = """
