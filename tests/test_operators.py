@@ -566,3 +566,24 @@ def test_detector_correct_under_shuffle_join_plan(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert broadcast_run and broadcast_run == shuffle_run
+
+
+def test_extract_text_scan_pushdown_and_pruning(spark, tmp_path):
+    """The lang filter must reach the parquet scan (PushedFilters) and
+    the unused `text` column must be pruned from ReadSchema — the two
+    scan properties the 100 TB design depends on."""
+    from type_filtered_entity_linker_spark.config import LinkerConfig
+    from type_filtered_entity_linker_spark.fixtures import make_fixtures
+    from type_filtered_entity_linker_spark.operators.mentions import (
+        with_extracted_text,
+    )
+
+    fx = make_fixtures(seed=44, n_pages=20)
+    path = str(tmp_path / "pages_pq")
+    spark.createDataFrame(fx["pages"]).write.mode("overwrite").parquet(path)
+    pages = spark.read.parquet(path)
+    plan = _physical_plan(with_extracted_text(pages, LinkerConfig()))
+    scan = next(l for l in plan.splitlines() if "Scan parquet" in l)
+    assert "PushedFilters" in scan and "lang" in scan.split("PushedFilters")[1]
+    read_schema = scan.split("ReadSchema:")[1]
+    assert "html" in read_schema and "text" not in read_schema
