@@ -120,6 +120,11 @@ def _el_base(name: str, spark, sf_dir: str, builder) -> DataFrame:
         spark.sparkContext.applicationId,
     )
     if key not in _EL_BASE_CACHE:
+        if len(_EL_BASE_CACHE) >= 16:
+            # bound the memo across many sessions/table versions (dead
+            # sessions' entries are unreachable but would otherwise pin
+            # DataFrame handles forever)
+            _EL_BASE_CACHE.pop(next(iter(_EL_BASE_CACHE)))
         _EL_BASE_CACHE[key] = builder().localCheckpoint(eager=True)
     return _EL_BASE_CACHE[key]
 
