@@ -95,6 +95,23 @@ def main() -> None:
             t0 = time.perf_counter()
             _noop_write(QUERIES[name](spark, sf_dir))
             timings[name] = round(time.perf_counter() - t0, 3)
+        # the dedup_simhash QUERY runs the md5-rekeyed hash so DuckDB
+        # can replicate it exactly; time the PRODUCTION default
+        # (xxhash64) too, so cross-round comparisons see both paths
+        from type_filtered_entity_linker_spark.operators.dedup import (
+            near_duplicates_simhash,
+        )
+        from type_filtered_entity_linker_spark.plans.driver_queries import (
+            _neardup_corpus,
+        )
+
+        t0 = time.perf_counter()
+        _noop_write(
+            near_duplicates_simhash(
+                _neardup_corpus(spark, sf_dir), max_hamming=6
+            )
+        )
+        timings["dedup_simhash_xxhash64"] = round(time.perf_counter() - t0, 3)
 
     # full domain pipeline on the seeded synthetic corpus. Inputs are
     # staged to parquet once (untimed) and read back as file scans:

@@ -587,3 +587,53 @@ def test_extract_text_scan_pushdown_and_pruning(spark, tmp_path):
     assert "PushedFilters" in scan and "lang" in scan.split("PushedFilters")[1]
     read_schema = scan.split("ReadSchema:")[1]
     assert "html" in read_schema and "text" not in read_schema
+
+
+def test_asof_join_carries_latest_row_including_nulls(spark):
+    """The MOST RECENT right row wins as a whole row — a NULL value in
+    it must not be papered over with an older row's non-null value
+    (true ASOF row semantics, matching DuckDB/pandas)."""
+    import datetime as dt
+
+    from type_filtered_entity_linker_spark.operators.temporal import asof_join
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"event_id": [1], "user_id": [1], "ts": [t(6)]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1],
+                "ts": [t(1), t(5)],
+                "p_value": [10.0, None],
+            }
+        ).astype({"p_value": "float64"})
+    )
+    row = asof_join(left, right, on=["user_id"]).collect()[0]
+    assert row.ts_right == t(5) and row.p_value_right is None
+
+
+def test_asof_join_deterministic_on_duplicate_right_ts(spark):
+    """Duplicate (key, ts) right rows resolve deterministically (the
+    struct-greatest row wins), not by partition luck."""
+    import datetime as dt
+
+    from type_filtered_entity_linker_spark.operators.temporal import asof_join
+
+    ts = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        pd.DataFrame({"event_id": [1], "user_id": [1], "ts": [ts]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {"user_id": [1, 1], "ts": [ts, ts], "p_value": [3.0, 9.0]}
+        )
+    )
+    got = {
+        asof_join(left, right, on=["user_id"]).collect()[0].p_value_right
+        for _ in range(3)
+    }
+    assert got == {9.0}

@@ -39,29 +39,36 @@ def asof_join(
         c for c in right.columns if c not in (*on, ts_col)
     ]
     l_tag = left.withColumn("_side", F.lit(0))
+    # the whole right row is carried as ONE struct: carrying value
+    # columns independently with last(ignorenulls) would skip a NULL
+    # value in the most recent right row and mix it with an older
+    # row's non-null value — true ASOF semantics must return the
+    # latest ROW, nulls and all
     r_tag = (
         right.select(*on, ts_col, *value_cols)
-        # keep the right timestamp visible after the union under its
-        # output name; the shared ts_col drives the ordering
-        .withColumn(f"{ts_col}{suffix}", F.col(ts_col))
+        .withColumn(
+            "_r",
+            F.struct(
+                F.col(ts_col).alias(f"{ts_col}{suffix}"),
+                *[F.col(v).alias(f"{v}{suffix}") for v in value_cols],
+            ),
+        )
         .withColumn("_side", F.lit(1))
     )
     tagged = l_tag.unionByName(r_tag, allowMissingColumns=True)
     # right rows sort BEFORE left rows at equal timestamps (_side desc)
     # so an exactly-simultaneous right row is visible to the left row —
-    # the inclusive <= of ASOF semantics
+    # the inclusive <= of ASOF semantics. The trailing _r ordering makes
+    # duplicate (key, ts) right rows resolve deterministically (the
+    # struct-greatest row wins) instead of by partition luck.
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").desc())
+        .orderBy(F.col(ts_col).asc(), F.col("_side").desc(), F.col("_r").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = [f"{ts_col}{suffix}"] + [f"{v}{suffix}" for v in value_cols]
-    out = tagged
-    for v, c in zip([f"{ts_col}{suffix}"] + value_cols, carried):
-        src = F.col(v) if v.endswith(suffix) else F.when(
-            F.col("_side") == 1, F.col(v)
-        )
-        out = out.withColumn(c, F.last(src, ignorenulls=True).over(w))
+    out = tagged.withColumn("_c", F.last("_r", ignorenulls=True).over(w))
     return out.where(F.col("_side") == 0).select(
-        *[c for c in left.columns], *carried
+        *[c for c in left.columns],
+        *[F.col(f"_c.{c}").alias(c) for c in carried],
     )

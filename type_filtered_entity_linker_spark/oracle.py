@@ -128,14 +128,17 @@ def link_corpus(fx: dict[str, pd.DataFrame], cfg: LinkerConfig) -> dict[str, pd.
             link_rows.append((url, mid, winner, score))
             edges.append((mkey, f"E:{winner}"))
 
-    # NIL-mention dedup edges: same blocking key + context cosine >= tau
+    # NIL-mention dedup edges: same blocking key + context cosine >= tau,
+    # bounded by sorted-neighborhood rank distance (mirrors
+    # operators/nil.py — ranks ordered by mention key, pairs within
+    # cfg.nil_neighborhood ranks only)
     by_block: dict[str, list[tuple[str, np.ndarray]]] = {}
     for mkey, sf_norm, emb in nil_mentions:
         by_block.setdefault(sf_norm, []).append((mkey, emb))
     for _, ms in by_block.items():
         ms.sort()
         for i in range(len(ms)):
-            for j in range(i + 1, len(ms)):
+            for j in range(i + 1, min(len(ms), i + 1 + cfg.nil_neighborhood)):
                 c = float(cosine_batch(ms[i][1][None, :], ms[j][1][None, :])[0])
                 if c >= cfg.nil_tau:
                     edges.append((ms[i][0], ms[j][0]))

@@ -121,10 +121,15 @@ def _el_base(name: str, spark, sf_dir: str, builder) -> DataFrame:
     )
     if key not in _EL_BASE_CACHE:
         if len(_EL_BASE_CACHE) >= 16:
-            # bound the memo across many sessions/table versions (dead
-            # sessions' entries are unreachable but would otherwise pin
-            # DataFrame handles forever)
-            _EL_BASE_CACHE.pop(next(iter(_EL_BASE_CACHE)))
+            # bound the memo: drop dead-session entries first (their
+            # checkpoint blocks died with the session; the handles
+            # would otherwise pin forever), then oldest-first — never
+            # evict the live session's hot bases while stale ones stay
+            app = key[-1]
+            dead = [k for k in _EL_BASE_CACHE if k[-1] != app]
+            _EL_BASE_CACHE.pop(
+                dead[0] if dead else next(iter(_EL_BASE_CACHE))
+            )
         _EL_BASE_CACHE[key] = builder().localCheckpoint(eager=True)
     return _EL_BASE_CACHE[key]
 
@@ -1138,7 +1143,7 @@ def q_events_stream_dedup(spark, sf_dir) -> DataFrame:
 
 
 EVENTS_STREAM_DEDUP_SQL = """
-    SELECT DISTINCT user_id, ts, event_type, value FROM events
+    SELECT DISTINCT user_id, ts, event_type FROM events
 """
 
 

@@ -40,11 +40,17 @@ def link_pages_batch(
     pages: DataFrame, inputs: dict[str, DataFrame], cfg: LinkerConfig = LinkerConfig()
 ) -> DataFrame:
     """The linkage chain (extract → detect → block → type-filter →
-    top-K → score → argmax) as one composable transformation over a
-    pages batch — no checkpointing. Used per-micro-batch by
-    ``streaming.incremental.incremental_link_pages``; every stage is
-    per-mention, so linking pages in arbitrary batch splits yields
-    exactly the full-corpus links."""
+    top-K → score → argmax) over a pages batch — no checkpointing. Used
+    per-micro-batch by ``streaming.incremental.incremental_link_pages``;
+    every stage is per-mention, so linking pages in arbitrary batch
+    splits yields exactly the full-corpus links.
+
+    The capped candidate table is persisted and counted once: the
+    scorer's broadcast gate needs a distinct-pair bound, and without a
+    hint it would re-execute the whole uncached upstream chain (detect,
+    block, filter) a second time just to measure it. The cached blocks
+    are released by Spark's ContextCleaner when the batch's DataFrames
+    go unreferenced."""
     pages_text = with_extracted_text(pages, cfg)
     mentions = detect_mentions_df(pages_text, inputs["gazetteer"], cfg)
     cand_u = generate_candidates(mentions, inputs["entity_aliases"], cfg)
@@ -53,13 +59,15 @@ def link_pages_batch(
     cand_f = filter_candidates(
         cand_u, summary, cfg, mentions=mentions, spans=spans
     )
-    cand_k = cap_candidates(cand_f, cfg)
+    cand_k = cap_candidates(cand_f, cfg).persist()
+    cand_rows = cand_k.count()  # one materialization, reused below
     dim = entity_dim(inputs["entities"], inputs["entity_embeddings"])
     scored = score_candidates(
         cand_k,
         mentions,
         dim,
         head=cfg.scorer_head,
+        sims_rows_hint=cand_rows,
         broadcast_max_rows=cfg.scorer_broadcast_max_rows,
     )
     return with_entity_urls(argmax_links(scored))

@@ -30,6 +30,25 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def _watermarkable_ts(df: DataFrame, col: str = "ts") -> tuple[DataFrame, bool]:
+    """Event-time watermarks require TimestampType; parquet written
+    with isAdjustedToUTC=false arrives as TIMESTAMP_NTZ — cast in (the
+    round-trip is exact under a fixed session timezone) and remember to
+    cast back out so results compare equal to the batch/oracle NTZ
+    output. Shared by every streaming query over the events table."""
+    ntz = any(
+        f.name == col and f.dataType.typeName() == "timestamp_ntz"
+        for f in df.schema.fields
+    )
+    if ntz:
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df, ntz
+
+
+def _restore_ntz(df: DataFrame, col: str, ntz: bool) -> DataFrame:
+    return df.withColumn(col, F.col(col).cast("timestamp_ntz")) if ntz else df
+
+
 def stream_events_hourly(
     spark: SparkSession,
     path: str,
@@ -44,14 +63,7 @@ def stream_events_hourly(
     backlog.
     """
     ev = spark.readStream.schema(schema).parquet(path)
-    # event-time watermarks require TimestampType; parquet written with
-    # isAdjustedToUTC=false arrives as TIMESTAMP_NTZ — round-trip the
-    # cast (exact under a fixed session timezone) and emit NTZ again so
-    # results compare equal to the batch/oracle NTZ output
-    ts_type = dict(zip(ev.schema.names, [f.dataType.typeName() for f in ev.schema.fields]))
-    ntz = ts_type.get("ts") == "timestamp_ntz"
-    if ntz:
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev, ntz = _watermarkable_ts(ev)
     out = (
         ev.withWatermark("ts", watermark)
         .groupBy("user_id", F.window("ts", "1 hour").alias("w"))
@@ -66,9 +78,7 @@ def stream_events_hourly(
             "sum_value",
         )
     )
-    if ntz:
-        out = out.withColumn("hour_start", F.col("hour_start").cast("timestamp_ntz"))
-    return out
+    return _restore_ntz(out, "hour_start", ntz)
 
 
 def run_stream_once(
@@ -102,20 +112,20 @@ def stream_deduplicated_events(
     time passes the watermark), so the query runs forever without
     unbounded memory. Duplicates arriving across micro-batches (e.g.
     the same file delivered twice) are removed by the state store, not
-    just within a batch."""
+    just within a batch.
+
+    Output = the dedup KEY columns only: emitting non-key columns from
+    a keyed dedup would surface an arbitrary survivor when two rows
+    share the key but differ elsewhere — nondeterministic output and
+    unverifiable against a DISTINCT oracle."""
     ev = spark.readStream.schema(schema).parquet(path)
-    ts_type = {f.name: f.dataType.typeName() for f in ev.schema.fields}
-    ntz = ts_type.get("ts") == "timestamp_ntz"
-    if ntz:
-        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    ev, ntz = _watermarkable_ts(ev)
     out = (
         ev.withWatermark("ts", watermark)
         .dropDuplicates(["user_id", "ts", "event_type"])
-        .select("user_id", "ts", "event_type", "value")
+        .select("user_id", "ts", "event_type")
     )
-    if ntz:
-        out = out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-    return out
+    return _restore_ntz(out, "ts", ntz)
 
 
 def stream_running_user_totals(
