@@ -128,3 +128,30 @@ def test_embed_texts_matches_scalar_reference(strs):
     assert mat.shape == (len(strs), 192)
     for i, s in enumerate(strs):
         assert mat[i].tobytes() == _embed_text_scalar(s).tobytes()
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=1, max_codepoint=0x3100, exclude_categories=("Cs",)
+            ),
+            max_size=60,
+        ),
+        max_size=8,
+    )
+)
+def test_candidate_windows_batch_matches_textlib(texts):
+    """The vectorized tokenizer/window extractor is tuple-identical to
+    the pure-Python reference per text — the detection-parity invariant
+    (covers unicode whitespace up to U+3000, run/window edges)."""
+    from type_filtered_entity_linker_spark.functions.tokenize import (
+        candidate_windows_batch,
+    )
+    from type_filtered_entity_linker_spark.textlib import candidate_windows
+
+    got = candidate_windows_batch(texts)
+    assert len(got) == len(texts)
+    for t, g in zip(texts, got):
+        assert g == candidate_windows(t)

@@ -88,7 +88,10 @@ def jaro_winkler_batch(a: "list[str] | np.ndarray", b: "list[str] | np.ndarray")
     b_ord = np.take_along_axis(B, np.argsort(b_pos, axis=1), axis=1)
     k_idx = np.arange(max_len)[None, :]
     in_m = k_idx < m[:, None]
-    t = ((a_ord != b_ord) & in_m).sum(axis=1) / 2.0
+    # transpositions = floor(mismatched aligned pairs / 2) — the classic
+    # Winkler strcmp95 integer-halving convention (an odd mismatch count
+    # CAN occur under greedy matching, e.g. '0000M3' vs '00030M')
+    t = (((a_ord != b_ord) & in_m).sum(axis=1) // 2).astype(np.float64)
 
     with np.errstate(divide="ignore", invalid="ignore"):
         jaro = (
