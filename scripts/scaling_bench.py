@@ -70,17 +70,22 @@ def main() -> None:
     levels = sorted({c for pair in PAIRS for c in pair})
     results: dict[int, dict] = {}
     for cpus in levels:
-        # best-of-N: co-tenant load on this VM swings single-shot
-        # throughput up to 2.7x (measured); the best run approximates
-        # uncontended capability at each level
+        # best-of-N PER METRIC: co-tenant load on this VM swings
+        # single-shot throughput up to 2.7x (measured); the best run
+        # approximates uncontended capability at each level. Scorer
+        # throughput and pipeline wall time are taken from their own
+        # best runs — pairing the e2e row with whichever run happened
+        # to win the scorer metric would charge it that run's noise.
         best = None
+        best_e2e = None
         for rep in range(repeats):
             t0 = time.time()
             r = run_level(cpus, pages, entities, filler)
+            e2e = r["queries"]["linkage_pipeline_e2e"]
             print(
                 f"{cpus} cores (pinned) run {rep + 1}/{repeats}: "
                 f"scorer {r['scorer_pairs_per_sec']} pairs/s, "
-                f"pipeline {r['queries']['linkage_pipeline_e2e']}s "
+                f"pipeline {e2e}s "
                 f"(wall {round(time.time() - t0)}s)",
                 file=sys.stderr,
             )
@@ -89,13 +94,16 @@ def main() -> None:
                 or r["scorer_pairs_per_sec"] > best["scorer_pairs_per_sec"]
             ):
                 best = r
+            if best_e2e is None or e2e < best_e2e:
+                best_e2e = e2e
+        best["best_pipeline_e2e"] = best_e2e
         results[cpus] = best
 
     def eff(lo: int, hi: int) -> dict:
         thr_lo = results[lo]["scorer_pairs_per_sec"]
         thr_hi = results[hi]["scorer_pairs_per_sec"]
-        e2e_lo = results[lo]["queries"]["linkage_pipeline_e2e"]
-        e2e_hi = results[hi]["queries"]["linkage_pipeline_e2e"]
+        e2e_lo = results[lo]["best_pipeline_e2e"]
+        e2e_hi = results[hi]["best_pipeline_e2e"]
         f = hi / lo
         return {
             "scorer_pairs_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
