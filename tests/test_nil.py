@@ -47,6 +47,33 @@ def test_nil_pathological_block_bounded_pairs(spark):
     assert len(comp) == n
 
 
+def test_nil_pair_generation_is_linear_in_w(spark):
+    """The r02 finding was about JOIN ROW GENERATION, not the filtered
+    edge count: the bucketed equi-join must GENERATE ≤ 2·n·w rows on a
+    viral key (a key-only join generates n² and filters after)."""
+    from type_filtered_entity_linker_spark.operators.nil import (
+        _nil_pair_candidates,
+    )
+
+    n, w = 400, 8
+    emb = embed_text("viral thing | same context words").tobytes()
+    nils = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": [f"u{i:04d}" for i in range(n)],
+                "mention_id": [0] * n,
+                "sf_norm": ["viral thing"] * n,
+                "m_emb": [emb] * n,
+            }
+        )
+    )
+    generated = _nil_pair_candidates(nils, LinkerConfig(nil_neighborhood=w)).count()
+    assert generated <= 2 * n * w, f"{generated} > {2*n*w} (n²={n*n})"
+    # and the rank-filtered edge set is unchanged by the bucketing
+    edges = nil_edges(nils, LinkerConfig(nil_neighborhood=w)).count()
+    assert edges == n * w - w * (w + 1) // 2
+
+
 def test_nil_small_block_equals_all_pairs(spark):
     """Blocks of ≤ w+1 mentions are compared all-pairs exactly."""
     n = 5

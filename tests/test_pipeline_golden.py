@@ -31,6 +31,16 @@ def test_extracted_text_byte_identical(spark, inputs, fx):
     assert merged.text_got.eq(merged.text_want).all()
 
 
+def test_fixture_has_multiline_pages(fx):
+    """Guard: the corpus must contain \\n and \\r\\n bodies so the
+    byte-identity test above actually exercises multiline extraction
+    (the round-2 DOTALL divergence was invisible to single-line
+    fixtures)."""
+    en = fx["pages"][fx["pages"].lang == "en"].text
+    assert en.str.contains("\n", regex=False).any()
+    assert en.str.contains("\r\n", regex=False).any()
+
+
 def test_mentions_match_oracle(result, golden):
     assert_df_equal(
         result.mentions.select(

@@ -49,7 +49,10 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     """Vectorized extract_text: same semantics as textlib.extract_text
     (kept in lockstep by the byte-identity test)."""
     s = html.str.decode("utf-8", errors="replace")
-    body = s.str.extract(r"<main><p>(.*?)</p></main>", expand=False).fillna("")
+    # (?s) = re.DOTALL, matching textlib._MAIN_RE: real web text bodies
+    # contain newlines, and without it multiline pages silently extract
+    # to '' (confirmed divergence, VERDICT r02 #1).
+    body = s.str.extract(r"(?s)<main><p>(.*?)</p></main>", expand=False).fillna("")
     # html_unescape, vectorized; &amp; must be last
     body = body.str.replace("&gt;", ">", regex=False)
     body = body.str.replace("&lt;", "<", regex=False)
@@ -90,29 +93,28 @@ def emit_candidate_windows(pages_text: DataFrame, cfg: LinkerConfig) -> DataFram
     over the whole Arrow batch, ~3x the pure-Python tokenizer on 10 KB
     pages; tuple-identical to textlib.candidate_windows, the primitive
     the oracle's detect_mentions composes — hypothesis-tested)."""
-    from ..functions.tokenize import candidate_windows_batch
+    from ..functions.tokenize import candidate_windows_columnar
 
     window = cfg.context_window
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in (
-                "url", "run_id", "i", "j", "start", "end", "sf", "sf_norm",
-                "ctx",
-            )}
-            per_text = candidate_windows_batch(list(pdf["text"]), window)
-            for url, wins in zip(pdf["url"], per_text):
-                for rid, i, j, s, e, sf, sfn, ctx in wins:
-                    out["url"].append(url)
-                    out["run_id"].append(rid)
-                    out["i"].append(i)
-                    out["j"].append(j)
-                    out["start"].append(s)
-                    out["end"].append(e)
-                    out["sf"].append(sf)
-                    out["sf_norm"].append(sfn)
-                    out["ctx"].append(ctx)
-            yield pd.DataFrame(out)
+            c = candidate_windows_columnar(list(pdf["text"]), window)
+            # columnar all the way: urls fan out by numpy take, numeric
+            # columns stay int64 arrays — no per-window Python appends
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"].to_numpy()[c["tid"]],
+                    "run_id": c["run_id"],
+                    "i": c["i"],
+                    "j": c["j"],
+                    "start": c["start"],
+                    "end": c["end"],
+                    "sf": c["sf"],
+                    "sf_norm": c["sf_norm"],
+                    "ctx": c["ctx"],
+                }
+            )
 
     return pages_text.select("url", "text").mapInPandas(run, WINDOW_SCHEMA)
 

@@ -53,12 +53,21 @@ def nil_mentions(mentions: DataFrame, candidates: DataFrame) -> DataFrame:
     )
 
 
-def nil_edges(nils: DataFrame, cfg: LinkerConfig) -> DataFrame:
-    """(src, dst) mention-key edges between same-block NIL mentions with
-    context cosine ≥ nil_tau, bounded by sorted-neighborhood ranks
-    (≤ ``cfg.nil_neighborhood`` apart within the block)."""
+def _nil_pair_candidates(nils: DataFrame, cfg: LinkerConfig) -> DataFrame:
+    """Bucketed candidate pair stream BEFORE the rank predicate.
+
+    The neighborhood bound is part of the JOIN KEY, not a post-join
+    filter: ranks are bucketed by ``w = cfg.nil_neighborhood``
+    (``bkt = (rn-1) div w``), the left side probes buckets
+    ``{bkt, bkt+1}`` (every rank within w of rn_a lives in one of
+    them), and the join is equi on ``(k, bkt)``. A viral NIL key of n
+    mentions therefore GENERATES ≤ 2·n·w join rows — a plain
+    ``a.join(b, "k")`` would generate n² rows and only then filter,
+    quadratic CPU on exactly the key the neighborhood was added for
+    (VERDICT r02 #2)."""
     from pyspark.sql import Window
 
+    wsz = cfg.nil_neighborhood
     mkey = F.concat_ws("#", "url", "mention_id")
     w = Window.partitionBy("k").orderBy("mk")
     n = (
@@ -67,21 +76,32 @@ def nil_edges(nils: DataFrame, cfg: LinkerConfig) -> DataFrame:
             F.col("m_emb").alias("e"),
         )
         .withColumn("rn", F.row_number().over(w))
+        .withColumn("bkt", F.floor((F.col("rn") - F.lit(1)) / F.lit(wsz)))
     )
     a = n.select(
         "k", F.col("mk").alias("src"), F.col("e").alias("ea"),
         F.col("rn").alias("rn_a"),
+        F.explode(
+            F.array(F.col("bkt"), F.col("bkt") + F.lit(1))
+        ).alias("bkt"),
     )
     b = n.select(
         "k", F.col("mk").alias("dst"), F.col("e").alias("eb"),
-        F.col("rn").alias("rn_b"),
+        F.col("rn").alias("rn_b"), "bkt",
     )
-    pairs = (
-        a.join(b, "k")
-        .where(
-            (F.col("rn_b") > F.col("rn_a"))
-            & (F.col("rn_b") <= F.col("rn_a") + cfg.nil_neighborhood)
-        )
+    # each rank-valid (a, b) pair meets exactly once: bkt_b is a single
+    # value and the left side emits it at most once (bkt, bkt+1 distinct)
+    return a.join(b, ["k", "bkt"])
+
+
+def nil_edges(nils: DataFrame, cfg: LinkerConfig) -> DataFrame:
+    """(src, dst) mention-key edges between same-block NIL mentions with
+    context cosine ≥ nil_tau, bounded by sorted-neighborhood ranks
+    (≤ ``cfg.nil_neighborhood`` apart within the block). Pair
+    generation is O(n·w) by construction — see _nil_pair_candidates."""
+    pairs = _nil_pair_candidates(nils, cfg).where(
+        (F.col("rn_b") > F.col("rn_a"))
+        & (F.col("rn_b") <= F.col("rn_a") + cfg.nil_neighborhood)
     )
     return (
         pairs.withColumn("cos", _cos_udf("ea", "eb"))
