@@ -171,6 +171,24 @@ def main() -> None:
     res = run_pipeline(spark, inputs, wd, LinkerConfig(scorer_head=BENCH_HEAD), resume=False)
     timings["linkage_pipeline_e2e"] = round(time.perf_counter() - t0, 3)
 
+    # salt evidence (VERDICT r02 #8): the domain blocking join on the
+    # 900-fanout head alias, salted (default cfg) vs unsalted
+    # (salt_threshold above any fanout → no keys salted). Same mentions
+    # input (checkpointed by the pipeline run), same JVM, back-to-back.
+    from type_filtered_entity_linker_spark.operators.blocking import (
+        generate_candidates,
+    )
+
+    for tname, bcfg in (
+        ("blocking_join_unsalted", LinkerConfig(salt_threshold=1 << 30)),
+        ("blocking_join_salted", LinkerConfig()),
+    ):
+        t0 = time.perf_counter()
+        _noop_write(
+            generate_candidates(res.mentions, inputs["entity_aliases"], bcfg)
+        )
+        timings[tname] = round(time.perf_counter() - t0, 3)
+
     stage = {m["stage"]: m for m in res.metrics}
     pairs_scored = stage["scored"]["rows"]
     scoring_secs = stage["scored"]["secs"]

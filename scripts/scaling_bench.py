@@ -70,47 +70,71 @@ def main() -> None:
     levels = sorted({c for pair in PAIRS for c in pair})
     results: dict[int, dict] = {}
     for cpus in levels:
-        # best-of-N PER METRIC: co-tenant load on this VM swings
-        # single-shot throughput up to 2.7x (measured); the best run
-        # approximates uncontended capability at each level. Scorer
-        # throughput and pipeline wall time are taken from their own
-        # best runs — pairing the e2e row with whichever run happened
-        # to win the scorer metric would charge it that run's noise.
-        best = None
-        best_e2e = None
+        # HEADLINE = the MEDIAN run's own (scorer, e2e) pair — one real
+        # run, both numbers from it. Best-of-N per metric is kept as a
+        # SECONDARY "capability" line only: co-tenant load swings
+        # single-shot numbers up to 2.7x and the best run approximates
+        # uncontended hardware, but pairing each metric's independent
+        # maximum composes a run nobody executed (VERDICT r02 #3).
+        runs = []
         for rep in range(repeats):
             t0 = time.time()
             r = run_level(cpus, pages, entities, filler)
-            e2e = r["queries"]["linkage_pipeline_e2e"]
+            r["pipeline_e2e"] = r["queries"]["linkage_pipeline_e2e"]
+            runs.append(r)
             print(
                 f"{cpus} cores (pinned) run {rep + 1}/{repeats}: "
                 f"scorer {r['scorer_pairs_per_sec']} pairs/s, "
-                f"pipeline {e2e}s "
+                f"pipeline {r['pipeline_e2e']}s "
                 f"(wall {round(time.time() - t0)}s)",
                 file=sys.stderr,
             )
-            if (
-                best is None
-                or r["scorer_pairs_per_sec"] > best["scorer_pairs_per_sec"]
-            ):
-                best = r
-            if best_e2e is None or e2e < best_e2e:
-                best_e2e = e2e
-        best["best_pipeline_e2e"] = best_e2e
-        results[cpus] = best
+        by_thr = sorted(runs, key=lambda r: r["scorer_pairs_per_sec"])
+        median = by_thr[len(by_thr) // 2]
+        results[cpus] = {
+            "median_run": median,
+            "best_scorer_pps": by_thr[-1]["scorer_pairs_per_sec"],
+            "best_pipeline_e2e": min(r["pipeline_e2e"] for r in runs),
+            "runs": runs,
+        }
 
     def eff(lo: int, hi: int) -> dict:
-        thr_lo = results[lo]["scorer_pairs_per_sec"]
-        thr_hi = results[hi]["scorer_pairs_per_sec"]
-        e2e_lo = results[lo]["best_pipeline_e2e"]
-        e2e_hi = results[hi]["best_pipeline_e2e"]
+        m_lo, m_hi = results[lo]["median_run"], results[hi]["median_run"]
         f = hi / lo
-        return {
-            "scorer_pairs_per_sec": {str(lo): thr_lo, str(hi): thr_hi},
-            "scaling_efficiency_scorer": round(thr_hi / (thr_lo * f), 3),
-            "pipeline_secs": {str(lo): e2e_lo, str(hi): e2e_hi},
-            "scaling_efficiency_e2e": round(e2e_lo / (e2e_hi * f), 3),
+        out = {
+            "scorer_pairs_per_sec": {
+                str(lo): m_lo["scorer_pairs_per_sec"],
+                str(hi): m_hi["scorer_pairs_per_sec"],
+            },
+            "scaling_efficiency_scorer": round(
+                m_hi["scorer_pairs_per_sec"]
+                / (m_lo["scorer_pairs_per_sec"] * f), 3
+            ),
+            "pipeline_secs": {
+                str(lo): m_lo["pipeline_e2e"], str(hi): m_hi["pipeline_e2e"]
+            },
+            "scaling_efficiency_e2e": round(
+                m_lo["pipeline_e2e"] / (m_hi["pipeline_e2e"] * f), 3
+            ),
+            # secondary: per-metric best-of-N composite (capability)
+            "best_scorer_pairs_per_sec": {
+                str(lo): results[lo]["best_scorer_pps"],
+                str(hi): results[hi]["best_scorer_pps"],
+            },
+            "scaling_efficiency_scorer_best": round(
+                results[hi]["best_scorer_pps"]
+                / (results[lo]["best_scorer_pps"] * f), 3
+            ),
+            "best_pipeline_secs": {
+                str(lo): results[lo]["best_pipeline_e2e"],
+                str(hi): results[hi]["best_pipeline_e2e"],
+            },
+            "scaling_efficiency_e2e_best": round(
+                results[lo]["best_pipeline_e2e"]
+                / (results[hi]["best_pipeline_e2e"] * f), 3
+            ),
         }
+        return out
 
     summary = {
         "headline_pair": PAIRS[0],
@@ -118,7 +142,7 @@ def main() -> None:
         "diagnostic_pair": PAIRS[1],
         "diagnostic": eff(*PAIRS[1]),
         "pages": pages,
-        "scorer_pairs": results[levels[-1]]["scorer_pairs"],
+        "scorer_pairs": results[levels[-1]]["median_run"]["scorer_pairs"],
     }
     print(json.dumps(summary))
 
@@ -141,26 +165,34 @@ Corpus: seeded synthetic fixture, {pages} pages (~10KB bodies via
 {filler} filler tokens/page — realistic per-page extract/detect
 weight), {entities} entities; scorer load {summary['scorer_pairs']:,}
 candidate pairs (candidates replicated to ≥2M pairs so compute
-dominates fixed costs). Each level is best-of-{repeats} fresh-JVM runs
-(co-tenant load swings single-shot numbers up to 2.7x; best-of
-approximates uncontended capability). Inputs are read from staged
-multi-file parquet; checkpoints write to tmpfs (the VM's single ext4
-disk writes ~40 MB/s at any core count — a serial wall real clusters'
-distributed storage doesn't have).
+dominates fixed costs). **Methodology**: each level runs {repeats}
+fresh-JVM repeats; the HEADLINE rows take the MEDIAN run (by scorer
+throughput) and report that single run's own (scorer, e2e) pair — both
+numbers from one real run. The "best-of-{repeats}" rows are a
+SECONDARY capability line: each metric's independent per-run maximum
+(co-tenant load swings single-shot numbers up to 2.7x, so the best run
+approximates uncontended hardware) — a composite no single run
+achieved, labeled as such. Inputs are read from staged multi-file
+parquet; checkpoints write to tmpfs (the VM's single ext4 disk writes
+~40 MB/s at any core count — a serial wall real clusters' distributed
+storage doesn't have).
 
-## Headline: N={lo} vs 4N={hi} cores
+## Headline: N={lo} vs 4N={hi} cores (median same-run pairs)
 
 | metric | {lo} cores | {hi} cores | efficiency (4x cores) | target |
 |---|---|---|---|---|
-| pairs-scored/sec | {h['scorer_pairs_per_sec'][str(lo)]:,.0f} | {h['scorer_pairs_per_sec'][str(hi)]:,.0f} | **{h['scaling_efficiency_scorer']}** | >= 0.8 |
-| pipeline e2e sec | {h['pipeline_secs'][str(lo)]} | {h['pipeline_secs'][str(hi)]} | {h['scaling_efficiency_e2e']} | (diagnostic) |
+| pairs-scored/sec (median run) | {h['scorer_pairs_per_sec'][str(lo)]:,.0f} | {h['scorer_pairs_per_sec'][str(hi)]:,.0f} | **{h['scaling_efficiency_scorer']}** | >= 0.8 |
+| pipeline e2e sec (median run) | {h['pipeline_secs'][str(lo)]} | {h['pipeline_secs'][str(hi)]} | {h['scaling_efficiency_e2e']} | (diagnostic) |
+| pairs-scored/sec (best-of-{repeats} per metric) | {h['best_scorer_pairs_per_sec'][str(lo)]:,.0f} | {h['best_scorer_pairs_per_sec'][str(hi)]:,.0f} | {h['scaling_efficiency_scorer_best']} | (secondary) |
+| pipeline e2e sec (best-of-{repeats} per metric) | {h['best_pipeline_secs'][str(lo)]} | {h['best_pipeline_secs'][str(hi)]} | {h['scaling_efficiency_e2e_best']} | (secondary) |
 
-## Diagnostic: {dlo} vs {dhi} cores — the sandbox DRAM wall
+## Diagnostic: {dlo} vs {dhi} cores — the sandbox DRAM wall (median same-run pairs)
 
 | metric | {dlo} cores | {dhi} cores | efficiency (4x cores) |
 |---|---|---|---|
-| pairs-scored/sec | {d['scorer_pairs_per_sec'][str(dlo)]:,.0f} | {d['scorer_pairs_per_sec'][str(dhi)]:,.0f} | {d['scaling_efficiency_scorer']} |
-| pipeline e2e sec | {d['pipeline_secs'][str(dlo)]} | {d['pipeline_secs'][str(dhi)]} | {d['scaling_efficiency_e2e']} |
+| pairs-scored/sec (median run) | {d['scorer_pairs_per_sec'][str(dlo)]:,.0f} | {d['scorer_pairs_per_sec'][str(dhi)]:,.0f} | {d['scaling_efficiency_scorer']} |
+| pipeline e2e sec (median run) | {d['pipeline_secs'][str(dlo)]} | {d['pipeline_secs'][str(dhi)]} | {d['scaling_efficiency_e2e']} |
+| pairs-scored/sec (best-of-{repeats} per metric) | {d['best_scorer_pairs_per_sec'][str(dlo)]:,.0f} | {d['best_scorer_pairs_per_sec'][str(dhi)]:,.0f} | {d['scaling_efficiency_scorer_best']} |
 
 This VM's **aggregate** memory bandwidth is ~16 GB/s (measured with a
 multi-process STREAM copy: 12.6 GB/s × 1 proc, 16.4 × 8, 10.6 × 32 —
@@ -181,10 +213,22 @@ box (~0.59 measured 2→8 efficiency at a ~400k pairs/s machine
 ceiling); that is a property of shared-DRAM hardware, not of the plan —
 on an N vs 4N EXECUTOR cluster, memory bandwidth scales with nodes.
 
-## Per-level bench JSON
+## Per-level runs (all repeats; median run carries the headline)
 
 ```json
-{json.dumps({str(k): results[k] for k in levels}, indent=1)}
+{json.dumps({str(k): {
+    "runs": [
+        {"scorer_pairs_per_sec": r["scorer_pairs_per_sec"],
+         "pipeline_e2e": r["pipeline_e2e"],
+         "pipeline_stage_secs": r["pipeline_stage_secs"]}
+        for r in results[k]["runs"]
+    ],
+    "median_run": {
+        "scorer_pairs_per_sec":
+            results[k]["median_run"]["scorer_pairs_per_sec"],
+        "pipeline_e2e": results[k]["median_run"]["pipeline_e2e"],
+    },
+} for k in levels}, indent=1)}
 ```
 """
         )

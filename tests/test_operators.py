@@ -340,6 +340,50 @@ def test_span_mention_types_containment_and_default(spark):
     assert got == {0: "S2", 1: "S4", 2: "OTHER"}
 
 
+def test_span_containment_banded_join_key(spark):
+    """The containment join's equi key must include the char-offset
+    band (caps row generation at |mentions|×|spans-per-band| on a
+    pathological page), and a mention straddling a band boundary must
+    still pick up a span that lies entirely in its second band."""
+    from type_filtered_entity_linker_spark.operators.type_filter import (
+        _SPAN_BAND,
+        span_mention_types,
+    )
+
+    B = _SPAN_BAND
+    mentions = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u", "u"],
+                "mention_id": [0, 1],
+                # mention 0 straddles the band-0/band-1 boundary; its
+                # first contained span starts in band 1
+                "start": [B - 10, 3 * B + 5],
+                "end": [B + 40, 3 * B + 20],
+            }
+        )
+    )
+    spans = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["u"] * 3,
+                "s_start": [B + 2, B + 20, 3 * B + 6],
+                "s_end": [B + 10, B + 30, 3 * B + 12],
+                "s_label": ["ORG", "GPE", "PERSON"],
+            }
+        )
+    )
+    df = span_mention_types(mentions, spans)
+    got = {r.mention_id: r.m_type for r in df.collect()}
+    assert got == {0: "S2", 1: "S1"}
+    plan = _physical_plan(df)
+    join_lines = [
+        l for l in plan.splitlines()
+        if "Join" in l or "hashpartitioning" in l
+    ]
+    assert any("bkt" in l for l in join_lines), plan
+
+
 # --- filter effectiveness summary ------------------------------------------
 
 
@@ -566,6 +610,91 @@ def test_detector_correct_under_shuffle_join_plan(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert broadcast_run and broadcast_run == shuffle_run
+
+
+def test_ngram_df_cut_oracle_parity_when_cut_fires(spark):
+    """The DF-cut oracle pairing must hold on a corpus where the cut
+    actually FIRES (not just while the gate fixture stays under it):
+    with max_doc_freq=50 on the boilerplate corpus the footer shingles
+    exceed the cut, and the engine must equal the cut-replicating
+    DuckDB oracle exactly."""
+    import duckdb
+
+    from type_filtered_entity_linker_spark.operators.dedup import (
+        near_duplicates_ngram,
+        shingle_df_stats,
+    )
+    from type_filtered_entity_linker_spark.plans.driver_queries import (
+        BOILER_CORPUS_SQL,
+        _boiler_corpus,
+        _jaccard_oracle_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    corpus = _boiler_corpus(spark, sf)
+    stats = shingle_df_stats(corpus, max_doc_freq=50).collect()[0]
+    assert stats.n_dropped_shingles > 0, "cut must fire for this test"
+    got = (
+        near_duplicates_ngram(corpus, threshold=0.6, max_doc_freq=50)
+        .toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = (
+        con.sql(_jaccard_oracle_sql(BOILER_CORPUS_SQL, max_doc_freq=50))
+        .df()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert got.doc_a.tolist() == want.doc_a.tolist()
+    assert got.doc_b.tolist() == want.doc_b.tolist()
+    assert (got.jaccard - want.jaccard).abs().max() <= 1e-9
+
+
+def test_ann_recall_gate(spark):
+    """The recall@5 metrics row (driver query ann_lsh_recall): IVF at
+    n_probe=2/8 must recover most of the brute-force truth, and
+    OR-amplified multi-table LSH must materially beat the single-table
+    bucket (the round-2 gap: no measured recall for the approx paths).
+    Thresholds sit below the measured sf0.001 values (0.86 / 0.36 /
+    0.06) with head-room for fixture drift."""
+    from type_filtered_entity_linker_spark.plans.driver_queries import QUERIES
+
+    row = QUERIES["ann_lsh_recall"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.recall_ivf >= 0.7, row
+    assert row.recall_lsh_mt >= 0.25, row
+    assert row.recall_lsh_mt >= row.recall_lsh + 0.1, row
+
+
+def test_collected_detector_matches_join_detector(spark):
+    """cfg.detector='collected' (single-pass broadcast-set fast path)
+    must emit byte-identical mentions — including embeddings — to the
+    default join detector."""
+    from type_filtered_entity_linker_spark.config import LinkerConfig
+    from type_filtered_entity_linker_spark.fixtures import make_fixtures
+    from type_filtered_entity_linker_spark.operators.mentions import (
+        detect_mentions_df,
+        with_extracted_text,
+    )
+
+    fx = make_fixtures(seed=45, n_pages=40)
+    pages = spark.createDataFrame(fx["pages"])
+    gaz = spark.createDataFrame(fx["gazetteer"])
+
+    def mentions(cfg):
+        pt = with_extracted_text(pages, cfg)
+        return sorted(
+            (r.url, r.mention_id, r.start, r.end, r.sf, r.sf_norm,
+             r.ner_type, bytes(r.m_emb))
+            for r in detect_mentions_df(pt, gaz, cfg).collect()
+        )
+
+    join_run = mentions(LinkerConfig())
+    collected_run = mentions(LinkerConfig(detector="collected"))
+    assert join_run and join_run == collected_run
 
 
 def test_extract_text_scan_pushdown_and_pruning(spark, tmp_path):

@@ -35,6 +35,13 @@ class LinkerConfig:
     # the reference scorer's dense-layer compute profile,
     # disamb/model.py:35-84; see functions.strings.mlp_similarity_batch)
     scorer_head: str = "cosine"
+    # mention detector strategy: 'join' (candidate-window UDTF →
+    # gazetteer LEFT SEMI join → resolve pass; the web-scale default —
+    # the gazetteer never touches the driver) | 'collected' (driver-
+    # collect + broadcast the alias set into ONE detection pass; no
+    # window shuffle, fastest when the dictionary comfortably fits the
+    # driver, unusable at 10⁷⁺ aliases)
+    detector: str = "join"
     # broadcast the distinct string-sims table only below this row
     # count; above it the scorer falls back to a shuffle join (AQE
     # re-plans at runtime) — see operators.scoring.score_candidates

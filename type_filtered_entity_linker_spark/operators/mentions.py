@@ -200,6 +200,68 @@ def ner_spans_df(pages_text: DataFrame) -> DataFrame:
     return pages_text.select("url", "text").mapInPandas(run, NER_SPAN_SCHEMA)
 
 
+def detect_mentions_collected(
+    pages_text: DataFrame, gazetteer: DataFrame, cfg: LinkerConfig
+) -> DataFrame:
+    """Small-dictionary detector (``cfg.detector='collected'``): the
+    alias set is driver-collected and broadcast, and detection +
+    greedy resolution + embedding run in ONE ``mapInPandas`` pass — no
+    candidate-window shuffle and no second Arrow pass. This is the
+    round-1 design, kept as an explicit fast path: it wins when the
+    gazetteer comfortably fits the driver (the whole membership test is
+    an in-memory set probe), and is structurally unusable at web scale
+    (10⁷–10⁸ aliases OOM the driver — why 'join' is the default)."""
+    from ..functions.tokenize import candidate_windows_columnar
+
+    spark = pages_text.sparkSession
+    aliases = frozenset(
+        r.alias_norm
+        for r in gazetteer.select("alias_norm").distinct().collect()
+    )
+    bgaz = spark.sparkContext.broadcast(aliases)
+    window = cfg.context_window
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gaz = bgaz.value
+        for pdf in batches:
+            c = candidate_windows_columnar(list(pdf["text"]), window)
+            tid, sfn = c["tid"], c["sf_norm"]
+            urls = pdf["url"].to_numpy()
+            per_text: dict[int, list[tuple]] = {}
+            for w in range(len(tid)):
+                if sfn[w] in gaz:
+                    per_text.setdefault(int(tid[w]), []).append(
+                        (
+                            int(c["run_id"][w]), int(c["i"][w]),
+                            int(c["j"][w]), int(c["start"][w]),
+                            int(c["end"][w]), c["sf"][w], sfn[w],
+                            c["ctx"][w],
+                        )
+                    )
+            out = {k: [] for k in (
+                "url", "mention_id", "start", "end", "sf", "sf_norm",
+                "ner_type",
+            )}
+            keys: list[str] = []
+            for t in sorted(per_text):
+                for mid, w in enumerate(greedy_select(per_text[t])):
+                    out["url"].append(urls[t])
+                    out["mention_id"].append(mid)
+                    out["start"].append(w[3])
+                    out["end"].append(w[4])
+                    out["sf"].append(w[5])
+                    out["sf_norm"].append(w[6])
+                    out["ner_type"].append(rule_ner_type(w[6]))
+                    keys.append(w[6] + " | " + w[7])
+            codes, uniques = pd.factorize(pd.Series(keys, dtype=object))
+            mat = embed_texts(list(uniques))
+            bufs = [mat[i].tobytes() for i in range(len(uniques))]
+            out["m_emb"] = [bufs[k] for k in codes]
+            yield pd.DataFrame(out, columns=list(out))
+
+    return pages_text.select("url", "text").mapInPandas(run, MENTION_SCHEMA)
+
+
 def detect_mentions_df(
     pages_text: DataFrame, gazetteer: DataFrame, cfg: LinkerConfig
 ) -> DataFrame:
@@ -212,7 +274,12 @@ def detect_mentions_df(
     Catalyst/AQE executes as broadcast (small dictionaries, no window
     shuffle) or shuffle join (huge dictionaries) from its own size
     stats. Greedy run resolution + vectorized context embedding follow.
-    """
+
+    ``cfg.detector='collected'`` dispatches to the single-pass
+    broadcast-set detector instead (same output, small-dictionary fast
+    path — see :func:`detect_mentions_collected`)."""
+    if cfg.detector == "collected":
+        return detect_mentions_collected(pages_text, gazetteer, cfg)
     wins = emit_candidate_windows(pages_text, cfg)
     matched = wins.join(
         gazetteer.select(F.col("alias_norm").alias("sf_norm")).distinct(),

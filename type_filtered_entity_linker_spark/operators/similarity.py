@@ -103,15 +103,36 @@ def lsh_bucketed_topk(
     corpus: DataFrame,
     k: int = 5,
     bits: int = 8,
+    n_tables: int = 1,
     dim: int | None = None,
     seed: int = 11,
 ) -> DataFrame:
-    """Approximate top-k: only corpus vectors in the query's LSH bucket
-    are scored. Buckets shrink the candidate set ~2^bits-fold."""
-    planes = hyperplanes(dim or _infer_dim(corpus, "embedding"), bits, seed)
-    qb = queries.withColumn("bucket", lsh_bucket(F.col("q_emb"), planes))
-    cb = corpus.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
-    j = qb.join(cb, "bucket").where(F.col("query_id") != F.col("vec_id"))
+    """Approximate top-k: only corpus vectors sharing an LSH bucket with
+    the query (in ANY of ``n_tables`` independent hash tables) are
+    scored. One table shrinks the candidate set ~2^bits-fold but its
+    recall is (1-θ/π)^bits per neighbor — poor on weakly-correlated
+    corpora; OR-amplification across tables (the standard multi-table
+    LSH construction, recall → 1-(1-p)^L) trades candidate volume back
+    for recall. Each table's planes are seeded seed+t; the per-side
+    bucket array explodes to (tbl, bucket) so ALL tables ride ONE
+    equi-join, and candidate pairs are deduped before scoring (a pair
+    is scored once no matter how many tables it collides in)."""
+    d = dim or _infer_dim(corpus, "embedding")
+    plane_sets = [hyperplanes(d, bits, seed + t) for t in range(n_tables)]
+
+    def with_tables(df: DataFrame, emb: str) -> DataFrame:
+        buckets = F.array(*[lsh_bucket(F.col(emb), p) for p in plane_sets])
+        return df.select(
+            "*", F.posexplode(buckets).alias("tbl", "bucket")
+        )
+
+    qb = with_tables(queries, "q_emb")
+    cb = with_tables(corpus, "embedding")
+    j = (
+        qb.join(cb, ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
     scored = j.select(
         "query_id",
         "vec_id",

@@ -67,21 +67,46 @@ def mention_type_col() -> F.Column:
     return F.coalesce(mapping[F.col("ner_type")], F.lit(OTHER_TYPE))
 
 
+# chars per containment-join band: small enough to split pathological
+# pages into many join buckets, large enough that a mention (≤ a few
+# tokens) rarely touches more than 2 bands
+_SPAN_BAND = 256
+
+
 def span_mention_types(
     mentions: DataFrame, spans: DataFrame
 ) -> DataFrame:
     """(url, mention_id, m_type) via CONTAINMENT JOIN: the mention's
     type comes from the FIRST NER span fully inside its char range
     (reference ``el/filter.py:146-175``; predicate at ``:123``) — a
-    genuine non-equi range join (equi on url + two range predicates;
-    Catalyst executes it as the url hash join with post-join range
-    filter, so the shuffle stays keyed on url). Mentions containing no
-    span default to OTHER (reference ``el/filter.py:169-171``)."""
+    genuine non-equi range join (equi key + two range predicates).
+    Mentions containing no span default to OTHER (reference
+    ``el/filter.py:169-171``).
+
+    The equi key is (url, char-offset band), not url alone: a url-only
+    key generates |mentions|×|spans| rows per page before the range
+    filter — bounded by ~10 KB pages today but quadratic on a
+    pathological page. Banding by ``_SPAN_BAND`` chars caps generation
+    at |mentions|×|spans-per-band|; a mention explodes into the few
+    bands its char range touches (mentions are ≤ MAX_WINDOW tokens, so
+    almost always 1–2), and each contained span still meets its mention
+    exactly once (a span's band is a single value)."""
     from pyspark.sql import Window
 
     m = mentions.select("url", "mention_id", "start", "end")
-    s = spans.select("url", "s_start", "s_end", "s_label")
-    contained = m.join(s, "url").where(
+    m_banded = m.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start") / _SPAN_BAND),
+                F.floor(F.col("end") / _SPAN_BAND),
+            )
+        ),
+    )
+    s = spans.select("url", "s_start", "s_end", "s_label").withColumn(
+        "bkt", F.floor(F.col("s_start") / _SPAN_BAND)
+    )
+    contained = m_banded.join(s, ["url", "bkt"]).where(
         (F.col("s_start") >= F.col("start")) & (F.col("s_end") <= F.col("end"))
     )
     w = Window.partitionBy("url", "mention_id").orderBy(

@@ -545,20 +545,34 @@ def q_dedup_minhash(spark, sf_dir) -> DataFrame:
     return near_duplicates_minhash(_neardup_corpus(spark, sf_dir), threshold=0.6)
 
 
-def _jaccard_oracle_sql(corpus_sql: str, threshold: float = 0.6) -> str:
+def _jaccard_oracle_sql(
+    corpus_sql: str, threshold: float = 0.6, max_doc_freq: int | None = None
+) -> str:
     """Brute-force distinct-shingle Jaccard over a corpus CTE — the
-    shared oracle for every shingle-Jaccard-equivalent dedup operator."""
+    shared oracle for every shingle-Jaccard-equivalent dedup operator.
+    ``max_doc_freq`` replicates the operator's DF-cut (shingles in more
+    docs than the cut are pruned BEFORE sizes/intersections), so a
+    DF-cut query's oracle is exact BY CONSTRUCTION at any corpus scale
+    — not just while the gate fixture stays under the cut (ADVICE r02)."""
+    df_cut = (
+        f""",
+    sh_df AS (SELECT s, count(*) AS df FROM sh0 GROUP BY s),
+    sh AS (SELECT doc_id, s FROM sh0
+           WHERE s IN (SELECT s FROM sh_df WHERE df <= {max_doc_freq}))"""
+        if max_doc_freq is not None
+        else ",\n    sh AS (SELECT doc_id, s FROM sh0)"
+    )
     return f"""
     WITH corpus AS ({corpus_sql}),
     toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
     -- short-doc fallback matches Spark token_shingles: docs with < 3
     -- tokens contribute one whole-text shingle instead of none
-    sh AS (SELECT DISTINCT doc_id, s
+    sh0 AS (SELECT DISTINCT doc_id, s
            FROM toks, unnest(
                CASE WHEN len(l) >= 3
                     THEN [array_to_string(l[i:i+2], ' ')
                           for i in generate_series(1, len(l) - 2)]
-                    ELSE [array_to_string(l, ' ')] END) AS t(s)),
+                    ELSE [array_to_string(l, ' ')] END) AS t(s)){df_cut},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -578,7 +592,14 @@ DEDUP_MINHASH_SQL = _jaccard_oracle_sql(NEARDUP_CORPUS_SQL)
 
 
 def q_dedup_ngram(spark, sf_dir) -> DataFrame:
-    return near_duplicates_ngram(_neardup_corpus(spark, sf_dir), threshold=0.6)
+    # max_doc_freq=None EXPLICITLY: this is the exact-Jaccard variant,
+    # paired with the brute-force oracle — exact at any corpus scale by
+    # construction, not by the gate fixture staying under the default
+    # cut (ADVICE r02). The DF-cut path is oracle-checked separately by
+    # dedup_ngram_boilerplate whose oracle replicates the cut.
+    return near_duplicates_ngram(
+        _neardup_corpus(spark, sf_dir), threshold=0.6, max_doc_freq=None
+    )
 
 
 # exact operator — the brute-force shingle-Jaccard SQL (shared with the
@@ -609,12 +630,12 @@ def q_dedup_ngram_boilerplate(spark, sf_dir) -> DataFrame:
     """The head-shingle stress case: every doc shares a boilerplate
     footer. The default DF-cut (max_doc_freq=1000) bounds the posting
     lists at bench scale (sf0.1: footer shingles hit every doc and are
-    pruned); at the sf0.01 oracle gate the cut is inert (no shingle
-    reaches 1000 docs), so the brute-force Jaccard SQL is exact."""
+    pruned). The oracle replicates the SAME cut, so the pairing is
+    exact at any corpus scale — including scales where the cut fires."""
     return near_duplicates_ngram(_boiler_corpus(spark, sf_dir), threshold=0.6)
 
 
-DEDUP_NGRAM_BOILER_SQL = _jaccard_oracle_sql(BOILER_CORPUS_SQL)
+DEDUP_NGRAM_BOILER_SQL = _jaccard_oracle_sql(BOILER_CORPUS_SQL, max_doc_freq=1000)
 
 
 def q_ngram_df_stats(spark, sf_dir) -> DataFrame:
@@ -814,6 +835,162 @@ def q_ann_ivf(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ann_recall(spark, sf_dir) -> DataFrame:
+    """Recall@5 gate for the APPROXIMATE ANN paths (VERDICT r02 #1 gap):
+    one metrics row (recall_lsh, recall_ivf) = fraction of brute-force
+    top-5 neighbors recovered by sign-LSH (bits=6) and by IVF at
+    n_probe=2 of n_cells=8 (genuinely approximate — the ivf driver
+    query itself probes exhaustively). Both paths are deterministic
+    given their literals, so the oracle replicates the computation
+    exactly instead of asserting a threshold; the threshold lives in
+    pytest (test_ann_recall_gate)."""
+    e = _emb(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = e.select("vec_id", "embedding")
+    truth = brute_force_topk(queries, corpus, k=5).select("query_id", "vec_id")
+    lsh = lsh_bucketed_topk(queries, corpus, k=5, bits=6).select(
+        "query_id", "vec_id"
+    )
+    # OR-amplified multi-table LSH: the measured recall curve a user
+    # tunes against (single-table sign-LSH on weakly-correlated
+    # embeddings recalls almost nothing — the metric exists to SHOW it)
+    lsh_mt = lsh_bucketed_topk(
+        queries, corpus, k=5, bits=6, n_tables=8
+    ).select("query_id", "vec_id")
+    ivf = ivf_topk(queries, corpus, k=5, n_cells=8, n_probe=2).select(
+        "query_id", "vec_id"
+    )
+
+    def recall_of(approx: DataFrame, name: str) -> DataFrame:
+        j = truth.join(
+            approx.withColumn("_hit", F.lit(1)), ["query_id", "vec_id"], "left"
+        )
+        return j.agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*"), 6
+            ).alias(name)
+        )
+
+    return (
+        recall_of(lsh, "recall_lsh")
+        .crossJoin(recall_of(lsh_mt, "recall_lsh_mt"))
+        .crossJoin(recall_of(ivf, "recall_ivf"))
+    )
+
+
+def _ann_recall_oracle_sql(
+    dim: int = 64, bits: int = 6, seed: int = 11, n_tables: int = 8
+) -> str:
+    """DuckDB replica of q_ann_recall: brute-force truth + the
+    literal-hyperplane LSH replica (see _ann_lsh_oracle_sql), its
+    multi-table OR-amplified variant (table t's planes seeded seed+t,
+    candidate iff ANY table's buckets agree), and an IVF replica (seed
+    centroids = 8 lowest vec_ids, nearest-centroid assignment with
+    (cos DESC, cell) ties, 2 probe cells per query)."""
+    from ..operators.similarity import hyperplanes
+
+    def bucket(col: str, planes) -> str:
+        terms = []
+        for b, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, {lit}) > 0 "
+                f"THEN {1 << b} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    plane_sets = [hyperplanes(dim, bits, seed + t) for t in range(n_tables)]
+    planes = plane_sets[0]  # single-table variant = table 0 (same seed)
+    q_mt_cols = ", ".join(
+        f"{bucket('qe', plane_sets[t])} AS b{t}" for t in range(n_tables)
+    )
+    c_mt_cols = ", ".join(
+        f"{bucket('e', plane_sets[t])} AS b{t}" for t in range(n_tables)
+    )
+    any_table = " OR ".join(
+        f"qmt.b{t} = cmt.b{t}" for t in range(n_tables)
+    )
+
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    bf_scored AS (
+        SELECT query_id, vec_id,
+               round({cos.format(a='qe', b='e')}, 6) AS cos
+        FROM q CROSS JOIN c WHERE query_id != vec_id),
+    truth AS (SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        FROM bf_scored) WHERE rank <= 5),
+    qb AS (SELECT query_id, qe, {bucket('qe', planes)} AS bucket FROM q),
+    cb AS (SELECT vec_id, e, {bucket('e', planes)} AS bucket FROM c),
+    lsh_scored AS (
+        SELECT query_id, vec_id,
+               round({cos.format(a='qe', b='e')}, 6) AS cos
+        FROM qb JOIN cb USING (bucket) WHERE query_id != vec_id),
+    lsh AS (SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        FROM lsh_scored) WHERE rank <= 5),
+    qmt AS (SELECT query_id, qe, {q_mt_cols} FROM q),
+    cmt AS (SELECT vec_id, e, {c_mt_cols} FROM c),
+    mt_scored AS (
+        SELECT query_id, vec_id,
+               round({cos.format(a='qe', b='e')}, 6) AS cos
+        FROM qmt, cmt
+        WHERE query_id != vec_id AND ({any_table})),
+    mt AS (SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        FROM mt_scored) WHERE rank <= 5),
+    cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     embedding::DOUBLE[] AS ce
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 8)),
+    ca AS (SELECT vec_id, e, cell FROM (
+        SELECT c.vec_id, c.e, ct.cell, row_number() OVER (
+            PARTITION BY c.vec_id
+            ORDER BY {cos.format(a='c.e', b='ct.ce')} DESC, ct.cell) AS rn
+        FROM c CROSS JOIN cents ct) WHERE rn = 1),
+    qa AS (SELECT query_id, qe, cell FROM (
+        SELECT q.query_id, q.qe, ct.cell, row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY {cos.format(a='q.qe', b='ct.ce')} DESC, ct.cell) AS rn
+        FROM q CROSS JOIN cents ct) WHERE rn <= 2),
+    ivf_scored AS (
+        SELECT DISTINCT query_id, vec_id,
+               round({cos.format(a='qe', b='e')}, 6) AS cos
+        FROM qa JOIN ca USING (cell) WHERE query_id != vec_id),
+    ivf AS (SELECT query_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        FROM ivf_scored) WHERE rank <= 5),
+    sel AS (
+        SELECT t.query_id, t.vec_id,
+               CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END AS lh,
+               CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END AS mh,
+               CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END AS ih
+        FROM truth t
+        LEFT JOIN lsh l ON t.query_id = l.query_id AND t.vec_id = l.vec_id
+        LEFT JOIN mt m ON t.query_id = m.query_id AND t.vec_id = m.vec_id
+        LEFT JOIN ivf i ON t.query_id = i.query_id AND t.vec_id = i.vec_id)
+    SELECT round(sum(lh)::DOUBLE / count(*), 6) AS recall_lsh,
+           round(sum(mh)::DOUBLE / count(*), 6) AS recall_lsh_mt,
+           round(sum(ih)::DOUBLE / count(*), 6) AS recall_ivf
+    FROM sel
+"""
+
+
+ANN_RECALL_SQL = _ann_recall_oracle_sql()
+
+
 # ------------------------------------------------------------- text analysis
 
 
@@ -998,15 +1175,23 @@ def q_events_asof_join(spark, sf_dir) -> DataFrame:
     operators/temporal.py): every click event gets the user's most
     recent purchase at-or-before its timestamp. Oracle: DuckDB's
     native ASOF LEFT JOIN — two independent implementations of the
-    same temporal-join semantics."""
+    same temporal-join semantics.
+
+    The right side is deduped to one row per (user_id, ts) — max
+    rounded value — BEFORE the join in both engines: with duplicate-ts
+    purchases, which equal-ts row an ASOF join surfaces is unspecified
+    in DuckDB and engine-specific here, so the comparison is made
+    well-defined by construction (ADVICE r02)."""
     from ..operators.temporal import asof_join
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.round("value", 4).alias("p_value")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.round("value", 4)).alias("p_value"))
     )
     return asof_join(clicks, purchases, on=["user_id"], ts_col="ts")
 
@@ -1014,8 +1199,8 @@ def q_events_asof_join(spark, sf_dir) -> DataFrame:
 EVENTS_ASOF_SQL = """
     WITH c AS (SELECT event_id, user_id, ts FROM events
                WHERE event_type = 'click'),
-    p AS (SELECT user_id, ts, round(value, 4) AS p_value FROM events
-          WHERE event_type = 'purchase')
+    p AS (SELECT user_id, ts, max(round(value, 4)) AS p_value FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id, ts)
     SELECT c.event_id, c.user_id, c.ts,
            p.ts AS ts_right, p.p_value AS p_value_right
     FROM c ASOF LEFT JOIN p
@@ -1268,6 +1453,7 @@ QUERIES = {
     "ann_topk_bruteforce": q_ann_topk,
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
+    "ann_lsh_recall": q_ann_recall,
     "lang_id": q_lang_id,
     "quality_score": q_quality,
     "token_count": q_token_count,
@@ -1311,6 +1497,7 @@ ORACLES = {
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_ivf": ANN_TOPK_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
+    "ann_lsh_recall": ANN_RECALL_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
     "token_count": TOKEN_COUNT_SQL,

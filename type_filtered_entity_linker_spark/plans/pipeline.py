@@ -187,7 +187,9 @@ def run_pipeline(
 
     clusters, fp8 = stage("clusters", fp7, compute_clusters)
     if cc_stats:
-        metrics[-1]["cc_iterations"] = len(cc_stats)
+        # stats are recorded per checksum (every check_every rounds);
+        # the last entry's iteration is the true round count
+        metrics[-1]["cc_iterations"] = cc_stats[-1]["iteration"]
         metrics[-1]["cc_convergence"] = cc_stats
 
     return PipelineResult(
