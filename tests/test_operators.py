@@ -695,6 +695,63 @@ def test_collected_detector_matches_join_detector(spark):
     join_run = mentions(LinkerConfig())
     collected_run = mentions(LinkerConfig(detector="collected"))
     assert join_run and join_run == collected_run
+    # Bloom pre-probe OFF must also be byte-identical: the filter may
+    # only change how much work reaches the semi-join, never the output
+    no_bloom_run = mentions(LinkerConfig(bloom_bits_per_key=0))
+    assert join_run == no_bloom_run
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    """Distributed Bloom build: every inserted alias probes True (no
+    false negatives — exactness of the detector depends on it) and the
+    false-positive rate on 20k non-members stays near the design point
+    (~0.8% at 10 bits/key, 6 hashes; asserted < 3%)."""
+    import numpy as np
+
+    from type_filtered_entity_linker_spark.functions.bloom import (
+        bloom_probe,
+        build_bloom,
+    )
+
+    aliases = [f"alias {i} corp" for i in range(5000)]
+    # unicode + empty + long strings exercise the cap/length mixing
+    aliases += ["", "königs straße", "x" * 500, "x" * 501]
+    df = spark.createDataFrame(
+        pd.DataFrame({"alias_norm": aliases})
+    ).repartition(8)
+    words, m_bits, k = build_bloom(df, "alias_norm")
+    assert bloom_probe(aliases, words, m_bits, k).all()
+    non_members = [f"miss {i} ltd" for i in range(20000)]
+    fp = bloom_probe(non_members, words, m_bits, k).mean()
+    assert fp < 0.03, fp
+
+
+def test_columnar_keep_filters_before_ctx():
+    """candidate_windows_columnar(keep=...) must return exactly the
+    unfiltered run's surviving rows — same ctx strings, same offsets —
+    for an arbitrary keep mask."""
+    import numpy as np
+
+    from type_filtered_entity_linker_spark.functions.tokenize import (
+        candidate_windows_columnar,
+    )
+
+    texts = [
+        "Alpha Beta Gamma walked to Delta City yesterday",
+        "nothing capitalized here",
+        "Zeta One visited Alpha Beta",
+    ]
+    full = candidate_windows_columnar(texts)
+    wanted = {"alpha beta", "delta city", "zeta one"}
+    got = candidate_windows_columnar(
+        texts, keep=lambda sfns: np.array([s in wanted for s in sfns])
+    )
+    keep_idx = [i for i, s in enumerate(full["sf_norm"]) if s in wanted]
+    assert len(keep_idx) == len(got["sf_norm"]) > 0
+    for col in ("tid", "run_id", "i", "j", "start", "end"):
+        assert got[col].tolist() == [int(full[col][i]) for i in keep_idx]
+    for col in ("sf", "sf_norm", "ctx"):
+        assert got[col] == [full[col][i] for i in keep_idx]
 
 
 def test_extract_text_scan_pushdown_and_pruning(spark, tmp_path):

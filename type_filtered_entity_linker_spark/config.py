@@ -42,6 +42,14 @@ class LinkerConfig:
     # window shuffle, fastest when the dictionary comfortably fits the
     # driver, unusable at 10⁷⁺ aliases)
     detector: str = "join"
+    # join-detector Bloom pre-probe: bits per gazetteer alias (0 = off).
+    # 10 bits + 6 hashes ≈ 0.8% false-positive rate; the filter is
+    # built distributed (bitmap OR-fold, never raw strings on the
+    # driver) and false positives are removed by the exact semi-join,
+    # so results are identical at any setting — this knob only trades
+    # broadcast size against wasted ctx-builds/shuffle for misses.
+    bloom_bits_per_key: int = 10
+    bloom_hashes: int = 6
     # broadcast the distinct string-sims table only below this row
     # count; above it the scorer falls back to a shuffle join (AQE
     # re-plans at runtime) — see operators.scoring.score_candidates

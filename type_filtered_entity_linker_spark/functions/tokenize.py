@@ -59,7 +59,7 @@ _EMPTY_COLUMNAR = {
 
 
 def candidate_windows_columnar(
-    texts: "list[str]", ctx_window: int = 3
+    texts: "list[str]", ctx_window: int = 3, keep=None
 ) -> "dict[str, object]":
     """Columnar form of :func:`candidate_windows_batch`: one flat
     column set over ALL windows of the batch, with ``tid`` = index of
@@ -67,7 +67,15 @@ def candidate_windows_columnar(
     columns Python lists — exactly the shape a pandas DataFrame
     constructor wants, so the detection UDTF builds its Arrow batch
     with ZERO per-window Python appends (VERDICT r02 item 6: the old
-    tail re-appended 9 columns per window in Python)."""
+    tail re-appended 9 columns per window in Python).
+
+    ``keep`` (optional): ``list[str] sf_norms -> bool mask`` membership
+    probe (exact set or Bloom — operators.mentions). It runs AFTER the
+    cheap sf/sf_norm slices but BEFORE the ctx build, so windows it
+    rejects never pay the context-string join — on web text ~95% of
+    windows are gazetteer misses, and their ctx build was the
+    detector's single largest Python cost. Passing ``keep=None`` is
+    exactly the historic emit-all behavior."""
     n = len(texts)
     if n == 0:
         return dict(_EMPTY_COLUMNAR)
@@ -163,6 +171,25 @@ def candidate_windows_columnar(
     # numeric stays a numpy array end-to-end
     sf_col: list = [None] * W
     sfn_col: list = [None] * W
+    for w in range(W):
+        sf = joined[int(w_start[w]) : int(w_end[w])]
+        sf_col[w] = sf
+        sfn_col[w] = normalize_sf(sf)
+
+    if keep is not None and W:
+        mask = np.asarray(keep(sfn_col), dtype=bool)
+        if not mask.all():
+            idx = np.nonzero(mask)[0]
+            w_tid, w_rid, w_i, w_j = (
+                w_tid[idx], w_rid[idx], w_i[idx], w_j[idx]
+            )
+            g_a, g_b, w_start, w_end = (
+                g_a[idx], g_b[idx], w_start[idx], w_end[idx]
+            )
+            sf_col = [sf_col[i] for i in idx]
+            sfn_col = [sfn_col[i] for i in idx]
+            W = len(idx)
+
     ctx_col: list = [None] * W
     ctx_lo = np.maximum(text_first_tok[w_tid], g_a - ctx_window)
     ctx_hi = np.minimum(text_last_tok[w_tid], g_b + 1 + ctx_window)
@@ -174,9 +201,6 @@ def candidate_windows_columnar(
                 + [tok(k) for k in range(gb1, int(ctx_hi[w]))]
             )
         )
-        sf = joined[int(w_start[w]) : int(w_end[w])]
-        sf_col[w] = sf
-        sfn_col[w] = normalize_sf(sf)
     return {
         "tid": w_tid.astype(np.int64),
         "run_id": w_rid.astype(np.int64),

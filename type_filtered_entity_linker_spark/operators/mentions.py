@@ -85,21 +85,30 @@ def with_extracted_text(pages: DataFrame, cfg: LinkerConfig) -> DataFrame:
     )
 
 
-def emit_candidate_windows(pages_text: DataFrame, cfg: LinkerConfig) -> DataFrame:
-    """(url, text) → ALL capitalized-run candidate windows (1..4
-    tokens) with char offsets and context strings — the probe side of
-    the gazetteer membership join. Tokenization is batch-vectorized
+def emit_candidate_windows(
+    pages_text: DataFrame, cfg: LinkerConfig, keep=None
+) -> DataFrame:
+    """(url, text) → capitalized-run candidate windows (1..4 tokens)
+    with char offsets and context strings — the probe side of the
+    gazetteer membership join. Tokenization is batch-vectorized
     (functions.tokenize.candidate_windows_batch: numpy boundary masks
     over the whole Arrow batch, ~3x the pure-Python tokenizer on 10 KB
     pages; tuple-identical to textlib.candidate_windows, the primitive
-    the oracle's detect_mentions composes — hypothesis-tested)."""
+    the oracle's detect_mentions composes — hypothesis-tested).
+
+    ``keep`` (optional, worker-side ``sf_norms -> bool mask``): a
+    membership pre-probe (Bloom filter over the gazetteer — see
+    :func:`detect_mentions_df`) applied before the context-string
+    build, so the ~95% of windows that are dictionary misses pay
+    neither the ctx join nor Arrow emission. With keep=None every
+    window is emitted (the historic behavior)."""
     from ..functions.tokenize import candidate_windows_columnar
 
     window = cfg.context_window
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            c = candidate_windows_columnar(list(pdf["text"]), window)
+            c = candidate_windows_columnar(list(pdf["text"]), window, keep)
             # columnar all the way: urls fan out by numpy take, numeric
             # columns stay int64 arrays — no per-window Python appends
             yield pd.DataFrame(
@@ -223,21 +232,30 @@ def detect_mentions_collected(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         gaz = bgaz.value
+
+        def keep(sf_norms: list) -> "object":
+            import numpy as np
+
+            return np.fromiter(
+                (s in gaz for s in sf_norms), dtype=bool, count=len(sf_norms)
+            )
+
         for pdf in batches:
-            c = candidate_windows_columnar(list(pdf["text"]), window)
+            # exact membership probe runs INSIDE the tokenizer, before
+            # the ctx build — misses never become context strings
+            c = candidate_windows_columnar(list(pdf["text"]), window, keep)
             tid, sfn = c["tid"], c["sf_norm"]
             urls = pdf["url"].to_numpy()
             per_text: dict[int, list[tuple]] = {}
             for w in range(len(tid)):
-                if sfn[w] in gaz:
-                    per_text.setdefault(int(tid[w]), []).append(
-                        (
-                            int(c["run_id"][w]), int(c["i"][w]),
-                            int(c["j"][w]), int(c["start"][w]),
-                            int(c["end"][w]), c["sf"][w], sfn[w],
-                            c["ctx"][w],
-                        )
+                per_text.setdefault(int(tid[w]), []).append(
+                    (
+                        int(c["run_id"][w]), int(c["i"][w]),
+                        int(c["j"][w]), int(c["start"][w]),
+                        int(c["end"][w]), c["sf"][w], sfn[w],
+                        c["ctx"][w],
                     )
+                )
             out = {k: [] for k in (
                 "url", "mention_id", "start", "end", "sf", "sf_norm",
                 "ner_type",
@@ -277,10 +295,35 @@ def detect_mentions_df(
 
     ``cfg.detector='collected'`` dispatches to the single-pass
     broadcast-set detector instead (same output, small-dictionary fast
-    path — see :func:`detect_mentions_collected`)."""
+    path — see :func:`detect_mentions_collected`).
+
+    Bloom pre-probe (``cfg.bloom_bits_per_key > 0``, default on): a
+    Bloom filter over the gazetteer is built DISTRIBUTED (bitmap
+    OR-fold — the driver only ever holds ~1.25 bytes/alias, 10⁸
+    aliases ≈ 125 MB, vs gigabytes for the raw strings) and broadcast
+    into the window UDTF, where it drops dictionary misses BEFORE the
+    context-string build and Arrow emission. No false negatives by
+    construction; the ~1% false positives are removed by the exact
+    semi-join, so downstream results are bit-identical (parity-tested
+    against bloom-off and against the collected detector)."""
     if cfg.detector == "collected":
         return detect_mentions_collected(pages_text, gazetteer, cfg)
-    wins = emit_candidate_windows(pages_text, cfg)
+    keep = None
+    if cfg.bloom_bits_per_key > 0:
+        from ..functions.bloom import bloom_probe, build_bloom
+
+        words, m_bits, k = build_bloom(
+            gazetteer, "alias_norm", cfg.bloom_bits_per_key, cfg.bloom_hashes
+        )
+        bc = pages_text.sparkSession.sparkContext.broadcast(
+            (words, m_bits, k)
+        )
+
+        def keep(sf_norms: list) -> "object":
+            w, m, kk = bc.value
+            return bloom_probe(sf_norms, w, m, kk)
+
+    wins = emit_candidate_windows(pages_text, cfg, keep)
     matched = wins.join(
         gazetteer.select(F.col("alias_norm").alias("sf_norm")).distinct(),
         "sf_norm",
