@@ -68,9 +68,9 @@ clusters vs the fixture's labeled pairs at the same blocking key,
     if pat.search(text):
         text = pat.sub(section, text)
     else:
-        text = text.replace(
-            "## Per-level bench JSON", section + "## Per-level bench JSON"
-        )
+        anchor = re.search(r"^## Per-level .*$", text, re.MULTILINE)
+        assert anchor, "no per-level section to anchor the F1 table on"
+        text = text[: anchor.start()] + section + text[anchor.start() :]
     open(path, "w").write(text)
     print(
         f"cosine f1={c.f1:.5f} mlp f1={m.f1:.5f} "

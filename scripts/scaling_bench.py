@@ -147,6 +147,14 @@ def main() -> None:
     print(json.dumps(summary))
 
     h, d = summary["headline"], summary["diagnostic"]
+    spread_line = ", ".join(
+        "{} cores {:.2f}x".format(
+            c,
+            max(r["scorer_pairs_per_sec"] for r in results[c]["runs"])
+            / min(r["scorer_pairs_per_sec"] for r in results[c]["runs"]),
+        )
+        for c in levels
+    )
     lo, hi = PAIRS[0]
     dlo, dhi = PAIRS[1]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -193,6 +201,10 @@ storage doesn't have).
 | pairs-scored/sec (median run) | {d['scorer_pairs_per_sec'][str(dlo)]:,.0f} | {d['scorer_pairs_per_sec'][str(dhi)]:,.0f} | {d['scaling_efficiency_scorer']} |
 | pipeline e2e sec (median run) | {d['pipeline_secs'][str(dlo)]} | {d['pipeline_secs'][str(dhi)]} | {d['scaling_efficiency_e2e']} |
 | pairs-scored/sec (best-of-{repeats} per metric) | {d['best_scorer_pairs_per_sec'][str(dlo)]:,.0f} | {d['best_scorer_pairs_per_sec'][str(dhi)]:,.0f} | {d['scaling_efficiency_scorer_best']} |
+
+Run-to-run scorer-throughput spread (max/min across the {repeats}
+repeats, co-tenant load indicator — read medians at high-spread levels
+with that in mind): {spread_line}.
 
 This VM's **aggregate** memory bandwidth is ~16 GB/s (measured with a
 multi-process STREAM copy: 12.6 GB/s × 1 proc, 16.4 × 8, 10.6 × 32 —

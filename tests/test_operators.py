@@ -669,6 +669,23 @@ def test_ann_recall_gate(spark):
     assert row.recall_lsh_mt >= row.recall_lsh + 0.1, row
 
 
+def test_minhash_recall_gate(spark):
+    """The MinHash-LSH S-curve metrics row (driver query
+    dedup_minhash_recall): on the decayed-copy corpus (truth pairs sit
+    at Jaccard ≈ 2/3, mid-S-curve) 16-band×4-row banding must recover
+    nearly all truth while 4-band×16-row must miss most of it — the
+    measured curve a user tunes (bands, rows) against, not the formula.
+    Thresholds sit below/above the measured sf0.001 values
+    (0.946 / 0.203) with head-room for fixture drift."""
+    from type_filtered_entity_linker_spark.plans.driver_queries import QUERIES
+
+    row = QUERIES["dedup_minhash_recall"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_true > 50, row
+    assert row.recall_16b >= 0.85, row
+    assert row.recall_4b <= 0.5, row
+    assert row.recall_16b >= row.recall_4b + 0.3, row
+
+
 def test_collected_detector_matches_join_detector(spark):
     """cfg.detector='collected' (single-pass broadcast-set fast path)
     must emit byte-identical mentions — including embeddings — to the

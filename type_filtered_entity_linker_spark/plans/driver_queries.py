@@ -991,6 +991,205 @@ def _ann_recall_oracle_sql(
 ANN_RECALL_SQL = _ann_recall_oracle_sql()
 
 
+# ------------------------------------------- MinHash-LSH recall gate (S-curve)
+
+# Recall corpus: documents ∪ DECAYED copies (first third of the tokens
+# dropped from every 5th doc → Jaccard ≈ 2/3 against the original).
+# The standard near-dup fixture pairs sit at J ≈ 0.98 where every sane
+# banding catches them; the decayed pairs sit mid-S-curve, where the
+# band configuration actually matters — the measured recall curve a
+# user tunes (bands, rows) against.
+MINHASH_RECALL_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id,
+           array_to_string(list_slice(l, (len(l) // 3) + 1, len(l)), ' ')
+               AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    WHERE doc_id % 5 = 0
+"""
+
+
+def _minhash_recall_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    l = F.split(F.col("text"), " ")
+    drop = F.floor(F.size(l) / F.lit(3)).cast("int")
+    decayed = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(l, drop + F.lit(1), F.size(l) - drop)
+        ).alias("text"),
+    )
+    return d.unionByName(decayed)
+
+
+def _md5_minhash_sigs(corpus: DataFrame, k: int = 64) -> DataFrame:
+    """(doc_id, m0..m{k-1}) MinHash signature via k independent
+    md5-salted hashes (hash j of shingle s = first 60 bits of
+    md5('j:' || s)) — slower than the production affine-permutation
+    xxhash64 family (operators/dedup.minhash_signatures) but
+    bit-identical in every engine, the same oracle-replication trick
+    as SimHash ``hash_fn='md5_60'``."""
+    from ..operators.dedup import token_shingles
+
+    sh = corpus.select(
+        "doc_id", F.explode(token_shingles("text", 3)).alias("s")
+    )
+
+    def h(j: int) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    return sh.groupBy("doc_id").agg(
+        *[F.min(h(j)).alias(f"m{j}") for j in range(k)]
+    )
+
+
+def _band_pairs(sigs: DataFrame, bands: int, k: int = 64) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs agreeing on at least one band —
+    the same banded-bucket equi-join shape as
+    operators/dedup.lsh_candidate_pairs, keyed on the raw band values
+    (hashing band values is an optimization, not a semantic)."""
+    r = k // bands
+    ex = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        *[
+                            F.col(f"m{bi * r + o}").alias(f"v{o}")
+                            for o in range(r)
+                        ],
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.*")
+    keys = ["band"] + [f"v{o}" for o in range(r)]
+    a = ex.select(F.col("doc_id").alias("doc_a"), *keys)
+    b = ex.select(F.col("doc_id").alias("doc_b"), *keys)
+    return (
+        a.join(b, keys)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def q_minhash_recall(spark, sf_dir) -> DataFrame:
+    """Recall gate for MinHash-LSH candidate generation (the dedup twin
+    of ``ann_lsh_recall``): one metrics row — truth = exact-Jaccard
+    pairs ≥ 0.5 on the decayed-copy corpus; recall_16b / recall_4b =
+    the fraction of truth recovered by 16-band×4-row vs 4-band×16-row
+    banding of the same 64-hash signatures. At J ≈ 2/3 the S-curve
+    puts 16×4 near 1 and 4×16 near 0 — measured, not asserted from the
+    formula. Deterministic given the md5 hash family, so the oracle
+    replicates the computation exactly; thresholds live in pytest
+    (test_minhash_recall_gate)."""
+    corpus = _minhash_recall_corpus(spark, sf_dir)
+    truth = near_duplicates_ngram(
+        corpus, threshold=0.5, max_doc_freq=None
+    ).select("doc_a", "doc_b")
+    sigs = _md5_minhash_sigs(corpus)
+    found16 = _band_pairs(sigs, 16).join(
+        truth, ["doc_a", "doc_b"], "left_semi"
+    )
+    found4 = _band_pairs(sigs, 4).join(
+        truth, ["doc_a", "doc_b"], "left_semi"
+    )
+    t = truth.agg(F.count("*").alias("n_true"))
+    f16 = found16.agg(F.count("*").alias("n_found_16b"))
+    f4 = found4.agg(F.count("*").alias("n_found_4b"))
+    return (
+        t.crossJoin(f16)
+        .crossJoin(f4)
+        .select(
+            "n_true",
+            "n_found_16b",
+            "n_found_4b",
+            F.round(F.col("n_found_16b") / F.col("n_true"), 6).alias(
+                "recall_16b"
+            ),
+            F.round(F.col("n_found_4b") / F.col("n_true"), 6).alias(
+                "recall_4b"
+            ),
+        )
+    )
+
+
+def _minhash_recall_oracle_sql(k: int = 64, threshold: float = 0.5) -> str:
+    """DuckDB replica of q_minhash_recall: brute-force exact-Jaccard
+    truth + the md5-salted signature family + brute-force band-equality
+    check per truth pair (banding's bucket join is a pure optimization;
+    checking the band predicate on each truth pair is the same set)."""
+
+    def h(j: int) -> str:
+        return (
+            f"list_reduce([strpos('0123456789abcdef', "
+            f"substr(md5('{j}:' || s), i, 1)) - 1 "
+            f"for i in generate_series(1, 15)], (a, b) -> a * 16 + b)"
+            f"::BIGINT"
+        )
+
+    mins = ",\n           ".join(f"min({h(j)}) AS m{j}" for j in range(k))
+
+    def band_cond(bands: int) -> str:
+        r = k // bands
+        ors = []
+        for bi in range(bands):
+            ands = " AND ".join(
+                f"a.m{bi * r + o} = b.m{bi * r + o}" for o in range(r)
+            )
+            ors.append(f"({ands})")
+        return "\n               OR ".join(ors)
+
+    return f"""
+    WITH corpus AS ({MINHASH_RECALL_CORPUS_SQL}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+    sh AS (SELECT DISTINCT doc_id, s
+           FROM toks, unnest(
+               CASE WHEN len(l) >= 3
+                    THEN [array_to_string(l[i:i+2], ' ')
+                          for i in generate_series(1, len(l) - 2)]
+                    ELSE [array_to_string(l, ' ')] END) AS t(s)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    truth AS (SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE i::DOUBLE / (sa.n + sb.n - i) >= {threshold}),
+    sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    c16 AS (SELECT t.doc_a, t.doc_b FROM truth t
+            JOIN sig a ON a.doc_id = t.doc_a
+            JOIN sig b ON b.doc_id = t.doc_b
+            WHERE {band_cond(16)}),
+    c4 AS (SELECT t.doc_a, t.doc_b FROM truth t
+           JOIN sig a ON a.doc_id = t.doc_a
+           JOIN sig b ON b.doc_id = t.doc_b
+           WHERE {band_cond(4)})
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM c16) AS n_found_16b,
+           (SELECT count(*) FROM c4) AS n_found_4b,
+           round((SELECT count(*) FROM c16)::DOUBLE
+                 / (SELECT count(*) FROM truth), 6) AS recall_16b,
+           round((SELECT count(*) FROM c4)::DOUBLE
+                 / (SELECT count(*) FROM truth), 6) AS recall_4b
+"""
+
+
+MINHASH_RECALL_SQL = _minhash_recall_oracle_sql()
+
+
 # ------------------------------------------------------------- text analysis
 
 
@@ -1454,6 +1653,7 @@ QUERIES = {
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
     "ann_lsh_recall": q_ann_recall,
+    "dedup_minhash_recall": q_minhash_recall,
     "lang_id": q_lang_id,
     "quality_score": q_quality,
     "token_count": q_token_count,
@@ -1498,6 +1698,7 @@ ORACLES = {
     "ann_topk_ivf": ANN_TOPK_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
     "ann_lsh_recall": ANN_RECALL_SQL,
+    "dedup_minhash_recall": MINHASH_RECALL_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
     "token_count": TOKEN_COUNT_SQL,
