@@ -38,23 +38,32 @@ def _weights(dim: int = EMB_DIM, seed: int = 17) -> np.ndarray:
     return _W_CACHE[key]
 
 
-def predict_supertype_batch(M: np.ndarray) -> list[str]:
+def predict_supertype_batch(M: np.ndarray, W: np.ndarray | None = None) -> list[str]:
     """(n, dim) mention embeddings → predicted supertype labels.
     argmax over class logits; np.argmax takes the FIRST max, i.e. the
-    reference's deterministic lowest-index tie-break."""
-    W = _weights(M.shape[1])
+    reference's deterministic lowest-index tie-break. ``W`` (K, dim)
+    overrides the seeded weights — e.g. a checkpoint from
+    ``operators.training.train_softmax`` (O31)."""
+    if W is None:
+        W = _weights(M.shape[1])
     logits = M.astype(np.float32, copy=False) @ W.T
     return [TYPE_CLASSES[i] for i in np.argmax(logits, axis=1)]
 
 
-def with_predicted_types(mentions: DataFrame) -> DataFrame:
+def with_predicted_types(
+    mentions: DataFrame, weights: np.ndarray | None = None
+) -> DataFrame:
     """mentions (+ m_emb binary) → + m_type via batched model inference.
     Scalar-iterator UDF: weights initialize once per python worker
     (the reference's lazy per-process model init,
-    typerec/model.py:255-262), then every Arrow batch is one GEMM."""
+    typerec/model.py:255-262), then every Arrow batch is one GEMM.
+    ``weights``: optional trained (K, dim) matrix (train_softmax, O31);
+    it rides the UDF closure → Spark broadcasts it to workers."""
+    trained = None if weights is None else weights.astype(np.float32)
+
     @F.pandas_udf(StringType())
     def predict(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        W = _weights()  # per-executor init
+        W = _weights() if trained is None else trained  # per-executor init
         for m_emb in batches:
             if len(m_emb) == 0:
                 yield pd.Series([], dtype="object")

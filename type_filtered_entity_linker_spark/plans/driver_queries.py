@@ -1190,6 +1190,282 @@ def _minhash_recall_oracle_sql(k: int = 64, threshold: float = 0.5) -> str:
 MINHASH_RECALL_SQL = _minhash_recall_oracle_sql()
 
 
+# ------------------------------------------------------ O31 training drivers
+# The reference's train/eval drivers (typerec/train.py:13-57,
+# disamb/train.py:20-59) as driver-coordinated distributed full-batch
+# GD (operators/training.py). Both queries run the REAL trainer — each
+# epoch is a Spark aggregation job — and return the training curve;
+# the DuckDB oracles replicate the full multi-epoch descent in pure
+# SQL (chained CTEs: epoch e's weights are a 1-row/`(class,dim)` CTE
+# computed from epoch e-1's), so the gradient math is exact-verified,
+# not just rows-counted.
+
+TRAIN_EPOCHS_LOGISTIC = 4
+TRAIN_LR_LOGISTIC = 2.0
+TRAIN_EPOCHS_SOFTMAX = 2
+TRAIN_LR_SOFTMAX = 1.0
+TYPEREC_CLASSES = 10  # embeddings.label inventory (driver testdata)
+
+
+def _pair_samples(spark, sf_dir) -> DataFrame:
+    """Binary training samples from the embeddings table: pair vector
+    2i with 2i+1; label = same class; features = cosine, mean-dot and
+    inverse-euclidean similarity. Feature arithmetic is all built-in
+    array functions (zip_with + aggregate fold — JVM-side, matching
+    DuckDB's list_dot_product/list_distance to float ulps)."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"), "label"
+    )
+    a = e.where(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("e").alias("ea"),
+        F.col("label").alias("la"),
+    )
+    b = e.select(
+        (F.col("vec_id") - 1).alias("pid"),
+        F.col("e").alias("eb"),
+        F.col("label").alias("lb"),
+    )
+    pairs = a.join(b, "pid")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v),
+            F.lit(0.0),
+            lambda acc, u: acc + u,
+        )
+
+    d = dot(F.col("ea"), F.col("eb"))
+    na = F.sqrt(dot(F.col("ea"), F.col("ea")))
+    nb = F.sqrt(dot(F.col("eb"), F.col("eb")))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("ea"), F.col("eb"), lambda u, v: (u - v) * (u - v)),
+            F.lit(0.0),
+            lambda acc, u: acc + u,
+        )
+    )
+    return pairs.select(
+        (d / (na * nb)).alias("f1"),
+        (d / F.size("ea").cast("double")).alias("f2"),
+        (F.lit(1.0) / (F.lit(1.0) + dist)).alias("f3"),
+        (F.col("la") == F.col("lb")).cast("int").alias("label"),
+    )
+
+
+def q_disamb_train_curve(spark, sf_dir) -> DataFrame:
+    """Disambiguation-head training curve (reference disamb/train.py):
+    logistic head over pair-similarity features, 4 full-batch epochs.
+    Each epoch = ONE aggregation job with pure column expressions
+    (zero UDFs). Row e: loss/acc at the weights ENTERING epoch e,
+    weights AFTER its update; final row = eval at the trained head."""
+    from ..operators.training import train_logistic
+
+    samples = _pair_samples(spark, sf_dir)
+    _, curve = train_logistic(
+        samples,
+        ["f1", "f2", "f3"],
+        epochs=TRAIN_EPOCHS_LOGISTIC,
+        lr=TRAIN_LR_LOGISTIC,
+    )
+    rows = [
+        (
+            int(c["epoch"]), float(c["loss"]), float(c["acc"]),
+            float(c["w_f1"]), float(c["w_f2"]), float(c["w_f3"]),
+            float(c["b"]),
+        )
+        for c in curve
+    ]
+    return spark.createDataFrame(
+        rows,
+        "epoch int, loss double, acc double, w1 double, w2 double, "
+        "w3 double, b double",
+    )
+
+
+_PAIR_FEAT_SQL = """
+    SELECT list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+                * sqrt(list_dot_product(b.e, b.e))) AS f1,
+           list_dot_product(a.e, b.e) / len(a.e) AS f2,
+           1.0 / (1.0 + list_distance(a.e, b.e)) AS f3,
+           (a.label = b.label)::INT AS label
+    FROM (SELECT vec_id AS pid, embedding::DOUBLE[] AS e, label
+          FROM embeddings WHERE vec_id % 2 = 0) a
+    JOIN (SELECT vec_id - 1 AS pid, embedding::DOUBLE[] AS e, label
+          FROM embeddings) b USING (pid)
+"""
+
+
+def _logistic_curve_sql(
+    feat_sql: str,
+    epochs: int = TRAIN_EPOCHS_LOGISTIC,
+    lr: float = TRAIN_LR_LOGISTIC,
+    nf: int = 3,
+) -> str:
+    """Full-batch logistic GD unrolled into chained CTEs: e{i} is the
+    1-row weight state entering epoch i, m{i} its gradient/metrics.
+    Clamp/update formulas mirror operators/training.py exactly."""
+    js = range(1, nf + 1)
+    L = [f"s AS ({feat_sql})"]
+    L.append(
+        "e0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in js)
+        + ", 0.0 AS b)"
+    )
+    for i in range(epochs + 1):
+        z = " + ".join(f"e{i}.w{j} * s.f{j}" for j in js) + f" + e{i}.b"
+        L.append(
+            f"p{i} AS (SELECT s.*, 1.0/(1.0 + exp(-({z}))) AS p "
+            f"FROM s CROSS JOIN e{i})"
+        )
+        clamp = "least(greatest(p, 1e-12), 1.0 - 1e-12)"
+        gs = ", ".join(f"avg((p - label) * f{j}) AS g{j}" for j in js)
+        L.append(
+            f"m{i} AS (SELECT {gs}, avg(p - label) AS gb, "
+            f"avg(-(label * ln({clamp}) + (1 - label) * ln(1.0 - {clamp}))) AS loss, "
+            "avg(CASE WHEN (CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) = label "
+            f"THEN 1.0 ELSE 0.0 END) AS acc FROM p{i})"
+        )
+        if i < epochs:
+            us = ", ".join(
+                f"e{i}.w{j} - {lr} * m{i}.g{j} AS w{j}" for j in js
+            )
+            L.append(
+                f"e{i + 1} AS (SELECT {us}, e{i}.b - {lr} * m{i}.gb AS b "
+                f"FROM e{i} CROSS JOIN m{i})"
+            )
+    rows = []
+    for i in range(epochs + 1):
+        w = f"e{min(i + 1, epochs)}"
+        cols = ", ".join(f"{w}.w{j}" for j in js)
+        rows.append(
+            f"SELECT {i + 1} AS epoch, m{i}.loss, m{i}.acc, {cols}, {w}.b "
+            f"FROM m{i} CROSS JOIN {w}"
+        )
+    return (
+        "WITH " + ",\n".join(L) + "\n"
+        + "\nUNION ALL\n".join(rows) + "\nORDER BY epoch"
+    )
+
+
+DISAMB_TRAIN_SQL = _logistic_curve_sql(_PAIR_FEAT_SQL)
+
+
+def q_typerec_train_eval(spark, sf_dir) -> DataFrame:
+    """TypeRec-shaped classifier training curve (reference
+    typerec/train.py + per-epoch test.py eval): multiclass softmax
+    regression over the embeddings table (64-dim → 10 classes), 2
+    full-batch epochs. Each epoch aggregates per-partition numpy GEMM
+    gradient partials via mapInPandas (Arrow; partial size is K×dim
+    doubles regardless of row count)."""
+    from ..operators.training import train_softmax
+
+    e = _emb(spark, sf_dir).select(
+        F.col("embedding").cast("array<double>").alias("e"),
+        F.col("label").cast("int").alias("label_idx"),
+    )
+    dim = e.select(F.size("e").alias("d")).first()["d"]
+    _, _, curve = train_softmax(
+        e,
+        "e",
+        n_classes=TYPEREC_CLASSES,
+        dim=dim,
+        epochs=TRAIN_EPOCHS_SOFTMAX,
+        lr=TRAIN_LR_SOFTMAX,
+    )
+    return spark.createDataFrame(
+        [(int(c["epoch"]), float(c["loss"]), float(c["acc"])) for c in curve],
+        "epoch int, loss double, acc double",
+    )
+
+
+def _softmax_curve_sql(
+    epochs: int = TRAIN_EPOCHS_SOFTMAX,
+    lr: float = TRAIN_LR_SOFTMAX,
+    n_classes: int = TYPEREC_CLASSES,
+) -> str:
+    """Multiclass softmax GD unrolled into SQL: weights live as a
+    (class, dim) table per epoch; logits/softmax/gradients are
+    joins + window functions over the unnested feature matrix.
+    Matches the trainer's stable-softmax (row-max subtraction),
+    EPS clamp, first-max argmax and mean-gradient update exactly."""
+    L = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS e, label"
+        " FROM embeddings)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM emb)",
+        "x AS (SELECT vec_id, label, generate_subscripts(e, 1) AS dim, "
+        "unnest(e) AS xv FROM emb)",
+        f"cls AS (SELECT * FROM range({n_classes}) t(class))",
+        "w0 AS (SELECT class, dim, 0.0 AS w FROM cls CROSS JOIN "
+        "(SELECT DISTINCT dim FROM x) d)",
+        "b0 AS (SELECT class, 0.0 AS b FROM cls)",
+    ]
+    for i in range(epochs + 1):
+        L.append(
+            f"z{i} AS (SELECT x.vec_id, x.label, w.class, "
+            f"sum(w.w * x.xv) AS z FROM x JOIN w{i} w USING (dim) "
+            "GROUP BY x.vec_id, x.label, w.class)"
+        )
+        L.append(
+            f"zb{i} AS (SELECT z.vec_id, z.label, z.class, z.z + b.b AS z "
+            f"FROM z{i} z JOIN b{i} b USING (class))"
+        )
+        L.append(
+            f"zs{i} AS (SELECT *, z - max(z) OVER (PARTITION BY vec_id) "
+            f"AS zz FROM zb{i})"
+        )
+        L.append(
+            f"p{i} AS (SELECT vec_id, label, class, exp(zz) / "
+            "sum(exp(zz)) OVER (PARTITION BY vec_id) AS p "
+            f"FROM zs{i})"
+        )
+        L.append(
+            f"pred{i} AS (SELECT vec_id, label, class AS pred FROM "
+            "(SELECT *, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY p DESC, class) AS rn FROM p{i}) t WHERE rn = 1)"
+        )
+        L.append(
+            f"m{i} AS (SELECT "
+            f"(SELECT avg(-ln(greatest(p, 1e-12))) FROM p{i} "
+            "WHERE class = label) AS loss, "
+            "(SELECT avg(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END) "
+            f"FROM pred{i}) AS acc)"
+        )
+        if i < epochs:
+            L.append(
+                f"g{i} AS (SELECT p.class, x.dim, sum((p.p - CASE WHEN "
+                "p.class = p.label THEN 1.0 ELSE 0.0 END) * x.xv) AS g "
+                f"FROM p{i} p JOIN x USING (vec_id) "
+                "GROUP BY p.class, x.dim)"
+            )
+            L.append(
+                f"gb{i} AS (SELECT class, sum(p - CASE WHEN class = label "
+                f"THEN 1.0 ELSE 0.0 END) AS g FROM p{i} GROUP BY class)"
+            )
+            L.append(
+                f"w{i + 1} AS (SELECT w.class, w.dim, w.w - {lr} * g.g / "
+                f"(SELECT n FROM nn) AS w FROM w{i} w JOIN g{i} g "
+                "USING (class, dim))"
+            )
+            L.append(
+                f"b{i + 1} AS (SELECT b.class, b.b - {lr} * g.g / "
+                f"(SELECT n FROM nn) AS b FROM b{i} b JOIN gb{i} g "
+                "USING (class))"
+            )
+    rows = [
+        f"SELECT {i + 1} AS epoch, loss, acc FROM m{i}"
+        for i in range(epochs + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(L) + "\n"
+        + "\nUNION ALL\n".join(rows) + "\nORDER BY epoch"
+    )
+
+
+TYPEREC_TRAIN_SQL = _softmax_curve_sql()
+
+
 # ------------------------------------------------------------- text analysis
 
 
@@ -1654,6 +1930,8 @@ QUERIES = {
     "ann_topk_ivf": q_ann_ivf,
     "ann_lsh_recall": q_ann_recall,
     "dedup_minhash_recall": q_minhash_recall,
+    "disamb_train_curve": q_disamb_train_curve,
+    "typerec_train_eval": q_typerec_train_eval,
     "lang_id": q_lang_id,
     "quality_score": q_quality,
     "token_count": q_token_count,
@@ -1699,6 +1977,8 @@ ORACLES = {
     "ann_topk_lsh": ANN_LSH_SQL,
     "ann_lsh_recall": ANN_RECALL_SQL,
     "dedup_minhash_recall": MINHASH_RECALL_SQL,
+    "disamb_train_curve": DISAMB_TRAIN_SQL,
+    "typerec_train_eval": TYPEREC_TRAIN_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
     "token_count": TOKEN_COUNT_SQL,
