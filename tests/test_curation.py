@@ -1,0 +1,157 @@
+"""Corpus-curation operators (operators/curation.py): hash-stable
+splits/samples, exact per-domain caps (incl. the salted two-phase
+scale path), and PII redaction parity vs a pure-Python re reference."""
+
+import hashlib
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from type_filtered_entity_linker_spark.operators.curation import (
+    EMAIL_RE,
+    PHONE_RE,
+    SPLIT_BUCKETS,
+    deterministic_split,
+    domain_cap,
+    redact_pii,
+    split_thresholds,
+    stratified_sample,
+)
+
+
+def _py_bucket(key, salt):
+    h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()
+    return int(h[:15], 16) % SPLIT_BUCKETS
+
+
+def test_split_thresholds_cover_all_buckets():
+    ths = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    assert ths == [("train", 8000), ("val", 9000), ("test", 10000)]
+    # unnormalized weights normalize; last split absorbs remainder
+    ths = split_thresholds({"a": 2, "b": 1})
+    assert ths == [("a", round(2 / 3 * SPLIT_BUCKETS)), ("b", SPLIT_BUCKETS)]
+
+
+def test_split_matches_python_hash_and_is_partition_stable(spark):
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = {
+        r.doc_id: r.split
+        for r in deterministic_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    }
+    for i in range(500):
+        b = _py_bucket(i, "split")
+        want = "train" if b < 8000 else ("val" if b < 9000 else "test")
+        assert out[i] == want
+    # identical assignment after an arbitrary repartition (df.sample
+    # would rotate here — the whole point of hash keying)
+    out2 = {
+        r.doc_id: r.split
+        for r in deterministic_split(
+            df.repartition(7), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert out == out2
+    # every row in exactly one split, proportions near the weights
+    counts = pd.Series(list(out.values())).value_counts()
+    assert counts.sum() == 500
+    assert 0.7 < counts["train"] / 500 < 0.9
+
+
+def test_stratified_sample_keeps_hash_subset_and_drops_unknown(spark):
+    rows = [(i, ["en", "de", "xx"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    kept = {
+        r.doc_id
+        for r in stratified_sample(df, "lang", {"en": 0.5, "de": 0.2}, "doc_id").collect()
+    }
+    for i, lang in rows:
+        cut = {"en": 5000, "de": 2000}.get(lang, 0)
+        assert (i in kept) == (_py_bucket(i, "sample") < cut)
+
+
+def _skewed_docs(spark, n_head=400, n_tail_domains=20):
+    rows = []
+    did = 0
+    for i in range(n_head):  # one head domain, many ties
+        rows.append((did, "head.com", 100 + (i % 7)))
+        did += 1
+    for d in range(n_tail_domains):
+        for i in range(3):  # tail domains below k
+            rows.append((did, f"tail{d}.com", 10 * i))
+            did += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+
+
+def test_domain_cap_exact_and_deterministic(spark):
+    docs = _skewed_docs(spark)
+    out = domain_cap(docs, "source", k=5).toPandas()
+    per = out.groupby("source").size()
+    assert per["head.com"] == 5
+    assert all(per[f"tail{d}.com"] == 3 for d in range(20))
+    # deterministic best-first: longest text, ties to lowest doc_id
+    head = out[out.source == "head.com"].sort_values("rank_in_domain")
+    assert list(head.n_chars) == [106, 106, 106, 106, 106][: len(head)] or (
+        head.n_chars.iloc[0] == 106 and head.doc_id.is_monotonic_increasing
+    )
+
+
+def test_domain_cap_two_phase_identical_to_exact(spark):
+    docs = _skewed_docs(spark)
+    base = (
+        domain_cap(docs, "source", k=5)
+        .orderBy("source", "rank_in_domain")
+        .collect()
+    )
+    fast = (
+        domain_cap(docs, "source", k=5, two_phase=True)
+        .orderBy("source", "rank_in_domain")
+        .collect()
+    )
+    assert base == fast
+
+
+def test_domain_cap_two_phase_exact_under_heavy_ties(spark):
+    # heavy ties at the top + k > n_salts·(ties per bucket) shapes:
+    # the salted split must still return the identical exact answer
+    rows = [(i, "one.com", 50) for i in range(200)]
+    rows += [(200 + i, "one.com", 50 + i) for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    base = domain_cap(docs, "source", k=10).collect()
+    fast = domain_cap(docs, "source", k=10, two_phase=True, n_salts=4).collect()
+    assert sorted(base) == sorted(fast)
+
+
+def test_redact_pii_matches_python_re(spark):
+    texts = [
+        "mail me a.b-c@x-y.co.uk or +1 (415) 555-1234 now",
+        "no pii here at all",
+        "two mails a@b.io c@d.org and numbers 555-123-9876 12345678901",
+        "edge bad@@x and +49 (0)30 1234 5678 done",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = redact_pii(df).orderBy("i").collect()
+    for r, t in zip(got, texts):
+        e = re.findall(EMAIL_RE, t)
+        t1 = re.sub(EMAIL_RE, "<EMAIL>", t)
+        p = re.findall(PHONE_RE, t1)
+        t2 = re.sub(PHONE_RE, "<PHONE>", t1)
+        assert r.n_emails == len(e), t
+        assert r.n_phones == len(p), t
+        assert r.text_redacted == t2, t
+
+
+def test_split_plus_sample_compose(spark):
+    """The curation ops compose as narrow stages: split → sample the
+    train stratum → no row leaks from val/test."""
+    df = spark.createDataFrame([(i, "en") for i in range(400)], "doc_id long, lang string")
+    s = deterministic_split(df, "doc_id", {"train": 0.5, "heldout": 0.5})
+    train_half = stratified_sample(
+        s.where(F.col("split") == "train"), "lang", {"en": 0.5}, "doc_id"
+    ).collect()
+    for r in train_half:
+        assert _py_bucket(r.doc_id, "split") < 5000
+        assert _py_bucket(r.doc_id, "sample") < 5000

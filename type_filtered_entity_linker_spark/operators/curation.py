@@ -1,0 +1,179 @@
+"""Corpus-curation operators for training-data pipelines: deterministic
+train/val/test splits, per-stratum sampling, per-domain caps and PII
+redaction. Everything is pure JVM column expressions (codegen, no
+UDFs) so the ops run at scan speed, and every randomness source is a
+cross-engine-reproducible hash (the md5→60-bit-int idiom shared with
+``dedup.simhash64(hash_fn='md5_60')``) so each op has an exact DuckDB
+oracle.
+
+Why hash-based instead of ``df.sample``/``sampleBy``: Spark's samplers
+are seeded per-partition, so the selected rows change whenever the
+partitioning changes — repartition the corpus and your "fixed" eval
+split silently rotates. Keying the decision on a content hash makes
+splits/samples a pure function of the ROW, stable across partitioning,
+cluster size, engine version, and resumable reruns — the property a
+training pipeline actually needs from a split (and the reason every
+row lands in exactly one split by construction).
+
+Scale notes (10^12 docs): split/sample/redact are narrow, shuffle-free
+map stages. ``domain_cap`` is one shuffle on the domain key + a
+per-key window sort; a head domain (say 10^8 docs of one host) makes
+that one task's sort huge, so the operator takes a ``two_phase``
+switch — the classic salted top-k-per-key: phase 1 ranks within
+(domain, salt-of-row) so the head domain's sort splits across
+``n_salts`` tasks, phase 2 ranks the ≤ k·n_salts survivors per
+domain. Exact by construction (a global top-k row is top-k within
+its own salt bucket — pruning a non-survivor can never evict it), no
+sketch, no verification pass needed. See ``domain_cap``'s plan note
+for how this composes with Catalyst's own WindowGroupLimit partial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# split/sample decisions use integer buckets in [0, SPLIT_BUCKETS) so
+# fraction thresholds are exact integers — no float rounding to
+# diverge between engines
+SPLIT_BUCKETS = 10_000
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9\-\s()]{7,}[0-9]"
+
+
+def bucket(key: F.Column, salt: str) -> F.Column:
+    """Deterministic bucket in [0, SPLIT_BUCKETS): first 60 bits of
+    md5(salt ':' key) mod SPLIT_BUCKETS. md5 is bit-identical in every
+    engine (the same replication trick as dedup's ``md5_60``), so the
+    assignment — unlike ``df.sample``'s partition-seeded RNG — never
+    moves when the data is repartitioned or re-read."""
+    h = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % SPLIT_BUCKETS
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper bucket) cumulative thresholds; the last
+    split absorbs any rounding remainder so every bucket is owned."""
+    total = sum(weights.values())
+    out: list[tuple[str, int]] = []
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        out.append((name, round(acc * SPLIT_BUCKETS)))
+    out.append((names[-1], SPLIT_BUCKETS))
+    return out
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """+ ``split`` column: every row assigned to exactly one named
+    split with the given weight proportions, as a pure function of
+    ``key_col`` (train/val/test membership survives repartitioning,
+    reruns and engine changes). Narrow op — no shuffle."""
+    b = bucket(F.col(key_col), salt)
+    expr = None
+    for name, hi in split_thresholds(weights):
+        expr = (
+            F.when(b < hi, F.lit(name))
+            if expr is None
+            else expr.when(b < hi, F.lit(name))
+        )
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a deterministic ``fractions[stratum]`` share of each
+    stratum (Spark ``sampleBy`` semantics, but partition-stable):
+    row kept iff bucket(key) < frac·SPLIT_BUCKETS. Strata absent from
+    ``fractions`` are dropped. Narrow op — no shuffle; the fractions
+    map rides the plan as a literal CASE, no join needed."""
+    b = bucket(F.col(key_col), salt)
+    cut = None
+    for stratum, frac in sorted(fractions.items()):
+        hi = F.lit(round(frac * SPLIT_BUCKETS))
+        cond = F.col(strata_col) == stratum
+        cut = F.when(cond, hi) if cut is None else cut.when(cond, hi)
+    cut = cut.otherwise(F.lit(0))
+    return df.where(b < cut)
+
+
+def domain_cap(
+    docs: DataFrame,
+    domain_col: str = "source",
+    k: int = 5,
+    order_cols: list[str] | None = None,
+    two_phase: bool = False,
+    n_salts: int = 32,
+) -> DataFrame:
+    """At most ``k`` docs per domain, best-first by ``order_cols``
+    (default: longest text, then lowest doc_id — a deterministic total
+    order). The common-crawl "domain cap" curation step: stops head
+    hosts from dominating the training mix. Output keeps the input
+    columns + ``rank_in_domain`` (1-based).
+
+    ``two_phase=True`` is the head-domain scale path (see module
+    docstring): phase 1 ranks within ``(domain, xxhash64(tiebreak) %
+    n_salts)`` and keeps each bucket's top k; phase 2 ranks the
+    ≤ k·n_salts survivors per domain exactly. Provably identical to
+    the single-window answer: every global top-k row is top-k inside
+    its own salt bucket, so phase 1 never drops one.
+
+    Plan note (`.explain`): Catalyst's WindowGroupLimit already adds a
+    map-side PARTIAL top-k before the shuffle for `row_number() <= k`,
+    so even the plain path ships at most k rows per (domain, map task).
+    What the partial limit does NOT split is the FINAL per-domain
+    rank: with M map tasks the cap domain still sorts up to k·M rows
+    in one task (k=100, M=10^5 → 10^7 rows). ``two_phase`` divides
+    exactly that residual hot task by ``n_salts``."""
+    order_cols = order_cols or ["n_chars", "doc_id"]
+    ordering = [F.col(order_cols[0]).desc()] + [
+        F.col(c).asc() for c in order_cols[1:]
+    ]
+    in_cols = docs.columns
+    if two_phase:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(n_salts)
+        )
+        w1 = Window.partitionBy(F.col(domain_col), salt).orderBy(*ordering)
+        docs = (
+            docs.withColumn("_r1", F.row_number().over(w1))
+            .where(F.col("_r1") <= k)
+            .select(*in_cols)
+        )
+    w = Window.partitionBy(domain_col).orderBy(*ordering)
+    return (
+        docs.withColumn("rank_in_domain", F.row_number().over(w))
+        .where(F.col("rank_in_domain") <= k)
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails / phone-number shapes with placeholder tokens
+    and count what was redacted. Patterns are deliberately restricted
+    to the regex subset with identical semantics in Java regex and
+    RE2 (no backrefs/lookaround), so the DuckDB oracle replays them
+    verbatim. Columns added: ``n_emails``, ``n_phones``,
+    ``text_redacted``. Phone matching runs on the email-redacted
+    text so the two counts never overlap on the same characters."""
+    t = F.col(text_col)
+    emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0)))
+    red1 = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    phones = F.size(F.regexp_extract_all(red1, F.lit(PHONE_RE), F.lit(0)))
+    red2 = F.regexp_replace(red1, PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", emails)
+        .withColumn("n_phones", phones)
+        .withColumn("text_redacted", red2)
+    )

@@ -27,6 +27,12 @@ from ..operators.dedup import (
     near_duplicates_ngram,
     near_duplicates_simhash,
 )
+from ..operators.curation import (
+    deterministic_split,
+    domain_cap,
+    redact_pii,
+    stratified_sample,
+)
 from ..operators.multimodal import extract_media_features, with_binary_payload
 from ..operators.similarity import (
     brute_force_topk,
@@ -1543,6 +1549,118 @@ FINGERPRINT_SQL = """
     FROM s
 """
 
+
+# ----------------------------------------------------------------- curation
+# Training-data curation (operators/curation.py): all decisions are
+# md5-keyed, so the DuckDB oracles replay the exact hash. The md5→
+# 60-bit-int idiom below mirrors dedup's SIMHASH md5_60 replica.
+
+_MD5INT = (
+    "list_reduce([strpos('0123456789abcdef', substr(md5({x}), i, 1)) - 1 "
+    "for i in range(1, 16)], (a, b) -> a * 16 + b)"
+)
+
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "es": 0.1}
+DOMAIN_CAP_K = 5
+
+
+def q_docs_split(spark, sf_dir) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment per doc —
+    checked PER ROW against the oracle's replayed hash, so the split
+    is proven partition-stable (it can't depend on Spark's sampler
+    seeds or physical layout: DuckDB has neither)."""
+    d = _docs(spark, sf_dir).select("doc_id")
+    return deterministic_split(d, "doc_id", SPLIT_WEIGHTS)
+
+
+DOCS_SPLIT_SQL = f"""
+    SELECT doc_id,
+           CASE WHEN {_MD5INT.format(x="concat('split:', doc_id::VARCHAR)")}
+                     % 10000 < 8000 THEN 'train'
+                WHEN {_MD5INT.format(x="concat('split:', doc_id::VARCHAR)")}
+                     % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
+
+def q_docs_stratified_sample(spark, sf_dir) -> DataFrame:
+    """Per-language sampling mix (sampleBy semantics, hash-stable):
+    keep 50% of en, 25% of de, 10% of es, drop other strata."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(d, "lang", SAMPLE_FRACTIONS, "doc_id")
+
+
+DOCS_SAMPLE_SQL = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_MD5INT.format(x="concat('sample:', doc_id::VARCHAR)")} % 10000
+          < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                      WHEN 'es' THEN 1000 ELSE 0 END
+"""
+
+
+def q_docs_domain_cap(spark, sf_dir) -> DataFrame:
+    """Per-domain cap: keep the 5 longest docs per source (ties →
+    lowest doc_id) — the head-host guard of a crawl-curation mix."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    return domain_cap(d, "source", k=DOMAIN_CAP_K)
+
+
+DOMAIN_CAP_SQL = f"""
+    SELECT doc_id, source, n_chars, rank_in_domain FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id)
+                 AS rank_in_domain
+        FROM documents) t
+    WHERE rank_in_domain <= {DOMAIN_CAP_K}
+"""
+
+def q_docs_pii_redact(spark, sf_dir) -> DataFrame:
+    """PII redaction: synthetic email+phone appended identically in
+    both engines (the driver corpus is PII-free) so the redaction has
+    real matches; compares counts + md5 of the redacted text."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel +1 (415) 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    r = redact_pii(d)
+    return r.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.md5("text_redacted").alias("redacted_md5"),
+    )
+
+
+PII_REDACT_SQL = r"""
+    WITH d AS (SELECT doc_id,
+        concat(text, ' contact user', doc_id::VARCHAR,
+               '@example.com tel +1 (415) 555-',
+               lpad((doc_id % 10000)::VARCHAR, 4, '0')) AS text
+        FROM documents),
+    e AS (SELECT doc_id,
+        len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+            '<EMAIL>', 'g') AS t1
+        FROM d)
+    SELECT doc_id, n_emails::INT AS n_emails,
+        len(regexp_extract_all(t1, '\+?[0-9][0-9\-\s()]{7,}[0-9]'))::INT
+          AS n_phones,
+        md5(regexp_replace(t1, '\+?[0-9][0-9\-\s()]{7,}[0-9]',
+            '<PHONE>', 'g')) AS redacted_md5
+    FROM e
+"""
+
 # --------------------------------------------------------------- multimodal
 
 
@@ -1932,6 +2050,10 @@ QUERIES = {
     "dedup_minhash_recall": q_minhash_recall,
     "disamb_train_curve": q_disamb_train_curve,
     "typerec_train_eval": q_typerec_train_eval,
+    "docs_split": q_docs_split,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "docs_domain_cap": q_docs_domain_cap,
+    "docs_pii_redact": q_docs_pii_redact,
     "lang_id": q_lang_id,
     "quality_score": q_quality,
     "token_count": q_token_count,
@@ -1979,6 +2101,10 @@ ORACLES = {
     "dedup_minhash_recall": MINHASH_RECALL_SQL,
     "disamb_train_curve": DISAMB_TRAIN_SQL,
     "typerec_train_eval": TYPEREC_TRAIN_SQL,
+    "docs_split": DOCS_SPLIT_SQL,
+    "docs_stratified_sample": DOCS_SAMPLE_SQL,
+    "docs_domain_cap": DOMAIN_CAP_SQL,
+    "docs_pii_redact": PII_REDACT_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
     "token_count": TOKEN_COUNT_SQL,
