@@ -56,6 +56,14 @@ HEADLINE = [
     "events_stream_dedup",
     "lineitem_agg",
     "top_orders_per_customer",
+    # curation family: scan-speed narrow ops + the capped window
+    "docs_split",
+    "docs_stratified_sample",
+    "docs_domain_cap",
+    "docs_pii_redact",
+    # O31 trainers: 5 (logistic) / 3 (softmax) full-batch epoch jobs
+    "disamb_train_curve",
+    "typerec_train_eval",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
@@ -71,6 +79,40 @@ BENCH_FILLER = int(os.environ.get("BENCH_FILLER", "0"))
 def _noop_write(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+def _box_probe() -> dict:
+    """Fixed single-thread work units reported alongside the timings:
+    this box is co-tenant (measured 2.7x across-session throughput
+    swings, /proc/stat steal time in the millions of jiffies), so
+    cross-round bench comparisons need probe ratios to separate code
+    deltas from box state. Two probes because the box has two
+    distinct contention modes: ``gemm_secs`` (cache-resident 512³
+    GEMM) tracks CPU steal, ``copy_gbps`` (256MB streaming copy)
+    tracks DRAM bandwidth — the binding resource for Spark's
+    memory-streaming stages (quiet baseline ~12.6 GB/s single-thread,
+    BENCH/BASELINE.md; observed as low as ~5.7 under co-tenant load
+    while the GEMM stayed fast). ~0.5s total."""
+    import numpy as np
+
+    g = np.ones((512, 512), dtype=np.float32)
+    gemm = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (g @ g).sum()
+        gemm = min(gemm, time.perf_counter() - t0)
+    a = np.ones(32 * 2**20)  # 256 MB
+    cp = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        b = a.copy()
+        cp = min(cp, time.perf_counter() - t0)
+        del b
+    return {
+        "gemm_secs": round(gemm, 4),
+        "copy_gbps": round(2 * a.nbytes / cp / 1e9, 2),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
 
 
 def _salt_evidence(spark, timings: dict) -> None:
@@ -133,6 +175,7 @@ def _salt_evidence(spark, timings: dict) -> None:
 
 
 def main() -> None:
+    probe_start = _box_probe()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -324,6 +367,10 @@ def main() -> None:
         "pipeline_stage_secs": {m["stage"]: m["secs"] for m in res.metrics},
         "bench_pages": BENCH_PAGES,
         "scorer_head": BENCH_HEAD,
+        # co-tenant context (see _box_probe): compare probe ratios,
+        # not raw seconds, across rounds on this shared box
+        "box_probe_start": probe_start,
+        "box_probe_end": _box_probe(),
     }
     spark.stop()
     print(json.dumps(out))
