@@ -130,6 +130,10 @@ def test_redact_pii_matches_python_re(spark):
         "no pii here at all",
         "two mails a@b.io c@d.org and numbers 555-123-9876 12345678901",
         "edge bad@@x and +49 (0)30 1234 5678 done",
+        # engine-divergent \s members: \x0b (Java-only) and \xa0
+        # (Python-only) must NOT count as phone separators — pins the
+        # explicit [ \t] class against a regression back to \s
+        "vt +1 415\x0b555 1234 and nbsp +1 415\xa0555 1234 end",
         "",
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")

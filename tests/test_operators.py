@@ -709,13 +709,19 @@ def test_collected_detector_matches_join_detector(spark):
             for r in detect_mentions_df(pt, gaz, cfg).collect()
         )
 
-    join_run = mentions(LinkerConfig())
+    # bloom_min_aliases=0 forces the probe even on this small fixture
+    # gazetteer (the default gate skips dictionaries under 1024
+    # aliases) — the parity claim is about the PROBE being lossless
+    join_run = mentions(LinkerConfig(bloom_min_aliases=0))
     collected_run = mentions(LinkerConfig(detector="collected"))
     assert join_run and join_run == collected_run
     # Bloom pre-probe OFF must also be byte-identical: the filter may
     # only change how much work reaches the semi-join, never the output
     no_bloom_run = mentions(LinkerConfig(bloom_bits_per_key=0))
     assert join_run == no_bloom_run
+    # and the size gate itself must be output-neutral (probe skipped)
+    gated_run = mentions(LinkerConfig(bloom_min_aliases=1 << 30))
+    assert join_run == gated_run
 
 
 def test_bloom_no_false_negatives_and_low_fp(spark):

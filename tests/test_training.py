@@ -62,6 +62,23 @@ def test_logistic_checkpoint_resume(spark, tmp_path):
         assert abs(a["loss"] - b["loss"]) < 1e-12
 
 
+def test_logistic_resume_ignores_checkpoints_past_horizon(spark, tmp_path):
+    """A workdir holding checkpoints from an earlier LONGER run must
+    not leak over-trained weights into a shorter resume: epoch_NNN
+    files beyond the requested ``epochs`` are ignored (code-review
+    r03 — the old code resumed from max(all checkpoints), skipped the
+    loop, and returned 6-epoch weights with a malformed curve)."""
+    s = _separable_samples(spark)
+    wd = str(tmp_path / "ckpt")
+    train_logistic(s, ["f1", "f2"], epochs=6, lr=2.0, workdir=wd)
+    model_4, curve_4 = train_logistic(
+        s, ["f1", "f2"], epochs=4, lr=2.0, workdir=wd, resume=True
+    )
+    model_ref, curve_ref = train_logistic(s, ["f1", "f2"], epochs=4, lr=2.0)
+    assert np.allclose(model_4["w"], model_ref["w"], atol=1e-12)
+    assert [c["epoch"] for c in curve_4] == [c["epoch"] for c in curve_ref]
+
+
 def _blob_data(n_per=60, K=3, D=8, seed=11):
     rng = np.random.RandomState(seed)
     centers = rng.randn(K, D) * 3

@@ -50,6 +50,13 @@ class LinkerConfig:
     # broadcast size against wasted ctx-builds/shuffle for misses.
     bloom_bits_per_key: int = 10
     bloom_hashes: int = 6
+    # skip the Bloom build entirely below this approx-distinct alias
+    # count: for a degenerate dictionary the build's two plan-time
+    # jobs cost more than the window ctx-builds the probe saves (the
+    # size-gate analog of scorer_broadcast_max_rows; at ~9k aliases
+    # the probe already wins 3x on emitted windows — BENCH/AB_R3.md —
+    # so the cutoff sits well below that)
+    bloom_min_aliases: int = 1024
     # broadcast the distinct string-sims table only below this row
     # count; above it the scorer falls back to a shuffle join (AQE
     # re-plans at runtime) — see operators.scoring.score_candidates

@@ -4,11 +4,13 @@ Purpose: pre-filter candidate windows inside the detection UDTF
 (operators.mentions) so that only PROBABLE gazetteer hits pay the
 per-window context-string build and the window shuffle — while the
 dictionary itself never touches the driver as raw strings. The build
-is a distributed bitmap OR-fold: each partition sets its aliases' bits
-in a local numpy bitmap and emits only the NONZERO 64-bit words; a
-``groupBy(word_index).agg(bit_or)`` folds partitions, and the driver
-materializes m/64 words (10 bits/key → ~1.25 bytes/alias: 10⁸ aliases
-= a 125 MB broadcast, three orders of magnitude below the raw strings).
+is a distributed bitmap OR-fold: each Arrow batch emits only the
+64-bit words its aliases actually set (grouped or-of-bits per word
+index — task memory O(aliases-per-batch), never a full bitmap); a
+``groupBy(word_index).agg(bit_or)`` folds batches and partitions, and
+ONLY the driver materializes m/64 words (10 bits/key → ~1.25
+bytes/alias: 10⁸ aliases = a 125 MB broadcast, three orders of
+magnitude below the raw strings).
 
 Exactness is preserved downstream: the Bloom filter has NO false
 negatives by construction, and the existing gazetteer LEFT SEMI join
@@ -104,37 +106,49 @@ def bloom_probe(
 
 
 def build_bloom(
-    df: DataFrame, col: str, bits_per_key: int = 10, k: int = 6
-) -> tuple[np.ndarray, int, int]:
-    """Distributed build → (words uint64[m/64], m_bits, k).
+    df: DataFrame,
+    col: str,
+    bits_per_key: int = 10,
+    k: int = 6,
+    min_keys: int = 0,
+) -> "tuple[np.ndarray, int, int] | None":
+    """Distributed build → (words uint64[m/64], m_bits, k), or None
+    when the dictionary has fewer than ``min_keys`` distinct values
+    (a tiny dictionary broadcasts through the exact semi-join anyway,
+    and the build's full scan would cost more than the windows the
+    filter saves — callers treat None as "probe disabled").
 
     Sizing uses ``approx_count_distinct`` (map-side partial agg, no
     shuffle of the strings); duplicate keys are harmless (bit-setting
-    is idempotent) so the scan itself needs no distinct either. Only
-    nonzero bitmap words travel: per-partition numpy OR-fold →
-    ``bit_or`` merge → driver gather."""
+    is idempotent) so the scan itself needs no distinct either. Task
+    memory is O(aliases-per-batch × k), NOT O(m_bits): each Arrow
+    batch emits its own sorted (word_index, or-of-bits) groups — never
+    a full bitmap per task, which at 10⁸ aliases would be ~134 MB ×
+    concurrent tasks (code-review r03) — and the ``bit_or`` groupBy
+    folds batches/partitions; the driver alone materializes the m/64
+    words."""
     n = df.agg(F.approx_count_distinct(col).alias("n")).collect()[0].n
+    if n < min_keys:
+        return None
     m_bits = 1 << max(10, int(np.ceil(np.log2(max(n, 1) * bits_per_key))))
     n_words = m_bits // 64
 
     def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bm = np.zeros(n_words, dtype=np.uint64)
-        seen = False
         for pdf in batches:
             vals = pdf[col].dropna().tolist()
             if not vals:
                 continue
-            seen = True
             pos = bloom_positions(vals, m_bits, k).ravel()
-            np.bitwise_or.at(
-                bm,
-                (pos >> np.uint64(6)).astype(np.int64),
-                np.uint64(1) << (pos & np.uint64(63)),
-            )
-        if seen:
-            nz = np.nonzero(bm)[0]
+            widx = (pos >> np.uint64(6)).astype(np.int64)
+            bits = np.uint64(1) << (pos & np.uint64(63))
+            order = np.argsort(widx, kind="stable")
+            widx, bits = widx[order], bits[order]
+            uniq, first = np.unique(widx, return_index=True)
             yield pd.DataFrame(
-                {"idx": nz.astype(np.int64), "w": bm[nz].view(np.int64)}
+                {
+                    "idx": uniq,
+                    "w": np.bitwise_or.reduceat(bits, first).view(np.int64),
+                }
             )
 
     rows = (

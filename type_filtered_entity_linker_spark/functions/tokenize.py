@@ -45,17 +45,18 @@ def _ws_codes() -> np.ndarray:
 _WS_CODES = _ws_codes()
 
 
-_EMPTY_COLUMNAR = {
-    "tid": np.empty(0, dtype=np.int64),
-    "run_id": np.empty(0, dtype=np.int64),
-    "i": np.empty(0, dtype=np.int64),
-    "j": np.empty(0, dtype=np.int64),
-    "start": np.empty(0, dtype=np.int64),
-    "end": np.empty(0, dtype=np.int64),
-    "sf": [],
-    "sf_norm": [],
-    "ctx": [],
-}
+_COLUMNAR_INT_COLS = ("tid", "run_id", "i", "j", "start", "end")
+_COLUMNAR_STR_COLS = ("sf", "sf_norm", "ctx")
+
+
+def _empty_columnar() -> dict:
+    """Fresh empty result per call — a shared module-level dict's list
+    values would be mutated in place by any caller that appends to a
+    returned result, corrupting every later empty return in the worker
+    (code-review r03)."""
+    out: dict = {c: np.empty(0, dtype=np.int64) for c in _COLUMNAR_INT_COLS}
+    out.update({c: [] for c in _COLUMNAR_STR_COLS})
+    return out
 
 
 def candidate_windows_columnar(
@@ -78,10 +79,10 @@ def candidate_windows_columnar(
     exactly the historic emit-all behavior."""
     n = len(texts)
     if n == 0:
-        return dict(_EMPTY_COLUMNAR)
+        return _empty_columnar()
     joined = "\n".join(texts)
     if not joined:
-        return dict(_EMPTY_COLUMNAR)
+        return _empty_columnar()
     codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
     text_offs = np.zeros(n, dtype=np.int64)
     lens = np.array([len(t) for t in texts], dtype=np.int64)
@@ -97,7 +98,7 @@ def candidate_windows_columnar(
     tok_end = np.nonzero(ends_mask)[0] + 1
     T = len(tok_start)
     if T == 0:
-        return dict(_EMPTY_COLUMNAR)
+        return _empty_columnar()
     tok_text = np.searchsorted(text_offs, tok_start, side="right") - 1
 
     first_c = codes[tok_start]
@@ -111,7 +112,7 @@ def candidate_windows_columnar(
     prev_same = np.concatenate(([False], tok_text[1:] == tok_text[:-1]))
     run_start = cap & ~(prev_cap & prev_same)
     if not cap.any():
-        return dict(_EMPTY_COLUMNAR)
+        return _empty_columnar()
     # per-token run head index (global token idx of the run's first tok)
     run_head = np.where(run_start, np.arange(T), 0)
     np.maximum.accumulate(run_head, out=run_head)
@@ -137,7 +138,7 @@ def candidate_windows_columnar(
     w_cnt = np.minimum(run_len - pos_in_run, MAX_WINDOW)
     W = int(w_cnt.sum())
     if W == 0:
-        return dict(_EMPTY_COLUMNAR)
+        return _empty_columnar()
     mem_rep = np.repeat(np.arange(len(cap_idx)), w_cnt)
     within = np.arange(W) - np.repeat(
         np.concatenate(([0], np.cumsum(w_cnt)[:-1])), w_cnt

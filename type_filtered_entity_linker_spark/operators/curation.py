@@ -39,17 +39,26 @@ from pyspark.sql import functions as F
 SPLIT_BUCKETS = 10_000
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+?[0-9][0-9\-\s()]{7,}[0-9]"
+# separators spelled EXPLICITLY ([ \t]), never \s: the \s class is
+# engine-specific (Java includes \x0B, RE2/DuckDB excludes it, Python
+# adds unicode spaces like \xa0), so a \s here would silently break
+# the oracle parity this module promises (code-review r03)
+PHONE_RE = r"\+?[0-9][0-9\- \t()]{7,}[0-9]"
 
 
 def bucket(key: F.Column, salt: str) -> F.Column:
     """Deterministic bucket in [0, SPLIT_BUCKETS): first 60 bits of
     md5(salt ':' key) mod SPLIT_BUCKETS. md5 is bit-identical in every
-    engine (the same replication trick as dedup's ``md5_60``), so the
+    engine (``dedup.shingle_hash(..., 'md5_60')`` is the ONE canonical
+    implementation of the idiom — every oracle replays it), so the
     assignment — unlike ``df.sample``'s partition-seeded RNG — never
     moves when the data is repartitioned or re-read."""
-    h = F.md5(F.concat(F.lit(salt + ":"), key.cast("string")))
-    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % SPLIT_BUCKETS
+    from .dedup import shingle_hash
+
+    h = shingle_hash(
+        F.concat(F.lit(salt + ":"), key.cast("string")), "md5_60"
+    )
+    return h % SPLIT_BUCKETS
 
 
 def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:

@@ -233,7 +233,9 @@ def near_duplicates_ngram(
     )
 
 
-def shingle_hash(col: str = "tok", hash_fn: str = "xxhash64") -> F.Column:
+def shingle_hash(
+    col: "str | F.Column" = "tok", hash_fn: str = "xxhash64"
+) -> F.Column:
     """64-bit shingle hash. ``xxhash64`` (default): the JVM-native fast
     path for production. ``md5_60``: 60-bit hash derived from the first
     15 hex chars of md5 — slower, but md5 is identical in every engine,

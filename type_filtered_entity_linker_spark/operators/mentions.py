@@ -128,6 +128,37 @@ def emit_candidate_windows(
     return pages_text.select("url", "text").mapInPandas(run, WINDOW_SCHEMA)
 
 
+def _emit_resolved(groups) -> pd.DataFrame:
+    """Shared emission kernel for BOTH detectors (single source of
+    truth for the MENTION_SCHEMA contract — the byte-parity the
+    join/collected paths must maintain lives here, not in two copies):
+    ``groups`` yields (url, window_tuples) per page, windows as
+    (run_id, i, j, start, end, sf, sf_norm, ctx). Applies greedy
+    longest-match-first per run (textlib.greedy_select, shared with
+    the oracle), enumerates mention_id in textual rank order, then ONE
+    factorized-distinct vectorized embedding pass over the whole
+    frame."""
+    out = {k: [] for k in (
+        "url", "mention_id", "start", "end", "sf", "sf_norm", "ner_type",
+    )}
+    keys: list[str] = []
+    for url, wins in groups:
+        for mid, w in enumerate(greedy_select(wins)):
+            out["url"].append(url)
+            out["mention_id"].append(mid)
+            out["start"].append(int(w[3]))
+            out["end"].append(int(w[4]))
+            out["sf"].append(w[5])
+            out["sf_norm"].append(w[6])
+            out["ner_type"].append(rule_ner_type(w[6]))
+            keys.append(w[6] + " | " + w[7])
+    codes, uniques = pd.factorize(pd.Series(keys, dtype=object))
+    mat = embed_texts(list(uniques))
+    bufs = [mat[i].tobytes() for i in range(len(uniques))]
+    out["m_emb"] = [bufs[c] for c in codes]
+    return pd.DataFrame(out, columns=list(out))
+
+
 def resolve_and_embed(matched: DataFrame) -> DataFrame:
     """Gazetteer-matched windows → final mention rows with context
     embeddings, in ONE ``mapInPandas`` pass over url-co-located
@@ -151,31 +182,18 @@ def resolve_and_embed(matched: DataFrame) -> DataFrame:
         if not pdfs:
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        out = {k: [] for k in (
-            "url", "mention_id", "start", "end", "sf", "sf_norm", "ner_type",
-        )}
-        keys: list[str] = []
-        for url, g in pdf.groupby("url", sort=False):
-            wins = list(
-                zip(
-                    g["run_id"], g["i"], g["j"], g["start"], g["end"],
-                    g["sf"], g["sf_norm"], g["ctx"],
-                )
+        yield _emit_resolved(
+            (
+                url,
+                list(
+                    zip(
+                        g["run_id"], g["i"], g["j"], g["start"], g["end"],
+                        g["sf"], g["sf_norm"], g["ctx"],
+                    )
+                ),
             )
-            for mid, w in enumerate(greedy_select(wins)):
-                out["url"].append(url)
-                out["mention_id"].append(mid)
-                out["start"].append(int(w[3]))
-                out["end"].append(int(w[4]))
-                out["sf"].append(w[5])
-                out["sf_norm"].append(w[6])
-                out["ner_type"].append(rule_ner_type(w[6]))
-                keys.append(w[6] + " | " + w[7])
-        codes, uniques = pd.factorize(pd.Series(keys, dtype=object))
-        mat = embed_texts(list(uniques))
-        bufs = [mat[i].tobytes() for i in range(len(uniques))]
-        out["m_emb"] = [bufs[c] for c in codes]
-        yield pd.DataFrame(out, columns=list(out))
+            for url, g in pdf.groupby("url", sort=False)
+        )
 
     return matched.repartition("url").mapInPandas(run, MENTION_SCHEMA)
 
@@ -256,26 +274,9 @@ def detect_mentions_collected(
                         c["ctx"][w],
                     )
                 )
-            out = {k: [] for k in (
-                "url", "mention_id", "start", "end", "sf", "sf_norm",
-                "ner_type",
-            )}
-            keys: list[str] = []
-            for t in sorted(per_text):
-                for mid, w in enumerate(greedy_select(per_text[t])):
-                    out["url"].append(urls[t])
-                    out["mention_id"].append(mid)
-                    out["start"].append(w[3])
-                    out["end"].append(w[4])
-                    out["sf"].append(w[5])
-                    out["sf_norm"].append(w[6])
-                    out["ner_type"].append(rule_ner_type(w[6]))
-                    keys.append(w[6] + " | " + w[7])
-            codes, uniques = pd.factorize(pd.Series(keys, dtype=object))
-            mat = embed_texts(list(uniques))
-            bufs = [mat[i].tobytes() for i in range(len(uniques))]
-            out["m_emb"] = [bufs[k] for k in codes]
-            yield pd.DataFrame(out, columns=list(out))
+            yield _emit_resolved(
+                (urls[t], per_text[t]) for t in sorted(per_text)
+            )
 
     return pages_text.select("url", "text").mapInPandas(run, MENTION_SCHEMA)
 
@@ -312,16 +313,25 @@ def detect_mentions_df(
     if cfg.bloom_bits_per_key > 0:
         from ..functions.bloom import bloom_probe, build_bloom
 
-        words, m_bits, k = build_bloom(
-            gazetteer, "alias_norm", cfg.bloom_bits_per_key, cfg.bloom_hashes
+        # NOTE: the build runs at plan-construction time (two Spark
+        # jobs — sizing + bitmap fold): a worker-side probe closure
+        # cannot launch Spark jobs lazily. The size gate below keeps
+        # that eager cost away from degenerate dictionaries; callers
+        # that only want the PLAN (explain/resume-past-mentions) can
+        # pass bloom_bits_per_key=0 — results are identical either way.
+        built = build_bloom(
+            gazetteer,
+            "alias_norm",
+            cfg.bloom_bits_per_key,
+            cfg.bloom_hashes,
+            min_keys=cfg.bloom_min_aliases,
         )
-        bc = pages_text.sparkSession.sparkContext.broadcast(
-            (words, m_bits, k)
-        )
+        if built is not None:
+            bc = pages_text.sparkSession.sparkContext.broadcast(built)
 
-        def keep(sf_norms: list) -> "object":
-            w, m, kk = bc.value
-            return bloom_probe(sf_norms, w, m, kk)
+            def keep(sf_norms: list) -> "object":
+                w, m, kk = bc.value
+                return bloom_probe(sf_norms, w, m, kk)
 
     wins = emit_candidate_windows(pages_text, cfg, keep)
     matched = wins.join(

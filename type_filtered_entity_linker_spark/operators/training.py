@@ -58,6 +58,29 @@ from pyspark.sql import functions as F
 EPS = 1e-12
 
 
+def _latest_checkpoint(workdir: str, epochs: int) -> dict | None:
+    """Newest ``epoch_N.json`` with N <= the requested horizon. Epoch
+    numbers are parsed numerically (lexicographic sort breaks past
+    999), and checkpoints BEYOND ``epochs`` — left by an earlier,
+    longer run into the same workdir — are ignored: resuming from one
+    would skip the loop entirely and return over-trained weights with
+    a malformed curve (code-review r03)."""
+    best: tuple[int, str] | None = None
+    for f in os.listdir(workdir):
+        if not (f.startswith("epoch_") and f.endswith(".json")):
+            continue
+        try:
+            ep = int(f[len("epoch_"):-len(".json")])
+        except ValueError:
+            continue
+        if ep <= epochs and (best is None or ep > best[0]):
+            best = (ep, f)
+    if best is None:
+        return None
+    with open(os.path.join(workdir, best[1])) as fh:
+        return json.load(fh)
+
+
 # --------------------------------------------------------------- logistic
 
 def _logistic_epoch(
@@ -109,13 +132,8 @@ def train_logistic(
     if workdir:
         os.makedirs(workdir, exist_ok=True)
         if resume:
-            done = sorted(
-                f for f in os.listdir(workdir)
-                if f.startswith("epoch_") and f.endswith(".json")
-            )
-            if done:
-                with open(os.path.join(workdir, done[-1])) as fh:
-                    st = json.load(fh)
+            st = _latest_checkpoint(workdir, epochs)
+            if st is not None:
                 w, b = list(st["w"]), float(st["b"])
                 curve = list(st["curve"])
                 start = int(st["epoch"])
@@ -234,13 +252,8 @@ def train_softmax(
     if workdir:
         os.makedirs(workdir, exist_ok=True)
         if resume:
-            done = sorted(
-                f for f in os.listdir(workdir)
-                if f.startswith("epoch_") and f.endswith(".json")
-            )
-            if done:
-                with open(os.path.join(workdir, done[-1])) as fh:
-                    st = json.load(fh)
+            st = _latest_checkpoint(workdir, epochs)
+            if st is not None:
                 W = np.array(st["W"]).reshape(n_classes, dim)
                 b = np.array(st["b"])
                 curve = list(st["curve"])

@@ -1036,20 +1036,16 @@ def _md5_minhash_sigs(corpus: DataFrame, k: int = 64) -> DataFrame:
     xxhash64 family (operators/dedup.minhash_signatures) but
     bit-identical in every engine, the same oracle-replication trick
     as SimHash ``hash_fn='md5_60'``."""
-    from ..operators.dedup import token_shingles
+    from ..operators.dedup import shingle_hash, token_shingles
 
     sh = corpus.select(
         "doc_id", F.explode(token_shingles("text", 3)).alias("s")
     )
 
     def h(j: int) -> F.Column:
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{j}:"), F.col("s"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
+        return shingle_hash(
+            F.concat(F.lit(f"{j}:"), F.col("s")), "md5_60"
+        )
 
     return sh.groupBy("doc_id").agg(
         *[F.min(h(j)).alias(f"m{j}") for j in range(k)]
@@ -1654,9 +1650,9 @@ PII_REDACT_SQL = r"""
             '<EMAIL>', 'g') AS t1
         FROM d)
     SELECT doc_id, n_emails::INT AS n_emails,
-        len(regexp_extract_all(t1, '\+?[0-9][0-9\-\s()]{7,}[0-9]'))::INT
+        len(regexp_extract_all(t1, '\+?[0-9][0-9\- \t()]{7,}[0-9]'))::INT
           AS n_phones,
-        md5(regexp_replace(t1, '\+?[0-9][0-9\-\s()]{7,}[0-9]',
+        md5(regexp_replace(t1, '\+?[0-9][0-9\- \t()]{7,}[0-9]',
             '<PHONE>', 'g')) AS redacted_md5
     FROM e
 """
