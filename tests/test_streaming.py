@@ -175,3 +175,104 @@ def test_incremental_linkage_matches_batch(spark, inputs, fx, tmp_path):
     pd.testing.assert_frame_equal(gp, wp, check_dtype=False, atol=1e-9)
     # no mention linked twice despite the restart
     assert got.groupBy(*key).count().where(F.col("count") > 1).count() == 0
+
+
+def test_incremental_clustering_merges_across_batches(spark, tmp_path):
+    """Incremental CC maintenance: a later batch's link must MERGE two
+    components formed in an earlier batch (the transitive case a
+    per-batch-only clustering would get wrong), and the final state
+    must equal batch connected-components over ALL links."""
+    from type_filtered_entity_linker_spark.operators.clustering import (
+        connected_components,
+    )
+    from type_filtered_entity_linker_spark.streaming.incremental import (
+        incremental_cluster_links,
+        read_cluster_state,
+    )
+
+    links_dir = str(tmp_path / "links")
+    wd = str(tmp_path / "wd")
+    cols = "url string, mention_id int, item_id string"
+    # batch file 1: {a#0, a#1} -> Q1 ; {b#0} -> Q2  (two components)
+    b1 = spark.createDataFrame(
+        [("a", 0, "Q1"), ("a", 1, "Q1"), ("b", 0, "Q2")], cols
+    )
+    # batch file 2: c#0 links BOTH Q1 and Q2 -> the bridge that merges
+    # them; d#0 -> Q9 opens a fresh component
+    b2 = spark.createDataFrame(
+        [("c", 0, "Q1"), ("c", 0, "Q2"), ("d", 0, "Q9")], cols
+    )
+    b1.coalesce(1).write.mode("append").parquet(links_dir)
+    b2.coalesce(1).write.mode("append").parquet(links_dir)
+
+    schema = spark.read.parquet(links_dir).schema
+    metrics: list = []
+    state_root = incremental_cluster_links(
+        spark, links_dir, wd, schema, max_files_per_trigger=1,
+        metrics=metrics,
+    )
+    # two triggers really ran (one per file), each with lineage metrics
+    assert [m["batch_id"] for m in metrics] == [0, 1]
+    assert all(m["cc_iterations"] >= 1 for m in metrics)
+
+    got = {
+        (r.mention_key, r.cluster_id)
+        for r in read_cluster_state(spark, state_root).collect()
+    }
+    # ground truth: batch CC over the union of all link edges,
+    # rekeyed to min mention key exactly like the streaming view
+    all_links = spark.read.parquet(links_dir)
+    edges = all_links.select(
+        F.concat_ws("#", "url", "mention_id").alias("src"),
+        F.concat(F.lit("E:"), F.col("item_id")).alias("dst"),
+    )
+    assign = connected_components(edges)
+    m = assign.where(~F.col("node").startswith("E:"))
+    mins = m.groupBy("cluster_id").agg(F.min("node").alias("cid"))
+    want = {
+        (r.node, r.cid)
+        for r in m.join(mins, "cluster_id").collect()
+    }
+    assert got == want
+    # and the bridge genuinely merged: a#*, b#0, c#0 share one cluster
+    by_key = dict(got)
+    assert (
+        by_key["a#0"] == by_key["a#1"] == by_key["b#0"] == by_key["c#0"]
+    )
+    assert by_key["d#0"] != by_key["a#0"]
+
+
+def test_incremental_clustering_retry_is_idempotent(spark, tmp_path):
+    """Replaying the stream into the same workdir after completion (a
+    crashed-then-restarted driver at worst replays the last batch)
+    leaves the assignment unchanged: CC is idempotent under duplicate
+    edges and each retry reads the newest snapshot below its own id."""
+    from type_filtered_entity_linker_spark.streaming.incremental import (
+        incremental_cluster_links,
+        read_cluster_state,
+    )
+
+    links_dir = str(tmp_path / "links")
+    wd = str(tmp_path / "wd")
+    cols = "url string, mention_id int, item_id string"
+    spark.createDataFrame(
+        [("a", 0, "Q1"), ("b", 0, "Q1")], cols
+    ).coalesce(1).write.mode("append").parquet(links_dir)
+    schema = spark.read.parquet(links_dir).schema
+    state_root = incremental_cluster_links(spark, links_dir, wd, schema)
+    first = sorted(
+        (r.mention_key, r.cluster_id)
+        for r in read_cluster_state(spark, state_root).collect()
+    )
+    # new file arrives; resumed run processes ONLY it (checkpoint) —
+    # and the merged state is still right
+    spark.createDataFrame(
+        [("c", 0, "Q1")], cols
+    ).coalesce(1).write.mode("append").parquet(links_dir)
+    state_root = incremental_cluster_links(spark, links_dir, wd, schema)
+    second = dict(
+        (r.mention_key, r.cluster_id)
+        for r in read_cluster_state(spark, state_root).collect()
+    )
+    assert dict(first)["a#0"] == second["a#0"] == second["c#0"]
+    assert len(second) == 3

@@ -1944,6 +1944,42 @@ EVENTS_STATEFUL_SQL = """
 """
 
 
+def q_el_clusters_incremental(spark, sf_dir) -> DataFrame:
+    """Streaming cluster MAINTENANCE (incremental_cluster_links): the
+    el-chain links are delivered as TWO micro-batch files (split by
+    doc_id parity), each trigger folds the previous assignment back in
+    as star edges and runs one bounded CC — the final state must equal
+    the batch clustering over ALL links (EL_CLUSTERS_SQL verbatim),
+    proving cross-batch merge correctness of the incremental path."""
+    import tempfile
+
+    from ..streaming.incremental import (
+        incremental_cluster_links,
+        read_cluster_state,
+    )
+
+    links = _el_links(spark, sf_dir).select("doc_id", "sf", "item_id")
+    wd = tempfile.mkdtemp(prefix="inc_clusters_")
+    links_dir = os.path.join(wd, "links")
+    # two deterministic batch files: doc parity decides arrival order
+    links.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(links_dir)
+    links.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(links_dir)
+    schema = spark.read.parquet(links_dir).schema
+    state_root = incremental_cluster_links(
+        spark,
+        links_dir,
+        wd,
+        schema,
+        max_files_per_trigger=1,
+        key_cols=("doc_id", "sf"),
+    )
+    return read_cluster_state(spark, state_root)
+
+
 def q_lineitem_agg(spark, sf_dir) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -2063,6 +2099,7 @@ QUERIES = {
     "events_stream_window": q_events_stream_window,
     "events_stream_dedup": q_events_stream_dedup,
     "events_stateful_totals": q_events_stateful_totals,
+    "el_clusters_incremental": q_el_clusters_incremental,
     "events_json_agg": q_events_json,
     "lineitem_agg": q_lineitem_agg,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -2114,6 +2151,7 @@ ORACLES = {
     "events_stream_window": EVENTS_WINDOW_SQL,
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stateful_totals": EVENTS_STATEFUL_SQL,
+    "el_clusters_incremental": EL_CLUSTERS_SQL,
     "events_json_agg": EVENTS_JSON_SQL,
     "lineitem_agg": LINEITEM_AGG_SQL,
     "top_orders_per_customer": TOP_ORDERS_SQL,

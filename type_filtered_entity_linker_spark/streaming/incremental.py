@@ -16,9 +16,14 @@ mapping executable:
   progress, so a killed run resumes at the first unprocessed batch —
   the streaming twin of the batch pipeline's fingerprint checkpoints.
 
-Clustering stays a periodic batch job over accumulated links (connected
-components is iterative/global — not expressible as a single streaming
-operator; running it per-trigger would recompute the world each batch).
+- ``incremental_cluster_links``: cluster MAINTENANCE across
+  micro-batches. Connected components is iterative/global — not
+  expressible as a single streaming operator — but it does not need a
+  full recompute per trigger either: the previous assignment re-enters
+  each batch as depth-1 STAR edges (node → component root), so the
+  per-batch CC runs over |state| + |batch| edges and converges in the
+  few rounds the newly-merged components need, not O(log n) over the
+  accumulated raw edge history.
 """
 
 from __future__ import annotations
@@ -163,6 +168,145 @@ def stream_running_user_totals(
         stateStructType="n long, s double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _latest_state_id(state_root: str, below: int) -> int | None:
+    """Newest complete (``_SUCCESS``-marked) snapshot id strictly below
+    ``below``. Local-FS listing (the sandbox surface); on a cluster the
+    same contract runs through the Hadoop FileSystem API or an Iceberg
+    snapshot id — the naming scheme is the only thing that changes."""
+    if not os.path.isdir(state_root):
+        return None
+    best: int | None = None
+    for d in os.listdir(state_root):
+        if not d.startswith("batch_"):
+            continue
+        try:
+            i = int(d[len("batch_"):])
+        except ValueError:
+            continue
+        if (
+            i < below
+            and os.path.exists(os.path.join(state_root, d, "_SUCCESS"))
+            and (best is None or i > best)
+        ):
+            best = i
+    return best
+
+
+def incremental_cluster_links(
+    spark: SparkSession,
+    links_dir: str,
+    workdir: str,
+    links_schema: StructType,
+    max_files_per_trigger: int | None = None,
+    metrics: list | None = None,
+    key_cols: tuple = ("url", "mention_id"),
+    item_col: str = "item_id",
+) -> str:
+    """Streaming cluster maintenance: keep the transitive mention
+    clusters current as link batches arrive, WITHOUT recomputing CC
+    over the accumulated edge history each trigger.
+
+    Per micro-batch: (1) the batch's links become bipartite
+    mention↔entity edges (the same graph ``cluster_mentions`` builds);
+    (2) the PREVIOUS assignment snapshot re-enters as star edges
+    (node → root, depth 1 by construction); (3) one
+    ``connected_components`` run over star ∪ new edges — prior
+    components are already fixpoints, so iterations are bounded by the
+    diameter of the NEWLY-merged components (~2-3 rounds measured),
+    not the full graph's; (4) the new assignment lands in
+    ``{workdir}/cluster_state/batch_<id>``.
+
+    Idempotence needs no fencing: CC is idempotent under duplicate
+    edges, and a RETRIED batch reads the newest complete snapshot
+    BELOW its own id — replaying batch N onto state that already
+    includes N's edges reproduces the identical assignment and
+    overwrites N's own snapshot only. The streaming checkpoint at
+    ``{workdir}/_cluster_checkpoint`` guarantees each source file is
+    assigned to exactly one batch id.
+
+    Scale note (10^12 nodes): each trigger rewrites the FULL
+    assignment snapshot — correct but write-heavy; the production
+    variant keeps state in a table that supports row-level MERGE
+    (Iceberg) and rewrites only components touched by the batch
+    (components are identifiable from the CC output by joining new
+    edges' nodes). The in-loop math is unchanged.
+
+    ``metrics`` (optional list) collects per-batch
+    {batch_id, cc_iterations, edges} — the per-partition-lineage
+    companion the north rule asks of every resumable stage.
+
+    Returns the state root; read the queryable view with
+    :func:`read_cluster_state`."""
+    from ..operators.clustering import connected_components
+
+    state_root = os.path.join(workdir, "cluster_state")
+    ckpt = os.path.join(workdir, "_cluster_checkpoint")
+    reader = spark.readStream.schema(links_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    links = reader.parquet(links_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        new_edges = batch_df.select(
+            F.concat_ws("#", *key_cols).alias("src"),
+            F.concat(F.lit("E:"), F.col(item_col)).alias("dst"),
+        )
+        prev_id = _latest_state_id(state_root, below=batch_id)
+        edges = new_edges
+        if prev_id is not None:
+            prev = spark.read.parquet(
+                os.path.join(state_root, f"batch_{prev_id:09d}")
+            )
+            stars = prev.where(F.col("node") != F.col("cluster_id")).select(
+                F.col("node").alias("src"), F.col("cluster_id").alias("dst")
+            )
+            edges = edges.union(stars)
+        st: list = []
+        assign = connected_components(edges, stats=st)
+        assign.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"batch_{batch_id:09d}")
+        )
+        if metrics is not None:
+            last = st[-1] if st else {"iteration": 0, "edges": 0}
+            metrics.append(
+                {
+                    "batch_id": batch_id,
+                    "cc_iterations": last["iteration"],
+                    "edges": last["edges"],
+                }
+            )
+
+    q = (
+        links.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return state_root
+
+
+def read_cluster_state(spark: SparkSession, state_root: str) -> DataFrame:
+    """Latest snapshot → presentation view (mention_key, cluster_id):
+    internal entity connector nodes ('E:…') are dropped and cluster
+    ids rekeyed to the component's min MENTION key — the same
+    output contract as the batch ``cluster_mentions`` (rekeying lives
+    HERE, at read time, because the state itself must keep entity
+    nodes to stay mergeable)."""
+    latest = _latest_state_id(state_root, below=1 << 62)
+    if latest is None:
+        raise FileNotFoundError(f"no complete snapshot under {state_root}")
+    assign = spark.read.parquet(
+        os.path.join(state_root, f"batch_{latest:09d}")
+    )
+    m = assign.where(~F.col("node").startswith("E:"))
+    mins = m.groupBy("cluster_id").agg(F.min("node").alias("cid"))
+    return m.join(mins, "cluster_id").select(
+        F.col("node").alias("mention_key"), F.col("cid").alias("cluster_id")
     )
 
 
