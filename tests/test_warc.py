@@ -1,0 +1,104 @@
+"""WARC source/sink: byte round-trip, Common-Crawl-style per-record
+gzip splitting, tolerance of non-response records, and pipeline
+compatibility (WARC-read pages extract byte-identical text)."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from type_filtered_entity_linker_spark.fixtures import make_fixtures
+from type_filtered_entity_linker_spark.sources.warc import (
+    read_warc,
+    warc_bytes,
+    write_warc,
+)
+
+
+def _fixture_pages(spark, n_pages=30):
+    fx = make_fixtures(seed=77, n_pages=n_pages)
+    return spark.createDataFrame(
+        fx["pages"][["url", "warc_ts", "html", "text"]]
+    )
+
+
+def test_warc_roundtrip_distributed(spark, tmp_path):
+    """write_warc (one file per partition, per-record gzip) →
+    read_warc reproduces (url, warc_ts, html) byte-exactly."""
+    pages = _fixture_pages(spark).repartition(4)
+    out = str(tmp_path / "crawl")
+    n = write_warc(pages, out)
+    assert n == pages.count()
+    back = read_warc(spark, out)
+    want = {
+        (r.url, r.warc_ts, bytes(r.html))
+        for r in pages.select("url", "warc_ts", "html").collect()
+    }
+    got = {(r.url, r.warc_ts, bytes(r.html)) for r in back.collect()}
+    assert got == want
+
+
+def test_warc_read_feeds_pipeline_extraction(spark, tmp_path):
+    """Pages ingested from WARC are downstream-identical to the
+    parquet pages table: extract_text over the WARC read equals the
+    fixture's original text per url (the north-rule byte invariant,
+    now holding across the raw-crawl ingest boundary)."""
+    from pyspark.sql import functions as F
+
+    from type_filtered_entity_linker_spark.operators.mentions import (
+        extract_text_udf,
+    )
+
+    pages = _fixture_pages(spark)
+    out = str(tmp_path / "crawl")
+    write_warc(pages.repartition(3), out)
+    got = {
+        r.url: r.t
+        for r in read_warc(spark, out)
+        .select("url", extract_text_udf("html").alias("t"))
+        .collect()
+    }
+    want = {r.url: r.text for r in pages.select("url", "text").collect()}
+    assert got == want
+
+
+def test_warc_parser_skips_non_response_records(tmp_path):
+    """A crawl file starts with a warcinfo record and may hold request
+    records — the reader must return only the responses, and a
+    trailing malformed record must not kill the file's parse."""
+    from type_filtered_entity_linker_spark.sources.warc import _parse_warc
+
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\n"
+        b"robo\r\n\r\n"
+    )
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    resp = warc_bytes(
+        [("http://x.test/a", ts, b"<html>A</html>")], per_record_gzip=False
+    )
+    req = (
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: http://x.test/a\r\n"
+        b"WARC-Date: 2024-03-01T12:00:00Z\r\nContent-Length: 2\r\n\r\n"
+        b"GE\r\n\r\n"
+    )
+    junk = b"NOT-A-WARC-HEADER without terminator"
+    records = list(_parse_warc(info + resp + req + junk))
+    assert records == [("http://x.test/a", ts, b"<html>A</html>")]
+
+
+def test_warc_plain_uncompressed_also_readable(spark, tmp_path):
+    """Plain .warc (no gzip) parses through the same reader — the
+    member splitter passes non-gzip bytes straight through."""
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (f"http://x.test/{i}", ts + dt.timedelta(seconds=i), f"<p>{i}</p>".encode())
+        for i in range(5)
+    ]
+    p = tmp_path / "f.warc"
+    p.write_bytes(warc_bytes(rows, per_record_gzip=False))
+    got = sorted(
+        (r.url, r.warc_ts, bytes(r.html))
+        for r in read_warc(spark, str(p)).collect()
+    )
+    assert got == sorted(rows)

@@ -1944,6 +1944,52 @@ EVENTS_STATEFUL_SQL = """
 """
 
 
+def q_warc_roundtrip(spark, sf_dir) -> DataFrame:
+    """WARC source/sink round-trip at gate scale: documents become
+    Common-Crawl-style pages (deterministic url/ts/html), go out
+    through the distributed per-record-gzip WARC sink and come back
+    through the binaryFile reader; the output row per page (url,
+    payload byte length, formatted record timestamp) must equal the
+    oracle computed DIRECTLY from the documents table — any encode /
+    member-split / header-parse defect breaks the hash."""
+    import tempfile
+
+    from ..sources.warc import read_warc, write_warc
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    pages = d.select(
+        F.concat(F.lit("http://ex.test/doc/"), F.col("doc_id")).alias("url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<main><p>"), F.col("text"), F.lit("</p></main>")
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+    out = tempfile.mkdtemp(prefix="warc_rt_")
+    write_warc(pages.repartition(4), out)
+    back = read_warc(spark, out)
+    return back.select(
+        "url",
+        F.octet_length("html").cast("long").alias("n_bytes"),
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+WARC_ROUNDTRIP_SQL = """
+    SELECT 'http://ex.test/doc/' || doc_id::VARCHAR AS url,
+           (20 + octet_length(encode(text)))::BIGINT AS n_bytes,
+           strftime(TIMESTAMP '2024-01-01 00:00:00'
+                    + to_seconds(doc_id::BIGINT),
+                    '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM documents
+"""
+
+
 def q_el_clusters_incremental(spark, sf_dir) -> DataFrame:
     """Streaming cluster MAINTENANCE (incremental_cluster_links): the
     el-chain links are delivered as TWO micro-batch files (split by
@@ -2100,6 +2146,7 @@ QUERIES = {
     "events_stream_dedup": q_events_stream_dedup,
     "events_stateful_totals": q_events_stateful_totals,
     "el_clusters_incremental": q_el_clusters_incremental,
+    "warc_roundtrip": q_warc_roundtrip,
     "events_json_agg": q_events_json,
     "lineitem_agg": q_lineitem_agg,
     "top_orders_per_customer": q_top_orders_per_customer,
@@ -2152,6 +2199,7 @@ ORACLES = {
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stateful_totals": EVENTS_STATEFUL_SQL,
     "el_clusters_incremental": EL_CLUSTERS_SQL,
+    "warc_roundtrip": WARC_ROUNDTRIP_SQL,
     "events_json_agg": EVENTS_JSON_SQL,
     "lineitem_agg": LINEITEM_AGG_SQL,
     "top_orders_per_customer": TOP_ORDERS_SQL,
