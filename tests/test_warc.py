@@ -87,6 +87,20 @@ def test_warc_parser_skips_non_response_records(tmp_path):
     assert records == [("http://x.test/a", ts, b"<html>A</html>")]
 
 
+def test_warc_corrupt_gzip_member_does_not_kill_file(tmp_path):
+    """A damaged gzip member mid-file yields the records before it and
+    skips the unrecoverable rest — one bad byte range must not fail
+    the whole ingest task."""
+    from type_filtered_entity_linker_spark.sources.warc import _parse_warc
+
+    ts = dt.datetime(2024, 3, 1, 12, 0, 0)
+    good = warc_bytes([("http://x.test/ok", ts, b"<p>ok</p>")])
+    bad = b"\x1f\x8b\x08\x00GARBAGE-NOT-DEFLATE"
+    tail = warc_bytes([("http://x.test/lost", ts, b"<p>lost</p>")])
+    records = list(_parse_warc(good + bad + tail))
+    assert [r[0] for r in records] == ["http://x.test/ok"]
+
+
 def test_warc_plain_uncompressed_also_readable(spark, tmp_path):
     """Plain .warc (no gzip) parses through the same reader — the
     member splitter passes non-gzip bytes straight through."""

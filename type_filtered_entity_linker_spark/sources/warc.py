@@ -88,8 +88,18 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
         return
     while data:
         d = zlib.decompressobj(wbits=47)
-        yield d.decompress(data)
-        data = d.unused_data
+        try:
+            member = d.decompress(data)
+        except zlib.error:
+            # damaged member: surrender the REST of this file (member
+            # boundaries are unrecoverable past corruption) instead of
+            # killing the whole ingest task
+            return
+        yield member
+        nxt = d.unused_data
+        if len(nxt) >= len(data):  # truncated tail cannot progress
+            return
+        data = nxt
 
 
 def _parse_warc(data: bytes) -> Iterator[tuple[str, datetime, bytes]]:
