@@ -64,6 +64,10 @@ HEADLINE = [
     # O31 trainers: 5 (logistic) / 3 (softmax) full-batch epoch jobs
     "disamb_train_curve",
     "typerec_train_eval",
+    # round-3 additions: streaming cluster maintenance (2 micro-batch
+    # CC folds) and the WARC raw-crawl source round-trip
+    "el_clusters_incremental",
+    "warc_roundtrip",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

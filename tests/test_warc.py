@@ -6,6 +6,7 @@ import datetime as dt
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from type_filtered_entity_linker_spark.fixtures import make_fixtures
 from type_filtered_entity_linker_spark.sources.warc import (
@@ -116,3 +117,71 @@ def test_warc_plain_uncompressed_also_readable(spark, tmp_path):
         for r in read_warc(spark, str(p)).collect()
     )
     assert got == sorted(rows)
+
+
+def test_warc_ingest_end_to_end_links_match_parquet_path(spark, tmp_path):
+    """Full ingest boundary: linking pages ingested from WARC
+    (pages_from_warc with a stamped slice language) produces the SAME
+    links as the parquet pages table — the raw-crawl path is a drop-in
+    pages source for the whole pipeline."""
+    from type_filtered_entity_linker_spark.config import LinkerConfig
+    from type_filtered_entity_linker_spark.fixtures import (
+        fixtures_to_spark,
+        make_fixtures,
+    )
+    from type_filtered_entity_linker_spark.plans.pipeline import (
+        link_pages_batch,
+    )
+    from type_filtered_entity_linker_spark.sources.warc import (
+        pages_from_warc,
+    )
+
+    fx = make_fixtures(seed=99, n_pages=60)
+    inputs = fixtures_to_spark(spark, fx)
+    cfg = LinkerConfig()
+    en_pages = inputs["pages"].where(F.col("lang") == cfg.lang)
+
+    out = str(tmp_path / "crawl")
+    write_warc(
+        en_pages.select("url", "warc_ts", "html").repartition(3), out
+    )
+    warc_pages = pages_from_warc(spark, out, default_lang=cfg.lang)
+
+    def links_of(pages):
+        return sorted(
+            (r.url, r.mention_id, r.item_id)
+            for r in link_pages_batch(pages, inputs, cfg)
+            .select("url", "mention_id", "item_id")
+            .collect()
+        )
+
+    got = links_of(warc_pages)
+    want = links_of(en_pages)
+    assert got and got == want
+
+
+def test_pages_from_warc_detects_language(spark, tmp_path):
+    """Without a stamped slice language the marker heuristic assigns
+    lang per page from the extracted text."""
+    from type_filtered_entity_linker_spark.sources.warc import (
+        pages_from_warc,
+    )
+    from type_filtered_entity_linker_spark.textlib import make_html
+
+    ts = dt.datetime(2024, 3, 1)
+    rows = [
+        ("http://x.test/en", ts, make_html("the cat and the dog of note")),
+        ("http://x.test/de", ts, make_html("der hund ist nicht die katze")),
+        ("http://x.test/und", ts, make_html("zzz qqq barewords")),
+    ]
+    p = tmp_path / "f.warc.gz"
+    p.write_bytes(warc_bytes(rows))
+    got = {
+        r.url: r.lang
+        for r in pages_from_warc(spark, str(p)).collect()
+    }
+    assert got == {
+        "http://x.test/en": "en",
+        "http://x.test/de": "de",
+        "http://x.test/und": "und",
+    }

@@ -37,6 +37,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--task", default="a2kb", choices=["a2kb", "d2kb"],
                    help="a2kb detects mentions; d2kb links pre-marked "
                    "spans from <input-dir>/premarked_mentions")
+    p.add_argument("--pages-warc",
+                   help="ingest the pages table from WARC files at this "
+                   "path/glob instead of parquet (raw-crawl boundary; "
+                   "dictionaries still come from --input-dir or the "
+                   "fixture)")
+    p.add_argument("--pages-warc-lang",
+                   help="stamp this lang on WARC-ingested pages (slice "
+                   "language known out-of-band); omit to run the marker "
+                   "heuristic per page")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -67,6 +76,15 @@ def main(argv: list[str] | None = None) -> int:
         fx = make_fixtures(seed=args.seed, n_pages=args.n_pages)
         inputs = fixtures_to_spark(spark, fx)
         version = f"fixture:{args.seed}:{args.n_pages}"
+
+    if args.pages_warc:
+        from .sources.warc import pages_from_warc
+
+        inputs = dict(inputs)
+        inputs["pages"] = pages_from_warc(
+            spark, args.pages_warc, default_lang=args.pages_warc_lang
+        )
+        version += f":warc:{args.pages_warc}"
 
     premarked = None
     if args.task == "d2kb":

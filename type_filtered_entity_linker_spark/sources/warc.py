@@ -176,6 +176,33 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     return files.mapInPandas(run, WARC_SCHEMA)
 
 
+def pages_from_warc(
+    spark: SparkSession, path: str, default_lang: str | None = None
+) -> DataFrame:
+    """WARC files → the FULL pages-table shape (url, warc_ts, html,
+    lang) the pipeline starts from. A raw crawl carries no lang
+    column; ``default_lang`` stamps a constant when the slice's
+    language is known out-of-band (Common Crawl publishes language
+    partitions), otherwise the textstats marker heuristic runs over
+    the extracted text — one extra extraction pass paid ONCE at
+    ingest, when the crawl lands in the pages table, not per query."""
+    from pyspark.sql import functions as F
+
+    pages = read_warc(spark, path)
+    if default_lang is not None:
+        return pages.withColumn("lang", F.lit(default_lang))
+    from ..operators.mentions import extract_text_udf
+    from ..operators.textstats import lang_scores
+
+    tmp = pages.withColumn("_text", extract_text_udf("html"))
+    scores = lang_scores("_text")
+    best = F.greatest(*[s for _, s in scores])
+    pred = F.lit("und")
+    for lang, s in sorted(scores, reverse=True):  # earliest wins last
+        pred = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(pred)
+    return tmp.select("url", "warc_ts", "html", pred.alias("lang"))
+
+
 def write_warc(pages: DataFrame, out_dir: str) -> int:
     """Distributed WARC sink: one ``part-NNNNN.warc.gz`` per partition
     of ``pages`` (url, warc_ts, html), per-record-gzip members.
