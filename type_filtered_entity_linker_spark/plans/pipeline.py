@@ -36,14 +36,15 @@ from ..operators.type_filter import entity_type_summary, filter_candidates
 from ..sources.tableio import fingerprint, read_or_compute
 
 
-def link_pages_batch(
-    pages: DataFrame, inputs: dict[str, DataFrame], cfg: LinkerConfig = LinkerConfig()
+def link_mentions_batch(
+    mentions: DataFrame,
+    inputs: dict[str, DataFrame],
+    cfg: LinkerConfig = LinkerConfig(),
+    spans: DataFrame | None = None,
 ) -> DataFrame:
-    """The linkage chain (extract → detect → block → type-filter →
-    top-K → score → argmax) over a pages batch — no checkpointing. Used
-    per-micro-batch by ``streaming.incremental.incremental_link_pages``;
-    every stage is per-mention, so linking pages in arbitrary batch
-    splits yields exactly the full-corpus links.
+    """Post-detection linkage chain (block → type-filter → top-K →
+    score → argmax) over an already-materialized mentions table — the
+    shared tail of the A2KB, D2KB and per-request (GERBIL) paths.
 
     The capped candidate table is persisted and counted once: the
     scorer's broadcast gate needs a distinct-pair bound, and without a
@@ -51,11 +52,8 @@ def link_pages_batch(
     block, filter) a second time just to measure it. The cached blocks
     are released by Spark's ContextCleaner when the batch's DataFrames
     go unreferenced."""
-    pages_text = with_extracted_text(pages, cfg)
-    mentions = detect_mentions_df(pages_text, inputs["gazetteer"], cfg)
     cand_u = generate_candidates(mentions, inputs["entity_aliases"], cfg)
     summary = entity_type_summary(inputs["entity_types"], inputs["type_closure"])
-    spans = ner_spans_df(pages_text) if cfg.filter_mode == "span" else None
     cand_f = filter_candidates(
         cand_u, summary, cfg, mentions=mentions, spans=spans
     )
@@ -71,6 +69,29 @@ def link_pages_batch(
         broadcast_max_rows=cfg.scorer_broadcast_max_rows,
     )
     return with_entity_urls(argmax_links(scored))
+
+
+def link_pages_batch(
+    pages: DataFrame,
+    inputs: dict[str, DataFrame],
+    cfg: LinkerConfig = LinkerConfig(),
+    premarked: DataFrame | None = None,
+) -> DataFrame:
+    """The linkage chain (extract → detect → block → type-filter →
+    top-K → score → argmax) over a pages batch — no checkpointing. Used
+    per-micro-batch by ``streaming.incremental.incremental_link_pages``
+    and per-request by ``sources.gerbil``; every stage is per-mention,
+    so linking pages in arbitrary batch splits yields exactly the
+    full-corpus links. ``premarked`` (url, start, end) switches
+    detection to the D2KB span path, mirroring ``run_pipeline``."""
+    pages_text = with_extracted_text(pages, cfg)
+    mentions = (
+        prepare_premarked_mentions(pages_text, premarked, cfg)
+        if premarked is not None
+        else detect_mentions_df(pages_text, inputs["gazetteer"], cfg)
+    )
+    spans = ner_spans_df(pages_text) if cfg.filter_mode == "span" else None
+    return link_mentions_batch(mentions, inputs, cfg, spans=spans)
 
 
 @dataclass

@@ -88,13 +88,21 @@ _CTX_RE = re.compile(
     re.DOTALL,
 )
 _PHRASE_RE = re.compile(
-    r"<[^>]*?#char=(?P<s>\d+),(?P<e>\d+)>\s*\n\s*a nif:Phrase", re.DOTALL
+    r"<[^>]*?#char=(?P<s>\d+),(?P<e>\d+)>\s*\n\s*a nif:Phrase"
+    r"(?P<body>.*?)(?=\n\n|\Z)",
+    re.DOTALL,
 )
+_IDENT_RE = re.compile(r"itsrdf:taIdentRef\s+<([^>]*)>")
+_CONF_RE = re.compile(r'itsrdf:taConfidence\s+"([^"]*)"')
 
 
 def read_nif(nif_data: str) -> dict:
-    """NIF Turtle → {uri, text, mentions: [{start, end, sf}]}
-    (reference read_nif, inout/nif.py:30-49)."""
+    """NIF Turtle → {uri, text, mentions: [{start, end, sf[, entity]}]}
+    (reference read_nif, inout/nif.py:30-49). Request documents carry
+    bare spans; RESPONSE documents (the GERBIL exchange's other
+    direction) carry itsrdf annotations, surfaced as
+    ``entity: {item_url, score}`` so the exchange round-trips through
+    one parser."""
     ctx = _CTX_RE.search(nif_data)
     if ctx is None:
         raise ValueError("no nif:Context found")
@@ -103,6 +111,14 @@ def read_nif(nif_data: str) -> dict:
     mentions = []
     for m in _PHRASE_RE.finditer(nif_data):
         s, e = int(m.group("s")), int(m.group("e"))
-        mentions.append({"start": s, "end": e, "sf": text[s:e]})
+        mention = {"start": s, "end": e, "sf": text[s:e]}
+        ident = _IDENT_RE.search(m.group("body"))
+        if ident:
+            conf = _CONF_RE.search(m.group("body"))
+            mention["entity"] = {
+                "item_url": ident.group(1),
+                "score": float(conf.group(1)) if conf else 0.0,
+            }
+        mentions.append(mention)
     mentions.sort(key=lambda d: (d["start"], d["end"]))
     return {"uri": uri, "text": text, "mentions": mentions}
