@@ -185,3 +185,45 @@ def test_pages_from_warc_detects_language(spark, tmp_path):
         "http://x.test/de": "de",
         "http://x.test/und": "und",
     }
+
+
+def test_warc_record_codec_property():
+    """Property: any (url, ts, html-bytes) rows round-trip through
+    warc_bytes → _parse_warc exactly, gzipped or plain — including
+    html bodies containing CRLF pairs, WARC-header-like lines and
+    gzip magic bytes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from type_filtered_entity_linker_spark.sources.warc import _parse_warc
+
+    urls = st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs", "Cc"), blacklist_characters="\r\n>"
+        ),
+        min_size=1,
+        max_size=50,
+    ).map(lambda s: "http://t/" + s)
+    tss = st.datetimes(
+        min_value=dt.datetime(1990, 1, 1), max_value=dt.datetime(2100, 1, 1)
+    ).map(lambda d: d.replace(microsecond=0))
+    htmls = st.one_of(
+        st.binary(max_size=200),
+        st.sampled_from(
+            [
+                b"a\r\n\r\nb",
+                b"WARC/1.0\r\nWARC-Type: response\r\n\r\n",
+                b"\x1f\x8b\x08\x00fake",
+                b"",
+            ]
+        ),
+    )
+    rows = st.lists(st.tuples(urls, tss, htmls), max_size=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(rows=rows, gz=st.booleans())
+    def check(rows, gz):
+        data = warc_bytes(rows, per_record_gzip=gz)
+        assert list(_parse_warc(data)) == rows
+
+    check()
