@@ -1,0 +1,129 @@
+"""Round-3 webtext/ER additions: Gopher-style repetition signals
+(operators/textstats.py), crawl-URL canonicalization
+(operators/curation.py) and rarest-token blocking + relational TF-IDF
+pair scoring (operators/blocking.py) — each checked against a small
+hand-computable or pure-Python reference."""
+
+import math
+from collections import Counter
+
+from type_filtered_entity_linker_spark.operators.blocking import (
+    rarest_token_blocks,
+    tfidf_pair_scores,
+)
+from type_filtered_entity_linker_spark.operators.curation import (
+    canonicalize_urls,
+)
+from type_filtered_entity_linker_spark.operators.textstats import (
+    repetition_signals,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_signals_hand_computed(spark):
+    rows = [
+        # "a b a b a" -> bigrams [a b, b a, a b, b a]: top 2/4, dup 4/4
+        (1, "a b a b a"),
+        # all-distinct bigrams
+        (2, "w x y z"),
+        # shorter than n tokens -> both fractions 0
+        (3, "solo"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in repetition_signals(_docs(spark, rows), n=2).collect()
+    }
+    assert out[1]["top_ngram_frac"] == 0.5
+    assert out[1]["dup_ngram_frac"] == 1.0
+    assert out[1]["distinct_token_ratio"] == 0.4  # {a,b} of 5
+    assert out[2]["top_ngram_frac"] == round(1 / 3, 6)
+    assert out[2]["dup_ngram_frac"] == 0.0
+    assert out[2]["distinct_token_ratio"] == 1.0
+    assert out[3]["top_ngram_frac"] == 0.0
+    assert out[3]["dup_ngram_frac"] == 0.0
+    assert out[3]["distinct_token_ratio"] == 1.0
+
+
+def test_canonicalize_urls_rules(spark):
+    rows = [
+        (1, "HTTPS://WWW.News.Example.COM:443/A/b?utm_source=f&b=2&a=1#x"),
+        # same page, params reordered, no junk -> same canonical key
+        (2, "https://news.example.com/A/b?a=1&b=2"),
+        # http default port + empty path -> '/'
+        (3, "http://Example.org:80?gclid=z"),
+        # non-default port must survive in the key AND not leak into
+        # the registered domain
+        (4, "https://api.example.org:8443/v1?fbclid=y&q=1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r for r in canonicalize_urls(df).collect()}
+    assert out[1]["canonical_url"] == "https://news.example.com/A/b?a=1&b=2"
+    assert out[2]["canonical_url"] == out[1]["canonical_url"]
+    assert {out[1]["dup_rank"], out[2]["dup_rank"]} == {1, 2}
+    assert out[1]["dup_rank"] == 1  # lowest id is the keeper
+    assert out[1]["registered_domain"] == "example.com"
+    assert out[3]["canonical_url"] == "http://example.org/"
+    assert out[3]["registered_domain"] == "example.org"
+    assert out[4]["canonical_url"] == "https://api.example.org:8443/v1?q=1"
+    assert out[4]["registered_domain"] == "example.org"
+
+
+def test_rarest_token_blocks_argmin_and_df_bounds(spark):
+    rows = [
+        (1, "common rare1 noise1"),
+        (2, "common rare1 noise2"),
+        (3, "common rare2 unique9"),
+        (4, "common rare2"),
+        (5, "common only"),  # 'only' df=1 < min_df; 'common' df=5 > max_df
+    ]
+    out = {
+        r["doc_id"]: (r["block_key"], r["df"])
+        for r in rarest_token_blocks(
+            _docs(spark, rows), min_df=2, max_df=4
+        ).collect()
+    }
+    assert out[1] == ("rare1", 2)
+    assert out[2] == ("rare1", 2)
+    assert out[3] == ("rare2", 2)
+    assert out[4] == ("rare2", 2)
+    assert 5 not in out  # no pairable token at all
+
+
+def _py_tfidf_cosine(texts, a, b, min_len=3):
+    toks = {d: [t for t in txt.split() if len(t) >= min_len] for d, txt in texts.items()}
+    df = Counter()
+    for ts in toks.values():
+        df.update(set(ts))
+    n = len(texts)
+
+    def w(d):
+        tf = Counter(toks[d])
+        return {t: c * math.log(n / df[t]) for t, c in tf.items()}
+
+    wa, wb = w(a), w(b)
+    dot = sum(wa[t] * wb[t] for t in wa.keys() & wb.keys())
+    na = math.sqrt(sum(v * v for v in wa.values()))
+    nb = math.sqrt(sum(v * v for v in wb.values()))
+    return round(dot / (na * nb), 6)
+
+
+def test_tfidf_pair_scores_match_python(spark):
+    texts = {
+        1: "alpha beta gamma rarekey",
+        2: "alpha beta delta rarekey",
+        3: "epsilon zeta eta otherkey",
+        4: "epsilon theta iota otherkey",
+    }
+    docs = _docs(spark, list(texts.items()))
+    blocks = rarest_token_blocks(docs, min_df=2, max_df=3)
+    out = {
+        (r["doc_a"], r["doc_b"]): r["cosine_tfidf"]
+        for r in tfidf_pair_scores(docs, blocks).collect()
+    }
+    # blocks: every token here has df<=2; rarest ties break lexically
+    assert set(out) == {(1, 2), (3, 4)}
+    for (a, b), got in out.items():
+        assert abs(got - _py_tfidf_cosine(texts, a, b)) <= 1e-6

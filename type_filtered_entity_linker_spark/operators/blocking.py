@@ -89,3 +89,130 @@ def generate_candidates(
         & (mention_side.salt == dict_side.salt),
         "inner",
     ).select(*CAND_COLS)
+
+
+def rarest_token_blocks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_token_len: int = 3,
+    min_df: int = 2,
+    max_df: int = 20,
+) -> DataFrame:
+    """Classic record-linkage blocking by each record's RAREST token:
+    every record is keyed by the single eligible token with the lowest
+    corpus document frequency (ties break lexicographically), so a
+    record lands in exactly ONE block and the candidate-pair count is
+    bounded by sum over blocks of |block|^2 — with |block| <= max_df by
+    construction, the bound is max_df * n_records, i.e. LINEAR in the
+    corpus. That hard bound is what makes this blocking safe at 10^12
+    records where surface-form equi-join blocking (``generate_candidates``)
+    needs salting: rare tokens have no Zipf head by definition.
+
+    Tokens with df < min_df can never produce a pair and are dropped
+    before the argmin, so a record whose rarest token is globally
+    unique still gets its rarest PAIRABLE token as key (or no block at
+    all if every token is unique / too common).
+
+    Plan shape: one explode + distinct (map-side combine), one hash agg
+    for df, one broadcast-or-shuffle join back, one min_by agg per
+    record. Returns (doc_id, block_key, df).
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("tok"),
+        )
+        .where(F.length("tok") >= min_token_len)
+    )
+    df_tbl = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    eligible = df_tbl.where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    keyed = toks.join(eligible, "tok")
+    # argmin by (df, tok): min of a sortable struct — one agg, no window
+    best = keyed.groupBy("doc_id").agg(
+        F.min(F.struct("df", "tok")).alias("b")
+    )
+    return best.select(
+        "doc_id", F.col("b.tok").alias("block_key"), F.col("b.df").alias("df")
+    )
+
+
+def tfidf_pair_scores(
+    docs: DataFrame,
+    blocks: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_token_len: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """Score the candidate pairs produced by ``rarest_token_blocks``
+    with TF-IDF cosine similarity, fully relationally (no UDF):
+
+    - per-doc token weights w(d,t) = tf(d,t) * ln(N / df(t)) with raw
+      term counts as tf;
+    - pair score = sum_t w(a,t) w(b,t) / (||w(a)|| ||w(b)||), computed
+      by joining the two sides' weight tables on the token and hash-
+      aggregating per pair.
+
+    The pair join is bounded by the block-size guarantee upstream;
+    per-pair token intersection cost is bounded by document length.
+    Returns (doc_a, doc_b, block_key, cosine_tfidf).
+    """
+    n_docs = docs.select(F.countDistinct(id_col).alias("n"))
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+        )
+        .where(F.length("tok") >= min_token_len)
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(df_tbl, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf").cast("double") * F.log(F.col("n").cast("double") / F.col("df").cast("double"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    pairs = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), "block_key")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            "block_key",
+        )
+    )
+    dots = (
+        pairs.join(w.alias("wa"), F.col("doc_a") == F.col("wa.doc_id"))
+        .join(
+            w.alias("wb"),
+            (F.col("doc_b") == F.col("wb.doc_id"))
+            & (F.col("wa.tok") == F.col("wb.tok")),
+        )
+        .groupBy("doc_a", "doc_b", "block_key")
+        .agg(F.sum(F.col("wa.w") * F.col("wb.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("norm_b"))
+    return (
+        pairs.join(dots, ["doc_a", "doc_b", "block_key"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "block_key",
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0.0))
+                / (F.col("norm_a") * F.col("norm_b")),
+                round_to,
+            ).alias("cosine_tfidf"),
+        )
+    )

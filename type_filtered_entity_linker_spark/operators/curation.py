@@ -168,6 +168,87 @@ def domain_cap(
     )
 
 
+# query-string parameters that never affect page identity: analytics
+# attribution junk a crawl-dedup must ignore (utm_* per Google's
+# attribution spec, fbclid/gclid click ids)
+TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def canonical_url_cols(url: F.Column) -> dict[str, F.Column]:
+    """Column expressions for crawl URL canonicalization — the key a
+    web-scale URL-level dedup groups on. Rules (each a documented,
+    reversible-in-review choice, not a guess):
+
+    - scheme and host lowercased (RFC 3986 §6.2.2.1 case norm);
+    - leading ``www.`` stripped from the host;
+    - default ports dropped (``:443`` for https, ``:80`` for http);
+    - fragment dropped (never sent to the server);
+    - tracking params (``utm_*``, ``fbclid``, ``gclid``) removed and
+      the survivors SORTED so param order can't split a page into two
+      keys; empty query drops the ``?``;
+    - empty path becomes ``/``.
+
+    Pure column expressions (codegen, no UDF), exactly replicated in
+    the DuckDB oracle. ``registered_domain`` is the last two host
+    labels — a public-suffix-list lookup (``co.uk``) would need a
+    broadcast-joined suffix table, noted not shipped."""
+    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    host_nowww = F.regexp_replace(hostport, r"^www\.", "")
+    # only the scheme's OWN default port is dropped; :8080 etc. survive
+    host = (
+        F.when(scheme == "https", F.regexp_replace(host_nowww, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(host_nowww, r":80$", ""))
+        .otherwise(host_nowww)
+    )
+    path = F.regexp_extract(url, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    qparts = F.split(F.regexp_extract(url, _QUERY_RE, 1), "&")
+    kept = F.array_sort(
+        F.filter(
+            qparts,
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~p.startswith("fbclid")
+            & ~p.startswith("gclid"),
+        )
+    )
+    query = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    canonical = F.concat(scheme, F.lit("://"), host, path, query)
+    # port already stripped for default schemes; drop any :port from
+    # the domain labels so e.g. host 'x.com:8080' registers as 'x.com'
+    bare = F.regexp_replace(host, r":[0-9]+$", "")
+    labels = F.split(bare, r"\.")
+    registered = F.array_join(
+        F.slice(labels, F.greatest(F.size(labels) - 1, F.lit(1)), 2), "."
+    )
+    return {"canonical_url": canonical, "registered_domain": registered}
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach ``canonical_url`` + ``registered_domain`` and rank each
+    row within its canonical-URL group (``dup_rank`` 1 = the kept
+    representative, lowest id wins — deterministic). One shuffle on the
+    canonical key; recrawl-heavy hot URLs are bounded by crawl dedup
+    upstream, and the window is a top-1-per-key shape Catalyst rewrites
+    to a partial WindowGroupLimit (no full per-key sort materialized)."""
+    cols = canonical_url_cols(F.col(url_col))
+    out = df.withColumn("canonical_url", cols["canonical_url"]).withColumn(
+        "registered_domain", cols["registered_domain"]
+    )
+    w = Window.partitionBy("canonical_url").orderBy(id_col)
+    return out.withColumn("dup_rank", F.row_number().over(w))
+
+
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Replace emails / phone-number shapes with placeholder tokens
     and count what was redacted. Patterns are deliberately restricted

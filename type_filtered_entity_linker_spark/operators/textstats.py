@@ -99,6 +99,78 @@ def token_counts(
     )
 
 
+def _word_ngrams(toks: F.Column, n: int) -> F.Column:
+    """Word n-grams of a token array as space-joined strings; empty
+    array when the document has fewer than n tokens (F.sequence would
+    otherwise count DOWN from 1 and fabricate grams)."""
+    starts = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - top_ngram_frac: occurrences of the single most frequent word
+      n-gram / total n-gram occurrences (boilerplate and SEO spam push
+      this up),
+    - dup_ngram_frac: fraction of n-gram occurrences whose n-gram
+      appears >= 2 times in the document,
+    - distinct_token_ratio: |distinct tokens| / |tokens| (low = loops).
+
+    Documents shorter than n tokens report 0 for both n-gram fractions.
+
+    Scale: the n-gram mode is computed relationally — explode to
+    (doc_id, gram), two hash aggregations keyed by (doc_id, gram) then
+    doc_id — so per-row cost is linear in document length (no O(d^2)
+    in-row mode search) and both aggregations partial-combine map-side.
+    The distinct-token ratio never leaves the row (codegen).
+    """
+    toks = tokens_col(text_col)
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(_word_ngrams(toks, n)).alias("gram"),
+    )
+    per_gram = grams.where(F.col("gram").isNotNull()).groupBy("doc_id", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_cnt"),
+        F.sum("cnt").alias("total_grams"),
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias("dup_cnt"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    j = base.join(per_doc, "doc_id", "left")
+    total = F.coalesce(F.col("total_grams"), F.lit(0)).cast("double")
+    return j.select(
+        "doc_id",
+        F.round(
+            F.when(total > 0, F.col("top_cnt").cast("double") / total).otherwise(0.0),
+            6,
+        ).alias("top_ngram_frac"),
+        F.round(
+            F.when(total > 0, F.col("dup_cnt").cast("double") / total).otherwise(0.0),
+            6,
+        ).alias("dup_ngram_frac"),
+        F.round(
+            F.col("n_distinct").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+            6,
+        ).alias("distinct_token_ratio"),
+    )
+
+
 def fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -27,7 +27,9 @@ from ..operators.dedup import (
     near_duplicates_ngram,
     near_duplicates_simhash,
 )
+from ..operators.blocking import rarest_token_blocks, tfidf_pair_scores
 from ..operators.curation import (
+    canonicalize_urls,
     deterministic_split,
     domain_cap,
     redact_pii,
@@ -44,6 +46,7 @@ from ..operators.textstats import (
     fingerprints,
     lang_id,
     quality_scores,
+    repetition_signals,
     token_counts,
 )
 
@@ -1546,6 +1549,196 @@ FINGERPRINT_SQL = """
 """
 
 
+def q_repetition(spark, sf_dir) -> DataFrame:
+    """Gopher-style repetition quality signals (word-bigram mode /
+    duplication fractions + distinct-token ratio) per document."""
+    return repetition_signals(_docs(spark, sf_dir), n=2)
+
+
+REPETITION_SQL = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    g AS (SELECT doc_id, unnest(
+            CASE WHEN len(l) >= 2
+                 THEN [array_to_string(l[i:i+1], ' ') for i in range(1, len(l))]
+                 ELSE []::VARCHAR[] END) AS gram
+          FROM t),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+    s AS (SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS total,
+                 sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dup
+          FROM c GROUP BY doc_id)
+    SELECT t.doc_id,
+        round(CASE WHEN coalesce(total, 0) > 0
+                   THEN top_cnt::DOUBLE / total ELSE 0 END, 6) AS top_ngram_frac,
+        round(CASE WHEN coalesce(total, 0) > 0
+                   THEN dup::DOUBLE / total ELSE 0 END, 6) AS dup_ngram_frac,
+        round(len(list_distinct(l))::DOUBLE / greatest(len(l), 1), 6)
+            AS distinct_token_ratio
+    FROM t LEFT JOIN s USING (doc_id)
+"""
+
+
+# synthetic rare "entity name" tokens appended identically in both
+# engines: the driver corpus vocabulary is 30 head words (df >= 25), so
+# without them rarest-token blocking would have nothing rare to key on
+_ER_DOCS_SQL = """
+    SELECT doc_id,
+           text || ' name' || (doc_id % 200) || ' ref' || (doc_id % 97)
+             AS text
+    FROM documents
+"""
+
+
+def _er_docs(spark, sf_dir) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" name"),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(" ref"),
+            (F.col("doc_id") % 97).cast("string"),
+        ).alias("text"),
+    )
+
+
+def q_er_rare_token_blocks(spark, sf_dir) -> DataFrame:
+    """Rarest-token blocking: each record keyed by its lowest-DF
+    pairable token — block size <= max_df by construction, so the
+    candidate-pair count stays linear in the corpus at any scale."""
+    return rarest_token_blocks(_er_docs(spark, sf_dir), min_df=2, max_df=20)
+
+
+ER_BLOCKS_SQL = f"""
+    WITH d AS ({_ER_DOCS_SQL}),
+    t AS (SELECT DISTINCT doc_id, tok
+          FROM d, unnest(string_split(text, ' ')) AS u(tok)
+          WHERE length(tok) >= 3),
+    dfq AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
+    e AS (SELECT * FROM dfq WHERE df BETWEEN 2 AND 20),
+    k AS (SELECT t.doc_id, t.tok, e.df,
+                 row_number() OVER (PARTITION BY t.doc_id
+                                    ORDER BY e.df, t.tok) AS rn
+          FROM t JOIN e USING (tok))
+    SELECT doc_id, tok AS block_key, df FROM k WHERE rn = 1
+"""
+
+
+def q_er_tfidf_pairs(spark, sf_dir) -> DataFrame:
+    """Candidate pairs from rarest-token blocks scored with relational
+    TF-IDF cosine (no UDF; pair cost bounded by the block-size cap)."""
+    d = _er_docs(spark, sf_dir)
+    blocks = rarest_token_blocks(d, min_df=2, max_df=20)
+    return tfidf_pair_scores(d, blocks)
+
+
+ER_TFIDF_SQL = f"""
+    WITH d AS ({_ER_DOCS_SQL}),
+    tok AS (SELECT doc_id, tok
+            FROM d, unnest(string_split(text, ' ')) AS u(tok)
+            WHERE length(tok) >= 3),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(DISTINCT doc_id) AS n FROM d),
+    w AS (SELECT doc_id, tok, tf::DOUBLE * ln(n.n::DOUBLE / dfq.df) AS w
+          FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY doc_id),
+    e AS (SELECT tok, df FROM dfq WHERE df BETWEEN 2 AND 20),
+    tdist AS (SELECT DISTINCT doc_id, tok FROM tok),
+    k AS (SELECT t.doc_id, t.tok, e.df,
+                 row_number() OVER (PARTITION BY t.doc_id
+                                    ORDER BY e.df, t.tok) AS rn
+          FROM tdist t JOIN e USING (tok)),
+    blocks AS (SELECT doc_id, tok AS block_key FROM k WHERE rn = 1),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.block_key
+          FROM blocks a JOIN blocks b USING (block_key)
+          WHERE a.doc_id < b.doc_id)
+    SELECT p.doc_a, p.doc_b, p.block_key,
+           round(coalesce(sum(wa.w * wb.w), 0) / (any_value(na.norm) * any_value(nb.norm)), 6)
+             AS cosine_tfidf
+    FROM p
+    JOIN w wa ON wa.doc_id = p.doc_a
+    JOIN w wb ON wb.doc_id = p.doc_b AND wb.tok = wa.tok
+    JOIN nrm na ON na.doc_id = p.doc_a
+    JOIN nrm nb ON nb.doc_id = p.doc_b
+    GROUP BY p.doc_a, p.doc_b, p.block_key
+"""
+
+
+# messy synthetic crawl URLs, built identically in both engines (the
+# driver corpus has no url column): three shapes exercising case norm,
+# www/default-port stripping, tracking-param removal, param sorting,
+# fragment dropping and a non-default port that must SURVIVE
+_ER_URL_CASE = """CASE doc_id % 3
+    WHEN 0 THEN 'HTTPS://WWW.Site' || (doc_id % 4) ||
+        '.Example.COM:443/Articles/' || (doc_id % 10) ||
+        '?utm_source=feed&b=2&a=1#frag'
+    WHEN 1 THEN 'http://site' || (doc_id % 4) ||
+        '.example.com:80/Articles/' || (doc_id % 10) ||
+        '?a=1&b=2&utm_campaign=x'
+    ELSE 'https://Site' || (doc_id % 4) ||
+        '.EXAMPLE.com:8443/Articles/' || (doc_id % 10) ||
+        '?b=2&gclid=zz&a=1'
+    END"""
+
+
+def q_url_canonicalize(spark, sf_dir) -> DataFrame:
+    """Crawl-URL canonicalization + URL-level dedup ranking."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(
+            """CASE pmod(doc_id, 3)
+            WHEN 0 THEN concat('HTTPS://WWW.Site', pmod(doc_id, 4),
+                '.Example.COM:443/Articles/', pmod(doc_id, 10),
+                '?utm_source=feed&b=2&a=1#frag')
+            WHEN 1 THEN concat('http://site', pmod(doc_id, 4),
+                '.example.com:80/Articles/', pmod(doc_id, 10),
+                '?a=1&b=2&utm_campaign=x')
+            ELSE concat('https://Site', pmod(doc_id, 4),
+                '.EXAMPLE.com:8443/Articles/', pmod(doc_id, 10),
+                '?b=2&gclid=zz&a=1')
+            END"""
+        ).alias("url"),
+    )
+    return canonicalize_urls(d)
+
+
+URL_CANON_SQL = f"""
+    WITH d AS (SELECT doc_id, {_ER_URL_CASE} AS url FROM documents),
+    parts AS (SELECT doc_id, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(
+            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+            '^www\\.', '') AS host_nowww,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+        FROM d),
+    canon AS (SELECT doc_id, url, scheme,
+        CASE WHEN scheme = 'https' THEN regexp_replace(host_nowww, ':443$', '')
+             WHEN scheme = 'http' THEN regexp_replace(host_nowww, ':80$', '')
+             ELSE host_nowww END AS host,
+        CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+        list_sort(list_filter(string_split(rawq, '&'),
+            p -> p <> '' AND NOT starts_with(p, 'utm_')
+                 AND NOT starts_with(p, 'fbclid')
+                 AND NOT starts_with(p, 'gclid'))) AS kept
+        FROM parts),
+    built AS (SELECT doc_id, url,
+        scheme || '://' || host || path ||
+          CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+               ELSE '' END AS canonical_url,
+        string_split(regexp_replace(host, ':[0-9]+$', ''), '.') AS labels
+        FROM canon)
+    SELECT doc_id, url, canonical_url,
+        array_to_string(
+            list_slice(labels, greatest(len(labels) - 1, 1), len(labels)), '.')
+          AS registered_domain,
+        row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id)
+          AS dup_rank
+    FROM built
+"""
+
+
 # ----------------------------------------------------------------- curation
 # Training-data curation (operators/curation.py): all decisions are
 # md5-keyed, so the DuckDB oracles replay the exact hash. The md5→
@@ -2136,6 +2329,10 @@ QUERIES = {
     "quality_score": q_quality,
     "token_count": q_token_count,
     "doc_fingerprint": q_fingerprint,
+    "doc_repetition": q_repetition,
+    "er_rare_token_blocks": q_er_rare_token_blocks,
+    "er_tfidf_pairs": q_er_tfidf_pairs,
+    "url_canonicalize": q_url_canonicalize,
     "media_features": q_media_features,
     "events_hourly_window": q_events_window,
     "events_asof_join": q_events_asof_join,
@@ -2189,6 +2386,10 @@ ORACLES = {
     "quality_score": QUALITY_SQL,
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
+    "doc_repetition": REPETITION_SQL,
+    "er_rare_token_blocks": ER_BLOCKS_SQL,
+    "er_tfidf_pairs": ER_TFIDF_SQL,
+    "url_canonicalize": URL_CANON_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "events_hourly_window": EVENTS_WINDOW_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
