@@ -68,6 +68,11 @@ HEADLINE = [
     # CC folds) and the WARC raw-crawl source round-trip
     "el_clusters_incremental",
     "warc_roundtrip",
+    # round-3 webtext/ER additions: relational n-gram repetition
+    # signals, rarest-token-blocked TF-IDF pair scoring, URL canon
+    "doc_repetition",
+    "er_tfidf_pairs",
+    "url_canonicalize",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

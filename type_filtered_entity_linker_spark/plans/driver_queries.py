@@ -1579,25 +1579,33 @@ REPETITION_SQL = """
 
 # synthetic rare "entity name" tokens appended identically in both
 # engines: the driver corpus vocabulary is 30 head words (df >= 25), so
-# without them rarest-token blocking would have nothing rare to key on
+# without them rarest-token blocking would have nothing rare to key on.
+# The moduli scale with corpus size (df ~= 4 and ~= 10 at ANY sf) so the
+# blocks stay inside [min_df, max_df] at bench scale too — a fixed
+# modulus would silently empty the query at sf0.1
 _ER_DOCS_SQL = """
     SELECT doc_id,
-           text || ' name' || (doc_id % 200) || ' ref' || (doc_id % 97)
+           text || ' name' || (doc_id % nn.m1) || ' ref' || (doc_id % nn.m2)
              AS text
-    FROM documents
+    FROM documents,
+         (SELECT greatest(count(*) // 4, 1) AS m1,
+                 greatest(count(*) // 10, 1) AS m2
+          FROM documents) nn
 """
 
 
 def _er_docs(spark, sf_dir) -> DataFrame:
     d = _docs(spark, sf_dir)
+    n = d.count()
+    m1, m2 = max(n // 4, 1), max(n // 10, 1)
     return d.select(
         "doc_id",
         F.concat(
             F.col("text"),
             F.lit(" name"),
-            (F.col("doc_id") % 200).cast("string"),
+            (F.col("doc_id") % m1).cast("string"),
             F.lit(" ref"),
-            (F.col("doc_id") % 97).cast("string"),
+            (F.col("doc_id") % m2).cast("string"),
         ).alias("text"),
     )
 
