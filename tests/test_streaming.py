@@ -276,3 +276,32 @@ def test_incremental_clustering_retry_is_idempotent(spark, tmp_path):
     )
     assert dict(first)["a#0"] == second["a#0"] == second["c#0"]
     assert len(second) == 3
+
+
+def test_canonical_url_dedup_collapses_variants_across_batches(spark, tmp_path):
+    from type_filtered_entity_linker_spark.streaming.incremental import (
+        stream_canonical_url_dedup,
+    )
+
+    src = str(tmp_path / "crawl")
+    # two raw spellings of page A delivered in SEPARATE files (separate
+    # micro-batches), one page B; state must collapse A across batches
+    rows_a = [("HTTPS://WWW.A.com:443/x?utm_source=f&b=2&a=1#y", "2024-01-01 00:00:00")]
+    rows_b = [
+        ("https://a.com/x?a=1&b=2", "2024-01-01 00:10:00"),
+        ("http://b.org/", "2024-01-01 00:20:00"),
+    ]
+    for i, rows in enumerate([rows_a, rows_b]):
+        pdf = pd.DataFrame(rows, columns=["url", "warc_ts"])
+        pdf["warc_ts"] = pd.to_datetime(pdf["warc_ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    got = run_stream_once(
+        stream_canonical_url_dedup(spark, src, schema),
+        "t_url_dedup",
+        output_mode="append",
+    ).toPandas()
+    assert sorted(got["canonical_url"]) == [
+        "http://b.org/",
+        "https://a.com/x?a=1&b=2",
+    ]

@@ -2122,6 +2122,85 @@ EVENTS_STREAM_DEDUP_SQL = """
 """
 
 
+def _staged_crawl_dir_dup(spark, sf_dir: str) -> str:
+    """Stage a synthetic crawl table (url, warc_ts) derived from the
+    documents table — messy URLs via the shared _ER_URL_CASE shapes —
+    and deliver it TWICE, so the streaming canonical-URL dedup has to
+    absorb both duplicate delivery and raw-URL variants of one page."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    path = f"{sf_dir}/documents.parquet"
+    st = os.stat(path)
+    key = hashlib.md5(
+        f"crawl:{path}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    stage = os.path.join(tempfile.gettempdir(), f"crawl_stream_src_{key}")
+    first = os.path.join(stage, "crawl_a.parquet")
+    if not os.path.exists(first):
+        crawl = q_url_canonicalize(spark, sf_dir).select(
+            "url",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias(
+                "warc_ts"
+            ),
+        )
+        tmp = os.path.join(tempfile.gettempdir(), f"crawl_stream_tmp_{key}")
+        crawl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(stage, exist_ok=True)
+        part = next(
+            p for p in os.listdir(tmp) if p.endswith(".parquet")
+        )
+        shutil.copy(os.path.join(tmp, part), first)
+        shutil.copy(os.path.join(tmp, part), os.path.join(stage, "crawl_b.parquet"))
+        shutil.rmtree(tmp)
+    return stage
+
+
+def q_crawl_stream_url_dedup(spark, sf_dir) -> DataFrame:
+    """Streaming canonical-URL crawl dedup: the same crawl file
+    delivered twice, with several raw-URL spellings per page inside it;
+    the watermarked state keyed on the canonical form collapses all of
+    them — result equals DISTINCT canonical urls."""
+    from ..streaming.incremental import run_stream_once, stream_canonical_url_dedup
+
+    stage = _staged_crawl_dir_dup(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(stage, "crawl_a.parquet")).schema
+    _STREAM_SEQ[0] += 1
+    return run_stream_once(
+        stream_canonical_url_dedup(spark, stage, schema),
+        f"crawl_url_dedup_{_STREAM_SEQ[0]}",
+        output_mode="append",
+    )
+
+
+CRAWL_STREAM_DEDUP_SQL = f"""
+    WITH d AS (SELECT doc_id, {_ER_URL_CASE} AS url FROM documents),
+    parts AS (SELECT doc_id,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        regexp_replace(
+            lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+            '^www\\.', '') AS host_nowww,
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        regexp_extract(url, '\\?([^#]*)', 1) AS rawq
+        FROM d),
+    canon AS (SELECT doc_id, scheme,
+        CASE WHEN scheme = 'https' THEN regexp_replace(host_nowww, ':443$', '')
+             WHEN scheme = 'http' THEN regexp_replace(host_nowww, ':80$', '')
+             ELSE host_nowww END AS host,
+        CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+        list_sort(list_filter(string_split(rawq, '&'),
+            p -> p <> '' AND NOT starts_with(p, 'utm_')
+                 AND NOT starts_with(p, 'fbclid')
+                 AND NOT starts_with(p, 'gclid'))) AS kept
+        FROM parts)
+    SELECT DISTINCT scheme || '://' || host || path ||
+        CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+             ELSE '' END AS canonical_url
+    FROM canon
+"""
+
+
 def q_events_stateful_totals(spark, sf_dir) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState)
     drained over the staged events: with the whole table in one
@@ -2349,6 +2428,7 @@ QUERIES = {
     "events_session_agg": q_events_sessions,
     "events_stream_window": q_events_stream_window,
     "events_stream_dedup": q_events_stream_dedup,
+    "crawl_stream_url_dedup": q_crawl_stream_url_dedup,
     "events_stateful_totals": q_events_stateful_totals,
     "el_clusters_incremental": q_el_clusters_incremental,
     "warc_roundtrip": q_warc_roundtrip,
@@ -2406,6 +2486,7 @@ ORACLES = {
     "events_session_agg": EVENTS_SESSIONS_SQL,
     "events_stream_window": EVENTS_WINDOW_SQL,
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
+    "crawl_stream_url_dedup": CRAWL_STREAM_DEDUP_SQL,
     "events_stateful_totals": EVENTS_STATEFUL_SQL,
     "el_clusters_incremental": EL_CLUSTERS_SQL,
     "warc_roundtrip": WARC_ROUNDTRIP_SQL,

@@ -133,6 +133,36 @@ def stream_deduplicated_events(
     return _restore_ntz(out, "ts", ntz)
 
 
+def stream_canonical_url_dedup(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming crawl-ingest dedup on the CANONICAL url: recrawls and
+    raw-URL variants (case, www, default port, tracking params, param
+    order, fragments) of the same page arriving across micro-batches
+    collapse to one state-store key. Composes
+    ``curation.canonical_url_cols`` (pure codegen columns, so the key
+    is computed map-side before the dedup state lookup) with the same
+    watermark-bounded ``dropDuplicates`` pattern as
+    ``stream_deduplicated_events`` — and the same output contract:
+    only the dedup KEY column is emitted, because any non-key column
+    would surface an arbitrary first-arrival survivor."""
+    from ..operators.curation import canonical_url_cols
+
+    crawl = spark.readStream.schema(schema).parquet(path)
+    crawl, ntz = _watermarkable_ts(crawl, "warc_ts")
+    canon = crawl.withColumn(
+        "canonical_url", canonical_url_cols(F.col("url"))["canonical_url"]
+    )
+    return (
+        canon.withWatermark("warc_ts", watermark)
+        .dropDuplicates(["canonical_url"])
+        .select("canonical_url")
+    )
+
+
 def stream_running_user_totals(
     spark: SparkSession,
     path: str,
