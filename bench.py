@@ -69,10 +69,15 @@ HEADLINE = [
     "el_clusters_incremental",
     "warc_roundtrip",
     # round-3 webtext/ER additions: relational n-gram repetition
-    # signals, rarest-token-blocked TF-IDF pair scoring, URL canon
+    # signals, rarest-token-blocked TF-IDF pair scoring, URL canon,
+    # BM25 retrieval, the composed curation funnel, and the streaming
+    # canonical-URL crawl dedup
     "doc_repetition",
     "er_tfidf_pairs",
     "url_canonicalize",
+    "bm25_search",
+    "docs_curation_funnel",
+    "crawl_stream_url_dedup",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

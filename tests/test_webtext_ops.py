@@ -127,3 +127,46 @@ def test_tfidf_pair_scores_match_python(spark):
     assert set(out) == {(1, 2), (3, 4)}
     for (a, b), got in out.items():
         assert abs(got - _py_tfidf_cosine(texts, a, b)) <= 1e-6
+
+
+def _py_bm25(texts, terms, k1=1.2, b=0.75):
+    toks = {d: t.split() for d, t in texts.items()}
+    n = len(texts)
+    dl = {d: len(t) for d, t in toks.items()}
+    avgdl = sum(dl.values()) / n
+    tf = {d: Counter(t) for d, t in toks.items()}
+    df = Counter()
+    for d in texts:
+        df.update({t for t in tf[d] if t in terms})
+    out = {}
+    for d in texts:
+        s = 0.0
+        for t in terms:
+            f = tf[d].get(t, 0)
+            if f == 0:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * f * (k1 + 1) / (f + k1 * (1 - b + b * dl[d] / avgdl))
+        if s > 0:
+            out[d] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    from type_filtered_entity_linker_spark.operators.textstats import bm25_scores
+
+    texts = {
+        1: "spark table spark join",
+        2: "table scan filter",
+        3: "hash join hash hash probe build side",
+        4: "nothing relevant here",
+    }
+    terms = ["spark", "hash", "table"]
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(_docs(spark, list(texts.items())), terms).collect()
+    }
+    want = _py_bm25(texts, terms)
+    assert set(got) == set(want) == {1, 2, 3}
+    for d in want:
+        assert abs(got[d] - want[d]) <= 1e-6

@@ -171,6 +171,61 @@ def repetition_signals(
     )
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranking of the corpus against a bag of query terms, fully
+    relationally (Robertson/Sparck-Jones with the Lucene idf variant
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``):
+
+        score(d, Q) = sum_{t in Q} idf(t) * tf * (k1+1)
+                      / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Returns (doc_id, bm25) for documents matching >= 1 term.
+
+    Scale: one explode feeding two hash aggregations (doc length and
+    per-(doc, term) tf — the term filter is pushed below the tf agg,
+    so only query-term postings shuffle); corpus stats (N, avgdl) and
+    per-term df are tiny and broadcast. No UDF, no driver collect.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("tok").isin(list(query_terms)))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+        / (F.col("df") + 0.5)
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + k1 * (
+        1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl")
+    )
+    return (
+        tf.join(F.broadcast(dfq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * tf_d * (k1 + 1.0) / denom).alias("contrib"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+    )
+
+
 def fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -43,6 +43,7 @@ from ..operators.similarity import (
     lsh_bucketed_topk,
 )
 from ..operators.textstats import (
+    bm25_scores,
     fingerprints,
     lang_id,
     quality_scores,
@@ -1577,6 +1578,95 @@ REPETITION_SQL = """
 """
 
 
+BM25_TERMS = ["spark", "table", "hash"]
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def q_bm25_search(spark, sf_dir) -> DataFrame:
+    """BM25 corpus ranking for a fixed query-term bag — relational
+    retrieval over the documents table (explode → tf/df/dl aggs)."""
+    return bm25_scores(_docs(spark, sf_dir), BM25_TERMS, k1=BM25_K1, b=BM25_B)
+
+
+BM25_SQL = f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+           WHERE tok IN ('spark', 'table', 'hash') GROUP BY 1, 2),
+    dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+    SELECT tf.doc_id,
+           round(sum(
+               ln(1.0 + (stats.n_docs::DOUBLE - dfq.df + 0.5) / (dfq.df + 0.5))
+               * tf.tf::DOUBLE * ({BM25_K1} + 1.0)
+               / (tf.tf::DOUBLE + {BM25_K1}
+                  * (1.0 - {BM25_B} + {BM25_B} * dl.dl::DOUBLE / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN dfq USING (tok)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+"""
+
+
+def q_docs_curation_funnel(spark, sf_dir) -> DataFrame:
+    """The curation funnel a webtext training-data pipeline runs before
+    dedup: per-stage survivor counts for language gate → quality gate →
+    repetition gate, composed from lang_id / quality_scores /
+    repetition_signals over the same corpus. Counts (not per-doc masks)
+    are the operational observability surface: each row is how many
+    docs survive the prefix of gates."""
+    d = _docs(spark, sf_dir)
+    lang = lang_id(d).select("doc_id", "pred_lang")
+    qual = quality_scores(d).select("doc_id", "quality")
+    rep = repetition_signals(d, n=2).select("doc_id", "dup_ngram_frac")
+    j = lang.join(qual, "doc_id").join(rep, "doc_id")
+    g_lang = F.col("pred_lang") == "en"
+    g_qual = g_lang & (F.col("quality") >= 0.5)
+    g_rep = g_qual & (F.col("dup_ngram_frac") <= 0.6)
+    agg = j.agg(
+        F.count("*").alias("total"),
+        F.sum(g_lang.cast("long")).alias("lang_en"),
+        F.sum(g_qual.cast("long")).alias("and_quality"),
+        F.sum(g_rep.cast("long")).alias("and_repetition"),
+    )
+    stage = F.explode(
+        F.array(
+            F.struct(F.lit("1_total").alias("stage"), F.col("total").alias("n_docs")),
+            F.struct(F.lit("2_lang_en").alias("stage"), F.col("lang_en").alias("n_docs")),
+            F.struct(F.lit("3_and_quality").alias("stage"), F.col("and_quality").alias("n_docs")),
+            F.struct(F.lit("4_and_repetition").alias("stage"), F.col("and_repetition").alias("n_docs")),
+        )
+    ).alias("s")
+    return agg.select(stage).select("s.stage", "s.n_docs")
+
+
+CURATION_FUNNEL_SQL = f"""
+    WITH lang AS ({LANG_ID_SQL}),
+    qual AS ({QUALITY_SQL}),
+    rep AS ({REPETITION_SQL}),
+    j AS (SELECT lang.doc_id, lang.pred_lang, qual.quality,
+                 rep.dup_ngram_frac
+          FROM lang JOIN qual USING (doc_id) JOIN rep USING (doc_id)),
+    agg AS (SELECT count(*) AS total,
+        sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS lang_en,
+        sum(CASE WHEN pred_lang = 'en' AND quality >= 0.5
+                 THEN 1 ELSE 0 END)::BIGINT AS and_quality,
+        sum(CASE WHEN pred_lang = 'en' AND quality >= 0.5
+                      AND dup_ngram_frac <= 0.6
+                 THEN 1 ELSE 0 END)::BIGINT AS and_repetition
+        FROM j)
+    SELECT u.stage, u.n_docs FROM agg,
+    unnest([struct_pack(stage := '1_total', n_docs := total),
+            struct_pack(stage := '2_lang_en', n_docs := lang_en),
+            struct_pack(stage := '3_and_quality', n_docs := and_quality),
+            struct_pack(stage := '4_and_repetition', n_docs := and_repetition)])
+      AS t(u)
+"""
+
+
 # synthetic rare "entity name" tokens appended identically in both
 # engines: the driver corpus vocabulary is 30 head words (df >= 25), so
 # without them rarest-token blocking would have nothing rare to key on.
@@ -2417,6 +2507,8 @@ QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_fingerprint,
     "doc_repetition": q_repetition,
+    "bm25_search": q_bm25_search,
+    "docs_curation_funnel": q_docs_curation_funnel,
     "er_rare_token_blocks": q_er_rare_token_blocks,
     "er_tfidf_pairs": q_er_tfidf_pairs,
     "url_canonicalize": q_url_canonicalize,
@@ -2475,6 +2567,8 @@ ORACLES = {
     "token_count": TOKEN_COUNT_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "doc_repetition": REPETITION_SQL,
+    "bm25_search": BM25_SQL,
+    "docs_curation_funnel": CURATION_FUNNEL_SQL,
     "er_rare_token_blocks": ER_BLOCKS_SQL,
     "er_tfidf_pairs": ER_TFIDF_SQL,
     "url_canonicalize": URL_CANON_SQL,
