@@ -77,6 +77,7 @@ HEADLINE = [
     "url_canonicalize",
     "bm25_search",
     "docs_curation_funnel",
+    "er_phonetic_blocks",
     "crawl_stream_url_dedup",
 ]
 

@@ -170,3 +170,23 @@ def test_bm25_matches_python_reference(spark):
     assert set(got) == set(want) == {1, 2, 3}
     for d in want:
         assert abs(got[d] - want[d]) <= 1e-6
+
+
+def test_phonetic_key_groups_similar_names(spark):
+    from pyspark.sql import functions as F
+
+    from type_filtered_entity_linker_spark.operators.blocking import (
+        phonetic_key_col,
+    )
+
+    rows = [(i, n) for i, n in enumerate(
+        ["smith", "Smyth", "robert", "Rupert", "gear", "12", ""]
+    )]
+    df = spark.createDataFrame(rows, "i long, name string")
+    out = dict(
+        df.select("name", phonetic_key_col(F.col("name")).alias("k")).collect()
+    )
+    assert out["smith"] == out["Smyth"] == "S530"
+    assert out["robert"] == out["Rupert"] == "R163"
+    assert out["gear"] == "G600"
+    assert out["12"] is None and out[""] is None

@@ -91,6 +91,45 @@ def generate_candidates(
     ).select(*CAND_COLS)
 
 
+# soundex-style letter → digit classes (classic Soundex table); vowels
+# + h/w/y are deleted rather than Soundex's separator-sensitive skip —
+# that ONE simplification is what makes the key exactly replayable in
+# RE2/DuckDB (true Soundex's h/w rule needs backreferences, which RE2
+# lacks), and it changes codes only for names like 'Ashcraft'
+_PHONETIC_FROM = "bfpvcgjkqsxzdtlmnr"
+_PHONETIC_TO = "111122222222334556"
+_PHONETIC_DROP = "aeiouhwy"
+
+
+def phonetic_key_col(name: F.Column) -> F.Column:
+    """Soundex-style phonetic blocking key: first letter + first three
+    consonant-class digits (adjacent duplicates collapsed), zero-padded
+    to 4 — 'smith' and 'smyth' share a key, 'robert' and 'rupert'
+    share a key. A pure column expression (translate + an aggregate
+    fold over the code chars), so it runs at scan speed and the DuckDB
+    oracle replays it exactly."""
+    clean = F.regexp_replace(F.lower(name), "[^a-z]", "")
+    first = F.upper(F.substring(clean, 1, 1))
+    codes = F.translate(
+        F.translate(F.substring(clean, 2, 1000), _PHONETIC_FROM, _PHONETIC_TO),
+        _PHONETIC_DROP,
+        "",
+    )
+    collapsed = F.aggregate(
+        F.split(codes, ""),
+        F.lit(""),
+        lambda acc, c: F.concat(
+            acc,
+            F.when(
+                (c == "") | (F.substring(acc, -1, 1) == c), F.lit("")
+            ).otherwise(c),
+        ),
+    )
+    return F.when(clean == "", F.lit(None).cast("string")).otherwise(
+        F.rpad(F.concat(first, F.substring(collapsed, 1, 3)), 4, "0")
+    )
+
+
 def rarest_token_blocks(
     docs: DataFrame,
     id_col: str = "doc_id",

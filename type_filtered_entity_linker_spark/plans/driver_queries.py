@@ -1763,6 +1763,49 @@ ER_TFIDF_SQL = f"""
 """
 
 
+def q_er_phonetic_blocks(spark, sf_dir) -> DataFrame:
+    """Phonetic blocking over the part-name nouns: soundex-style key
+    (first letter + first three consonant-class digits, adjacent dups
+    collapsed) groups phonetically-similar names into blocks — the
+    classic name-matching complement to exact surface-form blocking."""
+    from ..operators.blocking import phonetic_key_col
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    tok = F.element_at(F.split("p_name", " "), -1)
+    return part.select(
+        "p_partkey",
+        tok.alias("name_tok"),
+        phonetic_key_col(tok).alias("phonetic_key"),
+    )
+
+
+ER_PHONETIC_SQL = """
+    WITH t AS (SELECT p_partkey,
+                      list_extract(string_split(p_name, ' '),
+                                   len(string_split(p_name, ' '))) AS name_tok
+               FROM part),
+    c AS (SELECT p_partkey, name_tok,
+                 regexp_replace(lower(name_tok), '[^a-z]', '', 'g') AS clean
+          FROM t),
+    k AS (SELECT p_partkey, name_tok, clean,
+                 list_reduce(
+                     list_prepend('', string_split(
+                         translate(translate(substr(clean, 2, 1000),
+                                   'bfpvcgjkqsxzdtlmnr',
+                                   '111122222222334556'),
+                                   'aeiouhwy', ''), '')),
+                     (a, c) -> a || CASE WHEN c = ''
+                                          OR substr(a, length(a), 1) = c
+                                         THEN '' ELSE c END) AS collapsed
+          FROM c)
+    SELECT p_partkey, name_tok,
+           CASE WHEN clean = '' THEN NULL
+                ELSE rpad(upper(substr(clean, 1, 1)) || substr(collapsed, 1, 3),
+                          4, '0') END AS phonetic_key
+    FROM k
+"""
+
+
 # messy synthetic crawl URLs, built identically in both engines (the
 # driver corpus has no url column): three shapes exercising case norm,
 # www/default-port stripping, tracking-param removal, param sorting,
@@ -2511,6 +2554,7 @@ QUERIES = {
     "docs_curation_funnel": q_docs_curation_funnel,
     "er_rare_token_blocks": q_er_rare_token_blocks,
     "er_tfidf_pairs": q_er_tfidf_pairs,
+    "er_phonetic_blocks": q_er_phonetic_blocks,
     "url_canonicalize": q_url_canonicalize,
     "media_features": q_media_features,
     "events_hourly_window": q_events_window,
@@ -2571,6 +2615,7 @@ ORACLES = {
     "docs_curation_funnel": CURATION_FUNNEL_SQL,
     "er_rare_token_blocks": ER_BLOCKS_SQL,
     "er_tfidf_pairs": ER_TFIDF_SQL,
+    "er_phonetic_blocks": ER_PHONETIC_SQL,
     "url_canonicalize": URL_CANON_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "events_hourly_window": EVENTS_WINDOW_SQL,
