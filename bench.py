@@ -43,6 +43,7 @@ HEADLINE = [
     "dedup_embedding",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "ann_topk_pq",
     "lang_id",
     "quality_score",
     "token_count",
@@ -79,6 +80,10 @@ HEADLINE = [
     "docs_curation_funnel",
     "er_phonetic_blocks",
     "crawl_stream_url_dedup",
+    # late round-3 additions: PQ-ADC ANN, eval-set 13-gram
+    # decontamination, and MassiveText-style paragraph dedup
+    "docs_decontaminate",
+    "docs_paragraph_dedup",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

@@ -12,6 +12,7 @@ from type_filtered_entity_linker_spark.operators.curation import (
     EMAIL_RE,
     PHONE_RE,
     SPLIT_BUCKETS,
+    decontaminate,
     deterministic_split,
     domain_cap,
     redact_pii,
@@ -159,3 +160,41 @@ def test_split_plus_sample_compose(spark):
     for r in train_half:
         assert _py_bucket(r.doc_id, "split") < 5000
         assert _py_bucket(r.doc_id, "sample") < 5000
+
+
+def test_decontaminate_flags_13gram_overlap(spark):
+    prompt = " ".join(f"w{i}" for i in range(20))  # 20-token eval prompt
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "prefix tokens here " + prompt + " suffix tokens",
+                    " ".join(f"clean{i}" for i in range(30)),
+                    # 12-token overlap only — BELOW the 13-gram rule
+                    "lead " + " ".join(f"w{i}" for i in range(12)) + " out",
+                ],
+            }
+        )
+    )
+    ev = spark.createDataFrame(pd.DataFrame({"text": [prompt]}))
+    got = {
+        r.doc_id: (r.n_contaminated, r.contaminated)
+        for r in decontaminate(docs, ev, n=13).collect()
+    }
+    assert got[0][1] == 1 and got[0][0] == 8  # 20-13+1 grams all hit
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 0)
+
+
+def test_decontaminate_short_prompt_whole_doc_fallback(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "a b c d"]})
+    )
+    ev = spark.createDataFrame(pd.DataFrame({"text": ["a b c"]}))
+    got = {
+        r.doc_id: r.contaminated for r in decontaminate(docs, ev, n=13).collect()
+    }
+    # the verbatim short doc is caught via the whole-doc gram; the
+    # 4-token doc's single whole-doc gram differs -> clean
+    assert got == {0: 1, 1: 0}

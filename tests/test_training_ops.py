@@ -17,6 +17,7 @@ from type_filtered_entity_linker_spark.operators.multimodal import (
 from type_filtered_entity_linker_spark.operators.similarity import (
     brute_force_topk,
     ivf_topk,
+    pq_adc_topk,
 )
 from type_filtered_entity_linker_spark.operators.textstats import (
     fingerprints,
@@ -200,6 +201,52 @@ def test_ivf_partial_probe_recall(spark):
     assert len(hits & bf) / len(bf) >= 0.5
 
 
+def test_pq_identical_vectors_share_codes_and_distance(spark):
+    """An exact copy of a corpus vector maps to the same subspace codes,
+    so every query sees the SAME ADC distance for both — the pair ranks
+    adjacently, tie broken by vec_id."""
+    corpus = _random_vectors(spark, 60)
+    twin = corpus.where(F.col("vec_id") == 30).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = pq_adc_topk(
+        queries, corpus.unionByName(twin), centroid_ids=(40, 47), k=61
+    ).collect()
+    d = {(r.query_id, r.vec_id): r.adc_dist for r in got}
+    ranks = {(r.query_id, r.vec_id): r.rank for r in got}
+    for qid in range(3):
+        assert d[(qid, 30)] == d[(qid, 1030)]
+        assert ranks[(qid, 1030)] == ranks[(qid, 30)] + 1
+
+
+def test_pq_adc_groups_queries_with_their_cluster(spark):
+    """On well-separated clusters, ADC over sampled-codebook codes puts
+    every top-k neighbor in the query's own cluster (the quantization
+    semantics that matter; within-cluster order is below PQ resolution)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 16) * 5.0
+    embs = [
+        (centers[i % 4] + rng.randn(16) * 0.1).tolist() for i in range(80)
+    ]
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(80), "embedding": embs})
+    )
+    queries = corpus.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # codebook ids 8..15 cover each cluster twice (i % 4 layout)
+    got = pq_adc_topk(queries, corpus, centroid_ids=(8, 15), k=5).collect()
+    assert all(
+        sum(1 for r in got if r.query_id == qid) == 5 for qid in range(4)
+    )
+    assert all(r.vec_id % 4 == r.query_id % 4 for r in got)
+
+
 def test_embedding_dedup_lsh_blocks_on_any_dim(spark):
     """Inferred-dim hyperplanes: with 24-dim vectors (not the old
     hardcoded 64) the LSH path still finds exactly the planted copies,
@@ -291,3 +338,29 @@ def test_media_features_text_payload(spark):
     r = extract_media_features(with_binary_payload(d)).collect()[0]
     assert r.n_bytes == 3 and r.first_byte == 97
     assert r.byte_checksum == 97 + 98 + 99
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    from type_filtered_entity_linker_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "P1\nP2",
+                    "P2\nP3",  # P2 repeated from doc 1
+                    "P4\nP4\n\nP5",  # intra-doc repeat + empty paragraph
+                ],
+            }
+        )
+    )
+    got = {
+        r.doc_id: (r.n_paras, r.n_removed, r.text_clean)
+        for r in paragraph_dedup(docs).collect()
+    }
+    assert got[1] == (2, 0, "P1\nP2")
+    assert got[2] == (2, 1, "P3")
+    assert got[3] == (3, 1, "P4\nP5")  # empty para dropped, repeat removed

@@ -267,3 +267,48 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_phones", phones)
         .withColumn("text_redacted", red2)
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_set: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Eval-set decontamination: flag training docs sharing any token
+    ``n``-gram with an evaluation set (the GPT-3/PaLM 13-gram-overlap
+    rule; the reference pipeline has no equivalent — this is part of
+    the training-data mandate). Output per doc: ``n_grams`` (distinct
+    grams in the doc), ``n_contaminated`` (grams also in the eval
+    set), ``contaminated`` (1 iff n_contaminated ≥ min_hits).
+
+    Plan shape at 10^12 docs: the eval side is small by nature
+    (benchmarks are ~10^5 docs), so its distinct gram set broadcasts;
+    the corpus side is explode → broadcast semi-probe → partial-agg
+    count back to one row per doc — ONE shuffle, on doc_id, carrying
+    two ints per gram hit, never the gram strings of clean docs.
+    Docs shorter than ``n`` tokens fall back to a whole-doc gram
+    (same convention as ``dedup.token_shingles``), so a verbatim
+    short eval prompt is still caught."""
+    from .dedup import token_shingles
+
+    grams = docs.select(
+        F.col(id_col), F.explode(token_shingles(text_col, n)).alias("gram")
+    )
+    eval_grams = (
+        eval_set.select(F.explode(token_shingles(text_col, n)).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    per_doc = grams.join(F.broadcast(eval_grams), "gram", "left").groupBy(
+        id_col
+    ).agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+    )
+    return per_doc.withColumn(
+        "contaminated",
+        (F.col("n_contaminated") >= min_hits).cast("int"),
+    )

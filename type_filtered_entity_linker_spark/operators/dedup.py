@@ -366,3 +366,59 @@ def near_duplicates_simhash(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Global paragraph-level exact dedup (the MassiveText/Gopher rule,
+    finer-grained than whole-doc ``exact_duplicates``): every repeated
+    paragraph keeps only its FIRST occurrence — lowest (doc_id,
+    paragraph index) — and each doc is rebuilt from its surviving
+    paragraphs. Empty paragraphs (consecutive separators) are dropped
+    up front. Output: (doc_id, n_paras, n_removed, text_clean).
+
+    ``sep`` must be literal-safe for a regex (it feeds ``F.split``).
+
+    Plan shape at 10^12 docs: posexplode is a narrow map; first-owner
+    election is ONE partial-aggregated shuffle on md5(paragraph) —
+    min(struct(doc_id, idx)) combines map-side, so a boilerplate
+    paragraph repeated 10^9 times ships one row per input partition,
+    not 10^9; the rebuild is one more shuffle on doc_id. Boilerplate
+    skew therefore never concentrates on a key (contrast a naive
+    row_number window over the hash, which would sort the whole
+    repeat group in one task)."""
+    paras = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("idx", "para"),
+    ).where(F.col("para") != "")
+    paras = paras.withColumn("ph", F.md5(F.col("para")))
+    owners = paras.groupBy("ph").agg(
+        F.min(F.struct(F.col(id_col), F.col("idx"))).alias("first")
+    )
+    flagged = paras.join(owners, "ph").withColumn(
+        "keep",
+        (F.col("first")[id_col] == F.col(id_col))
+        & (F.col("first.idx") == F.col("idx")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_removed"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("idx", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ),
+            F.lit(""),
+        ).alias("text_clean"),
+    )

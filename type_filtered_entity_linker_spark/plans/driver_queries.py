@@ -26,10 +26,12 @@ from ..operators.dedup import (
     near_duplicates_minhash,
     near_duplicates_ngram,
     near_duplicates_simhash,
+    paragraph_dedup,
 )
 from ..operators.blocking import rarest_token_blocks, tfidf_pair_scores
 from ..operators.curation import (
     canonicalize_urls,
+    decontaminate,
     deterministic_split,
     domain_cap,
     redact_pii,
@@ -41,6 +43,7 @@ from ..operators.similarity import (
     embedding_near_duplicates,
     ivf_topk,
     lsh_bucketed_topk,
+    pq_adc_topk,
 )
 from ..operators.textstats import (
     bm25_scores,
@@ -999,6 +1002,71 @@ def _ann_recall_oracle_sql(
 
 
 ANN_RECALL_SQL = _ann_recall_oracle_sql()
+
+
+def q_ann_pq(spark, sf_dir) -> DataFrame:
+    """Product-quantization ADC ANN — the memory-compression scale path
+    (corpus stored as M subspace codes, ~2% of the float vectors; each
+    query costs M lookups per candidate instead of a dim-length dot).
+    The deterministic sampled codebook and strict left-to-right folds
+    make the whole operator exactly replayable in SQL, so this gets a
+    value-hash oracle, not a rows-only pass."""
+    e = _emb(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return pq_adc_topk(queries, e.select("vec_id", "embedding"), k=5)
+
+
+def _ann_pq_oracle_sql(
+    m_sub: int = 4, cent_lo: int = 100, cent_hi: int = 115, dim: int = 64
+) -> str:
+    """DuckDB replica of pq_adc_topk: same codebook rows (vec_id in
+    [cent_lo, cent_hi], densely reindexed by vec_id order), same
+    subvector slices, and the same strict left-to-right squared-distance
+    fold (list_reduce starts acc at element 1; Spark's aggregate starts
+    at 0.0 + element 1 — bitwise identical for finite doubles), so codes,
+    LUT entries, and ADC sums are bit-identical across engines."""
+    sub = dim // m_sub
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}), "
+            f"s -> (s[1] - s[2]) * (s[1] - s[2])), (acc, v) -> acc + v)"
+        )
+
+    ms = ", ".join(str(m) for m in range(m_sub))
+    sl = f"[m * {sub} + 1 : m * {sub} + {sub}]"
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+              FROM c WHERE vec_id BETWEEN {cent_lo} AND {cent_hi}),
+    centsub AS (SELECT cid, m, ce{sl} AS cv
+                FROM cents, unnest([{ms}]) AS t(m)),
+    corpsub AS (SELECT vec_id, m, e{sl} AS sv
+                FROM c, unnest([{ms}]) AS t(m)),
+    codes AS (SELECT vec_id, m, cid AS code FROM (
+        SELECT cs.vec_id, m, ct.cid,
+               row_number() OVER (PARTITION BY cs.vec_id, m
+                   ORDER BY {d2('cs.sv', 'ct.cv')}, ct.cid) AS rn
+        FROM corpsub cs JOIN centsub ct USING (m)) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id < 10),
+    qsub AS (SELECT query_id, m, qe{sl} AS qv
+             FROM q, unnest([{ms}]) AS t(m)),
+    lut AS (SELECT query_id, m, cid, {d2('qv', 'cv')} AS lutd
+            FROM qsub JOIN centsub USING (m)),
+    adc AS (SELECT query_id, vec_id, round(sum(lutd), 6) AS adc_dist
+            FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.cid
+            WHERE query_id != vec_id
+            GROUP BY query_id, vec_id)
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+        FROM adc) WHERE rank <= 5
+"""
+
+
+ANN_PQ_SQL = _ann_pq_oracle_sql()
 
 
 # ------------------------------------------- MinHash-LSH recall gate (S-curve)
@@ -1991,6 +2059,80 @@ PII_REDACT_SQL = r"""
     FROM e
 """
 
+
+def q_docs_decontaminate(spark, sf_dir) -> DataFrame:
+    """Eval-set decontamination (GPT-3/PaLM 13-gram rule): the eval set
+    is an 18-token window (tokens 4..21) of every 50th doc, so each
+    eval prompt contaminates its source doc (and that doc's exact
+    duplicates) through six overlapping 13-grams."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    eval_set = d.where(F.col("doc_id") % 50 == 0).select(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 4, 18), " ").alias(
+            "text"
+        )
+    )
+    return decontaminate(d, eval_set, n=13)
+
+
+def _decon_grams_sql(src: str, n: int = 13) -> str:
+    """Token n-gram list with the short-doc whole-text fallback —
+    mirrors dedup.token_shingles (distinctness applied by callers)."""
+    return f"""unnest(
+             CASE WHEN len(l) >= {n}
+                  THEN [array_to_string(l[i:i+{n - 1}], ' ')
+                        for i in generate_series(1, len(l) - {n - 1})]
+                  ELSE [array_to_string(l, ' ')] END) AS {src}(s)"""
+
+
+DOCS_DECON_SQL = f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    dg AS (SELECT DISTINCT doc_id, s FROM d, {_decon_grams_sql('t')}),
+    ev AS (SELECT l[4:21] AS l FROM d WHERE doc_id % 50 = 0),
+    eg AS (SELECT DISTINCT s FROM ev, {_decon_grams_sql('t')})
+    SELECT doc_id, count(*) AS n_grams,
+           sum(CASE WHEN eg.s IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_contaminated,
+           CASE WHEN sum(CASE WHEN eg.s IS NOT NULL THEN 1 ELSE 0 END) >= 1
+                THEN 1 ELSE 0 END AS contaminated
+    FROM dg LEFT JOIN eg USING (s) GROUP BY doc_id
+"""
+
+
+def q_paragraph_dedup(spark, sf_dir) -> DataFrame:
+    """Paragraph-level exact dedup over a planted two-paragraph page
+    corpus: page i = doc i's text + '\\n' + doc i+1's text, so every
+    interior paragraph occurs on two consecutive pages and only its
+    first occurrence survives."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    nxt = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("t2")
+    )
+    pages = d.join(nxt, "doc_id").select(
+        "doc_id", F.concat_ws("\n", "text", "t2").alias("text")
+    )
+    return paragraph_dedup(pages)
+
+
+PARAGRAPH_DEDUP_SQL = """
+    WITH pages AS (
+        SELECT a.doc_id, a.text || chr(10) || b.text AS text
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+    paras AS (
+        SELECT doc_id, i - 1 AS idx, p[i] AS para
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS p FROM pages),
+             unnest(generate_series(1, len(p))) AS t(i)
+        WHERE p[i] != ''),
+    k AS (SELECT doc_id, idx, para,
+                 row_number() OVER (PARTITION BY md5(para)
+                                    ORDER BY doc_id, idx) AS rn
+          FROM paras)
+    SELECT doc_id, count(*) AS n_paras,
+           sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+                               ORDER BY idx), '') AS text_clean
+    FROM k GROUP BY doc_id
+"""
+
 # --------------------------------------------------------------- multimodal
 
 
@@ -2537,6 +2679,7 @@ QUERIES = {
     "ann_topk_bruteforce": q_ann_topk,
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
+    "ann_topk_pq": q_ann_pq,
     "ann_lsh_recall": q_ann_recall,
     "dedup_minhash_recall": q_minhash_recall,
     "disamb_train_curve": q_disamb_train_curve,
@@ -2545,6 +2688,8 @@ QUERIES = {
     "docs_stratified_sample": q_docs_stratified_sample,
     "docs_domain_cap": q_docs_domain_cap,
     "docs_pii_redact": q_docs_pii_redact,
+    "docs_decontaminate": q_docs_decontaminate,
+    "docs_paragraph_dedup": q_paragraph_dedup,
     "lang_id": q_lang_id,
     "quality_score": q_quality,
     "token_count": q_token_count,
@@ -2598,6 +2743,7 @@ ORACLES = {
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_ivf": ANN_TOPK_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
+    "ann_topk_pq": ANN_PQ_SQL,
     "ann_lsh_recall": ANN_RECALL_SQL,
     "dedup_minhash_recall": MINHASH_RECALL_SQL,
     "disamb_train_curve": DISAMB_TRAIN_SQL,
@@ -2606,6 +2752,8 @@ ORACLES = {
     "docs_stratified_sample": DOCS_SAMPLE_SQL,
     "docs_domain_cap": DOMAIN_CAP_SQL,
     "docs_pii_redact": PII_REDACT_SQL,
+    "docs_decontaminate": DOCS_DECON_SQL,
+    "docs_paragraph_dedup": PARAGRAPH_DEDUP_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
     "token_count": TOKEN_COUNT_SQL,
