@@ -669,6 +669,19 @@ def test_ann_recall_gate(spark):
     assert row.recall_lsh_mt >= row.recall_lsh + 0.1, row
 
 
+def test_pq_recall_gate(spark):
+    """The PQ-ADC recall@5 metrics row (driver query ann_pq_recall):
+    the tuned codebook (16 subspaces × 128 centroids) must materially
+    beat the default 4×16 floor — the (m_sub, K) curve a user tunes
+    against. Thresholds sit below the measured sf0.001 values
+    (0.44 / 0.08) with head-room for fixture drift."""
+    from type_filtered_entity_linker_spark.plans.driver_queries import QUERIES
+
+    row = QUERIES["ann_pq_recall"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.recall_pq_tuned >= 0.35, row
+    assert row.recall_pq_tuned >= row.recall_pq + 0.2, row
+
+
 def test_minhash_recall_gate(spark):
     """The MinHash-LSH S-curve metrics row (driver query
     dedup_minhash_recall): on the decayed-copy corpus (truth pairs sit

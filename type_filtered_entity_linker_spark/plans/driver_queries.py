@@ -1068,6 +1068,67 @@ def _ann_pq_oracle_sql(
 
 ANN_PQ_SQL = _ann_pq_oracle_sql()
 
+# tuned PQ config for the recall gate: 16 subspaces (finer ADC
+# resolution) × 128 sampled centroids — measured recall@5 0.60 at
+# sf0.01 vs 0.02 for the 4×16 default on these weakly-correlated
+# embeddings; the knob curve a user tunes (m_sub, K) against
+PQ_TUNED = dict(m_sub=16, cent_lo=100, cent_hi=227)
+
+
+def q_ann_pq_recall(spark, sf_dir) -> DataFrame:
+    """Recall@5 gate for the PQ-ADC path (completes the approximate-ANN
+    recall story: LSH/IVF live in ann_lsh_recall): one metrics row
+    (recall_pq, recall_pq_tuned) = fraction of brute-force top-5
+    recovered by the default 4-subspace/16-centroid codebook and by the
+    tuned 16-subspace/128-centroid one. Fully deterministic, so the
+    oracle replicates the computation; thresholds live in pytest."""
+    e = _emb(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = e.select("vec_id", "embedding")
+    truth = brute_force_topk(queries, corpus, k=5).select("query_id", "vec_id")
+    floor = pq_adc_topk(queries, corpus, k=5).select("query_id", "vec_id")
+    tuned = pq_adc_topk(
+        queries,
+        corpus,
+        centroid_ids=(PQ_TUNED["cent_lo"], PQ_TUNED["cent_hi"]),
+        k=5,
+        m_sub=PQ_TUNED["m_sub"],
+    ).select("query_id", "vec_id")
+
+    def recall_of(approx: DataFrame, name: str) -> DataFrame:
+        j = truth.join(
+            approx.withColumn("_hit", F.lit(1)), ["query_id", "vec_id"], "left"
+        )
+        return j.agg(
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count("*"), 6
+            ).alias(name)
+        )
+
+    return recall_of(floor, "recall_pq").crossJoin(
+        recall_of(tuned, "recall_pq_tuned")
+    )
+
+
+ANN_PQ_RECALL_SQL = f"""
+    WITH truth AS (SELECT query_id, vec_id FROM ({ANN_TOPK_SQL}) t),
+    p1 AS (SELECT query_id, vec_id FROM ({ANN_PQ_SQL}) x),
+    p2 AS (SELECT query_id, vec_id FROM
+           ({_ann_pq_oracle_sql(**PQ_TUNED)}) x),
+    sel AS (
+        SELECT t.query_id, t.vec_id,
+               CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END AS h1,
+               CASE WHEN b.vec_id IS NOT NULL THEN 1 ELSE 0 END AS h2
+        FROM truth t
+        LEFT JOIN p1 a ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+        LEFT JOIN p2 b ON t.query_id = b.query_id AND t.vec_id = b.vec_id)
+    SELECT round(sum(h1)::DOUBLE / count(*), 6) AS recall_pq,
+           round(sum(h2)::DOUBLE / count(*), 6) AS recall_pq_tuned
+    FROM sel
+"""
+
 
 # ------------------------------------------- MinHash-LSH recall gate (S-curve)
 
@@ -2680,6 +2741,7 @@ QUERIES = {
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
     "ann_topk_pq": q_ann_pq,
+    "ann_pq_recall": q_ann_pq_recall,
     "ann_lsh_recall": q_ann_recall,
     "dedup_minhash_recall": q_minhash_recall,
     "disamb_train_curve": q_disamb_train_curve,
@@ -2744,6 +2806,7 @@ ORACLES = {
     "ann_topk_ivf": ANN_TOPK_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
     "ann_topk_pq": ANN_PQ_SQL,
+    "ann_pq_recall": ANN_PQ_RECALL_SQL,
     "ann_lsh_recall": ANN_RECALL_SQL,
     "dedup_minhash_recall": MINHASH_RECALL_SQL,
     "disamb_train_curve": DISAMB_TRAIN_SQL,
