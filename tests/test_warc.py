@@ -227,3 +227,14 @@ def test_warc_record_codec_property():
         assert list(_parse_warc(data)) == rows
 
     check()
+
+
+def test_warc_unicode_whitespace_url_survives():
+    """Regression (hypothesis find): a URL ending in U+00A0 must
+    round-trip byte-exactly — header-value trimming is ASCII
+    space/tab only, never Unicode str.strip()."""
+    from type_filtered_entity_linker_spark.sources.warc import _parse_warc
+
+    rows = [("http://t/\xa0", dt.datetime(2000, 1, 1), b"x")]
+    assert list(_parse_warc(warc_bytes(rows, per_record_gzip=False))) == rows
+    assert list(_parse_warc(warc_bytes(rows, per_record_gzip=True))) == rows

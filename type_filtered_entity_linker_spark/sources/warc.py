@@ -121,7 +121,10 @@ def _parse_warc(data: bytes) -> Iterator[tuple[str, datetime, bytes]]:
             h = {}
             for line in lines[1:]:
                 k, _, v = line.partition(":")
-                h[k.strip().lower()] = v.strip()
+                # ASCII space/tab only: bare str.strip() eats Unicode
+                # whitespace (NBSP, ideographic space …) out of dirty
+                # crawl URLs and breaks the byte-exact round-trip
+                h[k.strip(" \t").lower()] = v.strip(" \t")
             try:
                 clen = int(h.get("content-length", ""))
             except ValueError:
