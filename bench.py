@@ -81,9 +81,12 @@ HEADLINE = [
     "er_phonetic_blocks",
     "crawl_stream_url_dedup",
     # late round-3 additions: PQ-ADC ANN, eval-set 13-gram
-    # decontamination, and MassiveText-style paragraph dedup
+    # decontamination, MassiveText-style paragraph dedup, and
+    # Fellegi-Sunter probabilistic linkage + blocking-quality metrics
     "docs_decontaminate",
     "docs_paragraph_dedup",
+    "er_fellegi_sunter",
+    "er_blocking_quality",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

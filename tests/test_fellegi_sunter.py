@@ -1,0 +1,104 @@
+"""Fellegi–Sunter probabilistic linkage + blocking-quality metrics
+(operators/fellegi_sunter.py)."""
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from type_filtered_entity_linker_spark.operators.fellegi_sunter import (
+    blocking_quality,
+    fellegi_sunter_scores,
+    fs_weights,
+)
+
+PARAMS = {"name": (0.9, 0.05), "phone": (0.99, 0.001)}
+
+
+def test_fs_weights_match_log2():
+    wa, wd = fs_weights(0.9, 0.05)
+    assert wa == math.log2(0.9 / 0.05)
+    assert wd == math.log2((1 - 0.9) / (1 - 0.05))
+
+
+def _records(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rec_id": [1, 2, 3, 4],
+                "name": ["smith", "smyth", "jones", None],
+                "phone": ["1234567", "1234567", "9999999", "1234567"],
+            }
+        )
+    )
+
+
+def test_fs_scores_and_three_way_decision(spark):
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 1, 1], "id_b": [2, 3, 4]})
+    )
+    out = {
+        r.id_b: r
+        for r in fellegi_sunter_scores(
+            _records(spark),
+            pairs,
+            PARAMS,
+            near={"name": 1},
+            upper=10.0,
+            lower=0.0,
+        ).collect()
+    }
+    wa_n, wd_n = fs_weights(*PARAMS["name"])
+    wa_p, wd_p = fs_weights(*PARAMS["phone"])
+    # (1,2): name lev 1 -> near-agree, phone exact-agree -> link
+    assert (out[2].agree_name, out[2].agree_phone) == (1, 1)
+    assert abs(out[2].score - round(wa_n + wa_p, 6)) < 1e-9
+    assert out[2].decision == "link"
+    # (1,3): both disagree -> non_link
+    assert (out[3].agree_name, out[3].agree_phone) == (0, 0)
+    assert abs(out[3].score - round(wd_n + wd_p, 6)) < 1e-9
+    assert out[3].decision == "non_link"
+    # (1,4): name NULL contributes 0 weight; phone agrees -> possible
+    assert out[4].agree_name is None and out[4].agree_phone == 1
+    assert abs(out[4].score - round(wa_p, 6)) < 1e-9
+    assert out[4].decision == "possible"
+
+
+def test_blocking_quality_counts_without_pair_blowup(spark):
+    # 6 records, blocks {A: 3, B: 2, None: 1} -> 3 + 1 = 4 candidates;
+    # truth: (1,2) same block, (3,6) split by the NULL key
+    blocks = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rec_id": [1, 2, 3, 4, 5, 6],
+                "block_key": ["A", "A", "A", "B", "B", None],
+            }
+        )
+    )
+    truth = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 3], "id_b": [2, 6]})
+    )
+    row = blocking_quality(blocks, truth).collect()[0]
+    assert row.n_records == 6
+    assert row.n_candidates == 4
+    assert row.n_true == 2 and row.n_true_in_candidates == 1
+    assert row.pairs_completeness == 0.5
+    assert row.reduction_ratio == round(1 - 4 / 15, 6)
+
+
+def test_fs_driver_query_shows_all_decisions(spark):
+    from type_filtered_entity_linker_spark.plans.driver_queries import QUERIES
+
+    out = (
+        QUERIES["er_fellegi_sunter"](spark, "/root/testdata/sf0.001")
+        .groupBy("decision")
+        .count()
+        .collect()
+    )
+    got = {r.decision: r["count"] for r in out}
+    assert set(got) == {"link", "possible", "non_link"}
+    row = QUERIES["er_blocking_quality"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert 0 < row.pairs_completeness < 1
+    assert row.reduction_ratio > 0.99

@@ -1,0 +1,155 @@
+"""Fellegi–Sunter probabilistic record linkage (the 1969 decision
+model classic ER systems are built on): per-field agreement vectors
+over candidate pairs, log-likelihood match weights from per-field
+(m, u) probabilities, and a three-way link / possible / non-link
+decision by score thresholds.
+
+Everything is pure JVM column expressions — ``levenshtein`` for the
+near-agreement test, literal double weights precomputed in Python
+(``log2`` of the m/u ratios), and a fixed-order chained sum — so the
+whole operator runs inside whole-stage codegen and has an exact
+DuckDB oracle (same literals, same expression order → bit-identical
+doubles).
+
+Scale notes (10^12 records): pairs arrive from a blocking operator
+(``blocking.rarest_token_blocks`` / ``phonetic_key_col`` /
+``generate_candidates``), so the pair table is linear in corpus size
+by the block-size bound; the two record-attribute joins shuffle on
+rec_id only, carrying the few comparison fields; the comparisons
+themselves are narrow map-side work. ``blocking_quality`` never
+materializes candidate pairs — the pair count is Σ|block|·(|block|−1)/2
+from one hash aggregate, so evaluating a blocking scheme costs a scan
+even when the scheme is bad.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def fs_weights(m: float, u: float) -> tuple[float, float]:
+    """(agreement, disagreement) log2 match weights for one field:
+    log2(m/u) rewards agreement on a field that rarely agrees by
+    chance; log2((1-m)/(1-u)) penalizes disagreement on a field that
+    true matches almost always agree on."""
+    return math.log2(m / u), math.log2((1.0 - m) / (1.0 - u))
+
+
+def fellegi_sunter_scores(
+    records: DataFrame,
+    pairs: DataFrame,
+    field_params: dict[str, tuple[float, float]],
+    near: dict[str, int] | None = None,
+    id_col: str = "rec_id",
+    upper: float = 3.0,
+    lower: float = 0.0,
+) -> DataFrame:
+    """Score candidate pairs with the Fellegi–Sunter model.
+
+    records: one row per record with ``id_col`` + the comparison
+    fields named in ``field_params`` (field -> (m, u) probabilities,
+    iteration order fixes the score's addition order). ``near`` maps
+    a field to the max Levenshtein distance that still counts as
+    agreement (default 0 = exact). A NULL on either side contributes
+    weight 0 (the standard missing-data convention). Output per pair:
+    agree_<field> ints (NULL when missing), ``score`` (rounded to 6),
+    and ``decision``: link (score ≥ upper) / non_link (score < lower)
+    / possible.
+    """
+    near = near or {}
+    fields = list(field_params)
+    a = records.select(
+        F.col(id_col).alias("id_a"), *[F.col(f).alias(f"a_{f}") for f in fields]
+    )
+    b = records.select(
+        F.col(id_col).alias("id_b"), *[F.col(f).alias(f"b_{f}") for f in fields]
+    )
+    j = pairs.join(a, "id_a").join(b, "id_b")
+
+    score = F.lit(0.0)
+    agree_cols = []
+    for f in fields:
+        w_agree, w_dis = fs_weights(*field_params[f])
+        t = near.get(f, 0)
+        la, lb = F.col(f"a_{f}"), F.col(f"b_{f}")
+        agree = (
+            F.when(la.isNull() | lb.isNull(), F.lit(None).cast("int"))
+            .when(F.levenshtein(la, lb) <= t, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        j = j.withColumn(f"agree_{f}", agree)
+        agree_cols.append(f"agree_{f}")
+        score = score + (
+            F.when(F.col(f"agree_{f}").isNull(), F.lit(0.0))
+            .when(F.col(f"agree_{f}") == 1, F.lit(w_agree))
+            .otherwise(F.lit(w_dis))
+        )
+    j = j.withColumn("score", F.round(score, 6))
+    return j.select(
+        "id_a",
+        "id_b",
+        *agree_cols,
+        "score",
+        F.when(F.col("score") >= upper, F.lit("link"))
+        .when(F.col("score") < lower, F.lit("non_link"))
+        .otherwise(F.lit("possible"))
+        .alias("decision"),
+    )
+
+
+def blocking_quality(
+    blocks: DataFrame,
+    truth: DataFrame,
+    id_col: str = "rec_id",
+    key_col: str = "block_key",
+) -> DataFrame:
+    """One-row evaluation of a blocking scheme against labeled true
+    pairs: ``reduction_ratio`` (1 − candidates / all-pairs — how much
+    comparison work blocking saved) and ``pairs_completeness``
+    (fraction of true pairs whose two records share a block — the
+    recall blocking is allowed to cost). Candidate count is computed
+    as Σ|block|·(|block|−1)/2 per key WITHOUT materializing the pairs.
+
+    blocks: (id_col, key_col), one key per record (records with a
+    NULL key are unblocked and pair with nothing). truth: (id_a, id_b).
+    """
+    bk = blocks.select(F.col(id_col), F.col(key_col)).where(
+        F.col(key_col).isNotNull()
+    )
+    n_rec = blocks.select(F.countDistinct(id_col).alias("n_records"))
+    cand = bk.groupBy(key_col).agg(F.count("*").alias("c")).agg(
+        F.coalesce(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2), F.lit(0.0)
+        ).cast("long").alias("n_candidates")
+    )
+    ka = bk.select(F.col(id_col).alias("id_a"), F.col(key_col).alias("k_a"))
+    kb = bk.select(F.col(id_col).alias("id_b"), F.col(key_col).alias("k_b"))
+    t = truth.join(ka, "id_a", "left").join(kb, "id_b", "left")
+    hits = t.agg(
+        F.count("*").alias("n_true"),
+        F.sum(
+            F.when(F.col("k_a") == F.col("k_b"), 1).otherwise(0)
+        ).alias("n_true_in_candidates"),
+    )
+    return (
+        n_rec.crossJoin(cand)
+        .crossJoin(hits)
+        .select(
+            "n_records",
+            "n_true",
+            "n_candidates",
+            "n_true_in_candidates",
+            F.round(
+                F.col("n_true_in_candidates") / F.col("n_true"), 6
+            ).alias("pairs_completeness"),
+            F.round(
+                1.0
+                - F.col("n_candidates")
+                / (F.col("n_records") * (F.col("n_records") - 1) / 2),
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )

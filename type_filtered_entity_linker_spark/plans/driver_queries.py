@@ -1935,6 +1935,187 @@ ER_PHONETIC_SQL = """
 """
 
 
+def _fs_customers(spark, sf_dir, corrupt: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Synthetic dirty-record ER corpus over ``customer`` (the driver
+    table has no address/phone, so both engines derive them from the
+    key): every 10th customer gets a dirty copy (rec_id + 1,000,000)
+    whose name lost its last character; ``corrupt`` selects the second
+    perturbation — 'city' blanks the city on every 20th key (FS demo:
+    drives those pairs from link to possible), 'phone' rewrites the
+    phone prefix on every 30th key (blocking demo: those true pairs
+    escape a phone-prefix blocking scheme). Returns (records,
+    true_pairs, nonmatch_pairs)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    phone = F.lpad(
+        ((F.col("c_custkey") * 7919) % 10000000).cast("string"), 7, "0"
+    )
+    clean = c.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.concat(F.lit("city_"), F.col("c_nationkey").cast("string")).alias(
+            "city"
+        ),
+        phone.alias("phone"),
+    )
+    dirty = clean.where(F.col("rec_id") % 10 == 0).select(
+        (F.col("rec_id") + 1000000).alias("rec_id"),
+        F.expr("substring(name, 1, length(name) - 1)").alias("name"),
+        (
+            F.when(F.col("rec_id") % 20 == 0, F.lit("unknown")).otherwise(
+                F.col("city")
+            )
+            if corrupt == "city"
+            else F.col("city")
+        ).alias("city"),
+        (
+            F.when(
+                F.col("rec_id") % 30 == 0,
+                F.concat(F.lit("99"), F.expr("substring(phone, 3)")),
+            ).otherwise(F.col("phone"))
+            if corrupt == "phone"
+            else F.col("phone")
+        ).alias("phone"),
+    )
+    base = clean.where(F.col("rec_id") % 10 == 0)
+    truth = base.select(
+        F.col("rec_id").alias("id_a"),
+        (F.col("rec_id") + 1000000).alias("id_b"),
+    )
+    nonmatch = base.select(
+        F.col("rec_id").alias("id_a"), (F.col("rec_id") + 3).alias("id_b")
+    )
+    return clean.unionByName(dirty), truth, nonmatch
+
+
+# (m, u) per field; insertion order fixes the score's addition order
+FS_PARAMS = {"name": (0.9, 0.05), "city": (0.85, 0.2), "phone": (0.99, 0.001)}
+FS_NEAR = {"name": 1}
+FS_UPPER, FS_LOWER = 12.0, 0.0
+
+
+def q_er_fellegi_sunter(spark, sf_dir) -> DataFrame:
+    """Fellegi–Sunter probabilistic linkage over the dirty-customer
+    corpus: planted (orig, copy) pairs score high (name near-agrees at
+    Levenshtein 1, phone agrees) — 'link' when the city survived,
+    'possible' when it was blanked; the (i, i+3) distractor pairs
+    disagree on phone and fall to 'non_link'. All three decision
+    classes appear in the output."""
+    from ..operators.fellegi_sunter import fellegi_sunter_scores
+
+    records, truth, nonmatch = _fs_customers(spark, sf_dir, corrupt="city")
+    pairs = truth.unionByName(nonmatch)
+    return fellegi_sunter_scores(
+        records, pairs, FS_PARAMS, near=FS_NEAR, upper=FS_UPPER, lower=FS_LOWER
+    )
+
+
+def _fs_oracle_sql() -> str:
+    """DuckDB replica: same synthesized fields, same agreement CASEs,
+    and the same python-log2 weight literals added in the same field
+    order (left-assoc + → identical double sums)."""
+    from ..operators.fellegi_sunter import fs_weights
+
+    terms = []
+    agrees = []
+    for f, (m, u) in FS_PARAMS.items():
+        t = FS_NEAR.get(f, 0)
+        agrees.append(
+            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
+            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
+            f"AS agree_{f}"
+        )
+        wa, wd = fs_weights(m, u)
+        terms.append(
+            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
+            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
+        )
+    score = " + ".join(["0.0"] + terms)
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               CASE WHEN rec_id % 20 = 0 THEN 'unknown' ELSE city END,
+               phone
+        FROM clean WHERE rec_id % 10 = 0),
+    pairs AS (
+        SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id, rec_id + 3 FROM clean WHERE rec_id % 10 = 0),
+    ag AS (
+        SELECT p.id_a, p.id_b, {', '.join(agrees)}
+        FROM pairs p
+        JOIN records a ON p.id_a = a.rec_id
+        JOIN records b ON p.id_b = b.rec_id),
+    sc AS (SELECT *, round({score}, 6) AS score FROM ag)
+    SELECT id_a, id_b, agree_name, agree_city, agree_phone, score,
+           CASE WHEN score >= {FS_UPPER!r} THEN 'link'
+                WHEN score < {FS_LOWER!r} THEN 'non_link'
+                ELSE 'possible' END AS decision
+    FROM sc
+"""
+
+
+ER_FS_SQL = _fs_oracle_sql()
+
+
+def q_er_blocking_quality(spark, sf_dir) -> DataFrame:
+    """Blocking-scheme evaluation: phone-prefix (first 3 digits)
+    blocking over the dirty-customer corpus where every 30th planted
+    copy had its phone prefix rewritten — those true pairs escape the
+    scheme, so pairs_completeness lands strictly below 1 while the
+    tiny blocks keep reduction_ratio near 1. The candidate count comes
+    from Σ|block|·(|block|−1)/2, never materialized pairs."""
+    from ..operators.fellegi_sunter import blocking_quality
+
+    records, truth, _ = _fs_customers(spark, sf_dir, corrupt="phone")
+    blocks = records.select(
+        "rec_id", F.substring("phone", 1, 3).alias("block_key")
+    )
+    return blocking_quality(blocks, truth)
+
+
+ER_BLOCK_QUALITY_SQL = """
+    WITH clean AS (
+        SELECT c_custkey AS rec_id,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT rec_id, phone FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000,
+               CASE WHEN rec_id % 30 = 0 THEN '99' || substr(phone, 3)
+                    ELSE phone END
+        FROM clean WHERE rec_id % 10 = 0),
+    blocks AS (SELECT rec_id, substr(phone, 1, 3) AS block_key FROM records),
+    truth AS (SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+              FROM clean WHERE rec_id % 10 = 0),
+    nrec AS (SELECT count(DISTINCT rec_id) AS n_records FROM blocks),
+    cand AS (SELECT coalesce(sum(c * (c - 1) / 2), 0)::BIGINT AS n_candidates
+             FROM (SELECT count(*) AS c FROM blocks GROUP BY block_key)),
+    hits AS (SELECT count(*) AS n_true,
+                    sum(CASE WHEN a.block_key = b.block_key
+                             THEN 1 ELSE 0 END)::BIGINT
+                        AS n_true_in_candidates
+             FROM truth t
+             LEFT JOIN blocks a ON t.id_a = a.rec_id
+             LEFT JOIN blocks b ON t.id_b = b.rec_id)
+    SELECT n_records, n_true, n_candidates, n_true_in_candidates,
+           round(n_true_in_candidates::DOUBLE / n_true, 6)
+               AS pairs_completeness,
+           round(1.0 - n_candidates::DOUBLE /
+                 (n_records::DOUBLE * (n_records - 1) / 2), 6)
+               AS reduction_ratio
+    FROM nrec, cand, hits
+"""
+
+
 # messy synthetic crawl URLs, built identically in both engines (the
 # driver corpus has no url column): three shapes exercising case norm,
 # www/default-port stripping, tracking-param removal, param sorting,
@@ -2762,6 +2943,8 @@ QUERIES = {
     "er_rare_token_blocks": q_er_rare_token_blocks,
     "er_tfidf_pairs": q_er_tfidf_pairs,
     "er_phonetic_blocks": q_er_phonetic_blocks,
+    "er_fellegi_sunter": q_er_fellegi_sunter,
+    "er_blocking_quality": q_er_blocking_quality,
     "url_canonicalize": q_url_canonicalize,
     "media_features": q_media_features,
     "events_hourly_window": q_events_window,
@@ -2827,6 +3010,8 @@ ORACLES = {
     "er_rare_token_blocks": ER_BLOCKS_SQL,
     "er_tfidf_pairs": ER_TFIDF_SQL,
     "er_phonetic_blocks": ER_PHONETIC_SQL,
+    "er_fellegi_sunter": ER_FS_SQL,
+    "er_blocking_quality": ER_BLOCK_QUALITY_SQL,
     "url_canonicalize": URL_CANON_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "events_hourly_window": EVENTS_WINDOW_SQL,
