@@ -87,6 +87,7 @@ HEADLINE = [
     "docs_paragraph_dedup",
     "er_fellegi_sunter",
     "er_blocking_quality",
+    "er_em_weights",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

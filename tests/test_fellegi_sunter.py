@@ -102,3 +102,22 @@ def test_fs_driver_query_shows_all_decisions(spark):
     ).collect()[0]
     assert 0 < row.pairs_completeness < 1
     assert row.reduction_ratio > 0.99
+
+
+def test_em_recovers_planted_structure(spark):
+    """Unsupervised EM on the dirty-customer pairs (half planted
+    matches, half distractors) must recover the planted parameters
+    without labels: match prevalence ~0.5, phone m high / u low, city
+    m ~0.5 (half the planted copies had their city blanked).
+    Thresholds sit around the measured sf0.001 values (p 0.492,
+    m_phone 0.967, u_phone 0.047, m_city 0.474)."""
+    from type_filtered_entity_linker_spark.plans.driver_queries import QUERIES
+
+    rows = QUERIES["er_em_weights"](spark, "/root/testdata/sf0.001").collect()
+    last = max(rows, key=lambda r: r.iter)
+    assert 0.4 < last.p < 0.6, last
+    assert last.m_phone > 0.9 and last.u_phone < 0.1, last
+    assert 0.35 < last.m_city < 0.6, last
+    # monotone sharpening of the informative field across iterations
+    by_iter = sorted(rows, key=lambda r: r.iter)
+    assert by_iter[-1].m_phone >= by_iter[0].m_phone, rows

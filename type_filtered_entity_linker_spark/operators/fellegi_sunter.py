@@ -153,3 +153,95 @@ def blocking_quality(
             ).alias("reduction_ratio"),
         )
     )
+
+
+EM_CLAMP = 1e-6
+
+
+def em_fit_mu(
+    records: DataFrame,
+    pairs: DataFrame,
+    field_params: dict[str, int] | list[str],
+    near: dict[str, int] | None = None,
+    id_col: str = "rec_id",
+    iters: int = 3,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_p: float = 0.5,
+) -> list[dict]:
+    """Unsupervised EM estimation of the Fellegi–Sunter (m, u)
+    probabilities (Winkler's classic fit): agreement vectors are
+    computed ONCE and persisted; each EM iteration is then a single
+    aggregation job — E-step match probabilities as pure column
+    expressions at the current (p, m, u) literals, M-step closed-form
+    updates on the collected per-field sums (driver-side, like the
+    ``training.train_logistic`` epoch loop). NULL agreements count as
+    disagreement (the estimator expects complete comparison fields).
+
+    ``field_params`` is the field list (dict keys or list — iteration
+    order fixes expression order). Returns the per-iteration curve:
+    [{iter, p, m_<f>..., u_<f>...}] with estimates clamped to
+    [EM_CLAMP, 1 − EM_CLAMP] so the implied log-weights stay finite.
+
+    Scale notes: the per-iteration job is one partial-aggregated pass
+    over the pair table (blocked upstream, so linear in corpus);
+    nothing but a dozen doubles ever reaches the driver.
+    """
+    near = near or {}
+    fields = list(field_params)
+    a = records.select(
+        F.col(id_col).alias("id_a"), *[F.col(f).alias(f"a_{f}") for f in fields]
+    )
+    b = records.select(
+        F.col(id_col).alias("id_b"), *[F.col(f).alias(f"b_{f}") for f in fields]
+    )
+    ag = pairs.join(a, "id_a").join(b, "id_b").select(
+        *[
+            F.coalesce(
+                F.when(
+                    F.levenshtein(F.col(f"a_{f}"), F.col(f"b_{f}"))
+                    <= near.get(f, 0),
+                    F.lit(1.0),
+                ).otherwise(F.lit(0.0)),
+                F.lit(0.0),
+            ).alias(f"ag_{f}")
+            for f in fields
+        ]
+    ).persist()
+
+    p = float(init_p)
+    m = {f: float(init_m) for f in fields}
+    u = {f: float(init_u) for f in fields}
+    curve: list[dict] = []
+    clamp = lambda x: min(max(x, EM_CLAMP), 1.0 - EM_CLAMP)
+    try:
+        for it in range(iters):
+            pm = F.lit(p)
+            pu = F.lit(1.0 - p)
+            for f in fields:
+                ac = F.col(f"ag_{f}")
+                pm = pm * (
+                    F.lit(m[f]) * ac + F.lit(1.0 - m[f]) * (F.lit(1.0) - ac)
+                )
+                pu = pu * (
+                    F.lit(u[f]) * ac + F.lit(1.0 - u[f]) * (F.lit(1.0) - ac)
+                )
+            w = pm / (pm + pu)
+            aggs = [F.sum(w).alias("sw"), F.count(F.lit(1)).alias("n")]
+            for f in fields:
+                aggs.append(F.sum(w * F.col(f"ag_{f}")).alias(f"swa_{f}"))
+                aggs.append(F.sum(F.col(f"ag_{f}")).alias(f"sa_{f}"))
+            r = ag.agg(*aggs).first().asDict()
+            sw, n = float(r["sw"]), float(r["n"])
+            p = clamp(sw / n)
+            for f in fields:
+                swa, sa = float(r[f"swa_{f}"]), float(r[f"sa_{f}"])
+                m[f] = clamp(swa / sw)
+                u[f] = clamp((sa - swa) / (n - sw))
+            row = {"iter": it + 1, "p": p}
+            row.update({f"m_{f}": m[f] for f in fields})
+            row.update({f"u_{f}": u[f] for f in fields})
+            curve.append(row)
+    finally:
+        ag.unpersist()
+    return curve

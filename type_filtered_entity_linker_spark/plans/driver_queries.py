@@ -2065,6 +2065,137 @@ def _fs_oracle_sql() -> str:
 ER_FS_SQL = _fs_oracle_sql()
 
 
+EM_ITERS = 3
+EM_INIT = dict(init_m=0.9, init_u=0.1, init_p=0.5)
+
+
+def q_er_em_weights(spark, sf_dir) -> DataFrame:
+    """Unsupervised EM fit of the Fellegi–Sunter (m, u, p) parameters
+    on the dirty-customer pair corpus (half planted matches, half
+    distractors): the learned curve recovers the planted structure —
+    p → 0.5, phone m → 1 / u → 0 — without seeing any labels. Each
+    iteration is one aggregation job; the oracle unrolls the same
+    recurrence into chained one-row CTEs (the
+    ``disamb_train_curve`` pattern)."""
+    from ..operators.fellegi_sunter import em_fit_mu
+
+    records, truth, nonmatch = _fs_customers(spark, sf_dir, corrupt="city")
+    pairs = truth.unionByName(nonmatch)
+    curve = em_fit_mu(
+        records, pairs, list(FS_PARAMS), near=FS_NEAR, iters=EM_ITERS, **EM_INIT
+    )
+    fields = list(FS_PARAMS)
+    rows = [
+        tuple(
+            [int(c["iter"]), float(c["p"])]
+            + [float(c[f"m_{f}"]) for f in fields]
+            + [float(c[f"u_{f}"]) for f in fields]
+        )
+        for c in curve
+    ]
+    schema = (
+        "iter int, p double, "
+        + ", ".join(f"m_{f} double" for f in fields)
+        + ", "
+        + ", ".join(f"u_{f} double" for f in fields)
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def _em_oracle_sql(
+    iters: int = EM_ITERS,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_p: float = 0.5,
+) -> str:
+    """EM recurrence unrolled into chained CTEs: ag is the agreement
+    table (computed once, like the persisted DataFrame), e{i} the
+    1-row parameter state after iteration i. Product/update expression
+    order mirrors em_fit_mu exactly (left-assoc ×/+, same clamp
+    literals), so the only cross-engine difference is aggregation
+    summation order — ~1e-13, absorbed by the round-6 value hash."""
+    from ..operators.fellegi_sunter import EM_CLAMP
+
+    fields = list(FS_PARAMS)
+    lo, hi = repr(EM_CLAMP), repr(1.0 - EM_CLAMP)
+    ags = ", ".join(
+        f"CASE WHEN levenshtein(a.{f}, b.{f}) <= {FS_NEAR.get(f, 0)} "
+        f"THEN 1.0 ELSE 0.0 END AS ag_{f}"
+        for f in fields
+    )
+    L = [
+        f"""clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               CASE WHEN rec_id % 20 = 0 THEN 'unknown' ELSE city END,
+               phone
+        FROM clean WHERE rec_id % 10 = 0),
+    pairs AS (
+        SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id, rec_id + 3 FROM clean WHERE rec_id % 10 = 0),
+    ag AS (
+        SELECT {ags}
+        FROM pairs p
+        JOIN records a ON p.id_a = a.rec_id
+        JOIN records b ON p.id_b = b.rec_id)"""
+    ]
+    e0 = [f"{init_p!r} AS p"]
+    e0 += [f"{init_m!r} AS m_{f}" for f in fields]
+    e0 += [f"{init_u!r} AS u_{f}" for f in fields]
+    L.append(f"e0 AS (SELECT {', '.join(e0)})")
+    for i in range(1, iters + 1):
+        e = f"e{i - 1}"
+        pm = f"{e}.p"
+        pu = f"(1.0 - {e}.p)"
+        for f in fields:
+            pm += (
+                f" * ({e}.m_{f} * ag_{f} + (1.0 - {e}.m_{f}) * (1.0 - ag_{f}))"
+            )
+            pu += (
+                f" * ({e}.u_{f} * ag_{f} + (1.0 - {e}.u_{f}) * (1.0 - ag_{f}))"
+            )
+        L.append(
+            f"w{i} AS (SELECT ag.*, ({pm}) / (({pm}) + ({pu})) AS w "
+            f"FROM ag CROSS JOIN {e})"
+        )
+        sums = ["sum(w) AS sw", "count(*) AS n"]
+        sums += [f"sum(w * ag_{f}) AS swa_{f}" for f in fields]
+        sums += [f"sum(ag_{f}) AS sa_{f}" for f in fields]
+        L.append(f"s{i} AS (SELECT {', '.join(sums)} FROM w{i})")
+        clamp = lambda x: f"least(greatest({x}, {lo}), {hi})"
+        ups = [f"{clamp('sw / n')} AS p"]
+        ups += [f"{clamp(f'swa_{f} / sw')} AS m_{f}" for f in fields]
+        ups += [
+            f"{clamp(f'(sa_{f} - swa_{f}) / (n - sw)')} AS u_{f}"
+            for f in fields
+        ]
+        L.append(f"e{i} AS (SELECT {', '.join(ups)} FROM s{i})")
+    cols = (
+        "p, "
+        + ", ".join(f"m_{f}" for f in fields)
+        + ", "
+        + ", ".join(f"u_{f}" for f in fields)
+    )
+    rows = [
+        f"SELECT {i} AS iter, {cols} FROM e{i}" for i in range(1, iters + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(L) + "\n"
+        + "\nUNION ALL\n".join(rows) + "\nORDER BY iter"
+    )
+
+
+ER_EM_SQL = _em_oracle_sql()
+
+
 def q_er_blocking_quality(spark, sf_dir) -> DataFrame:
     """Blocking-scheme evaluation: phone-prefix (first 3 digits)
     blocking over the dirty-customer corpus where every 30th planted
@@ -2944,6 +3075,7 @@ QUERIES = {
     "er_tfidf_pairs": q_er_tfidf_pairs,
     "er_phonetic_blocks": q_er_phonetic_blocks,
     "er_fellegi_sunter": q_er_fellegi_sunter,
+    "er_em_weights": q_er_em_weights,
     "er_blocking_quality": q_er_blocking_quality,
     "url_canonicalize": q_url_canonicalize,
     "media_features": q_media_features,
@@ -3011,6 +3143,7 @@ ORACLES = {
     "er_tfidf_pairs": ER_TFIDF_SQL,
     "er_phonetic_blocks": ER_PHONETIC_SQL,
     "er_fellegi_sunter": ER_FS_SQL,
+    "er_em_weights": ER_EM_SQL,
     "er_blocking_quality": ER_BLOCK_QUALITY_SQL,
     "url_canonicalize": URL_CANON_SQL,
     "media_features": MEDIA_FEATURES_SQL,
