@@ -811,6 +811,24 @@ def test_extract_text_scan_pushdown_and_pruning(spark, tmp_path):
     assert "html" in read_schema and "text" not in read_schema
 
 
+def test_pq_scan_pushdown_and_broadcasts(spark):
+    """ann_topk_pq plan pins: the codebook's vec_id range filter and
+    the query-side vec_id < 10 filter both reach the parquet scan, and
+    the codebook/LUT sides are broadcast (never shuffled corpus-wide)."""
+    from type_filtered_entity_linker_spark.plans.driver_queries import QUERIES
+
+    plan = _physical_plan(
+        QUERIES["ann_topk_pq"](spark, "/root/testdata/sf0.001")
+    )
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l]
+    pushed = " | ".join(
+        l.split("PushedFilters")[1] for l in scans if "PushedFilters" in l
+    )
+    assert "GreaterThanOrEqual(vec_id,100)" in pushed
+    assert "LessThan(vec_id,10)" in pushed
+    assert "BroadcastExchange" in plan
+
+
 def test_asof_join_carries_latest_row_including_nulls(spark):
     """The MOST RECENT right row wins as a whole row — a NULL value in
     it must not be papered over with an older row's non-null value
