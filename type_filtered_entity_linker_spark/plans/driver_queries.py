@@ -361,6 +361,30 @@ EL_CLUSTERS_SQL = f"""
 """
 
 
+def _el_cluster_sizes(spark, sf_dir) -> DataFrame:
+    """Cluster-size distribution of the linkage output (the
+    observability row an operator watches at 10^12 scale: a mega-
+    cluster spike means a blocking key or scorer regression). Two
+    partial-aggregated shuffles over the narrow (mention, cluster)
+    table — never the mention payload."""
+    c = _el_clusters(spark, sf_dir)
+    sizes = c.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select("cluster_size", "n_clusters")
+    )
+
+
+EL_CLUSTER_SIZES_SQL = f"""
+    WITH c AS ({EL_CLUSTERS_SQL}),
+    s AS (SELECT cluster_id, count(*) AS cluster_size
+          FROM c GROUP BY cluster_id)
+    SELECT cluster_size, count(*) AS n_clusters
+    FROM s GROUP BY cluster_size
+"""
+
+
 def _el_span_containment(spark, sf_dir) -> DataFrame:
     """O14 containment-join analog (reference ``el/filter.py:123,146-175``):
     mention windows = token bigrams [pos, pos+1]; NER spans = single
@@ -3037,6 +3061,7 @@ QUERIES = {
     "el_topk": _el_topk,
     "el_links": _el_links,
     "el_clusters": _el_clusters,
+    "el_cluster_sizes": _el_cluster_sizes,
     "el_span_containment": _el_span_containment,
     "el_filter_stats": _el_filter_stats,
     "el_filter_effectiveness": _el_filter_effectiveness,
@@ -3105,6 +3130,7 @@ ORACLES = {
     "el_topk": EL_TOPK_SQL,
     "el_links": EL_LINKS_SQL,
     "el_clusters": EL_CLUSTERS_SQL,
+    "el_cluster_sizes": EL_CLUSTER_SIZES_SQL,
     "el_span_containment": EL_SPAN_CONTAINMENT_SQL,
     "el_filter_stats": EL_FILTER_STATS_SQL,
     "el_filter_effectiveness": EL_FILTER_EFFECTIVENESS_SQL,
