@@ -2956,7 +2956,11 @@ def q_el_clusters_incremental(spark, sf_dir) -> DataFrame:
         read_cluster_state,
     )
 
-    links = _el_links(spark, sf_dir).select("doc_id", "sf", "item_id")
+    # persist: the two parity writes below would otherwise EACH
+    # recompute the full el-links chain (~2x the chain cost at sf0.1)
+    links = (
+        _el_links(spark, sf_dir).select("doc_id", "sf", "item_id").persist()
+    )
     wd = tempfile.mkdtemp(prefix="inc_clusters_")
     links_dir = os.path.join(wd, "links")
     # two deterministic batch files: doc parity decides arrival order
@@ -2966,6 +2970,7 @@ def q_el_clusters_incremental(spark, sf_dir) -> DataFrame:
     links.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
         "append"
     ).parquet(links_dir)
+    links.unpersist()
     schema = spark.read.parquet(links_dir).schema
     state_root = incremental_cluster_links(
         spark,
