@@ -85,6 +85,9 @@ HEADLINE = [
     # Fellegi-Sunter probabilistic linkage + blocking-quality metrics
     "docs_decontaminate",
     "docs_paragraph_dedup",
+    # skew stress: one paragraph repeated corpus-wide — bounded by the
+    # partial-aggregated min-struct owner election
+    "docs_paragraph_boilerplate",
     "er_fellegi_sunter",
     "er_blocking_quality",
     "er_em_weights",

@@ -197,13 +197,23 @@ def test_warc_record_codec_property():
 
     from type_filtered_entity_linker_spark.sources.warc import _parse_warc
 
-    urls = st.text(
-        alphabet=st.characters(
-            blacklist_categories=("Cs", "Cc"), blacklist_characters="\r\n>"
-        ),
-        min_size=1,
-        max_size=50,
-    ).map(lambda s: "http://t/" + s)
+    # trailing ASCII space/tab is OUT of the codec contract: header
+    # values are OWS-trimmed per the WARC grammar, so such URLs are
+    # unrepresentable unencoded (and raw spaces are illegal in URIs
+    # per RFC 3986 anyway). Unicode whitespace like NBSP must survive
+    # — that regression is pinned separately.
+    urls = (
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs", "Cc"),
+                blacklist_characters="\r\n>",
+            ),
+            min_size=1,
+            max_size=50,
+        )
+        .map(lambda s: "http://t/" + s)
+        .filter(lambda u: not u.endswith((" ", "\t")))
+    )
     tss = st.datetimes(
         min_value=dt.datetime(1990, 1, 1), max_value=dt.datetime(2100, 1, 1)
     ).map(lambda d: d.replace(microsecond=0))

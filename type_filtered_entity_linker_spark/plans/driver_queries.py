@@ -2530,6 +2530,42 @@ PARAGRAPH_DEDUP_SQL = """
     FROM k GROUP BY doc_id
 """
 
+def q_paragraph_dedup_boilerplate(spark, sf_dir) -> DataFrame:
+    """Paragraph-dedup skew stress: EVERY page carries the same nav
+    boilerplate paragraph (corpus-size repetition of ONE hash — the
+    worst case for any per-hash sort). The min-struct owner election
+    partial-aggregates it to one row per input partition, so this
+    query IS the bounded-runtime evidence; only the lowest doc_id
+    keeps the boilerplate."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("NAV HOME ABOUT CONTACT\n"), F.col("text")
+        ).alias("text"),
+    )
+    return paragraph_dedup(d)
+
+
+PARAGRAPH_BOILER_SQL = """
+    WITH pages AS (
+        SELECT doc_id, 'NAV HOME ABOUT CONTACT' || chr(10) || text AS text
+        FROM documents),
+    paras AS (
+        SELECT doc_id, i - 1 AS idx, p[i] AS para
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS p FROM pages),
+             unnest(generate_series(1, len(p))) AS t(i)
+        WHERE p[i] != ''),
+    k AS (SELECT doc_id, idx, para,
+                 row_number() OVER (PARTITION BY md5(para)
+                                    ORDER BY doc_id, idx) AS rn
+          FROM paras)
+    SELECT doc_id, count(*) AS n_paras,
+           sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+                               ORDER BY idx), '') AS text_clean
+    FROM k GROUP BY doc_id
+"""
+
 # --------------------------------------------------------------- multimodal
 
 
@@ -3094,6 +3130,7 @@ QUERIES = {
     "docs_pii_redact": q_docs_pii_redact,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_paragraph_dedup": q_paragraph_dedup,
+    "docs_paragraph_boilerplate": q_paragraph_dedup_boilerplate,
     "lang_id": q_lang_id,
     "quality_score": q_quality,
     "token_count": q_token_count,
@@ -3163,6 +3200,7 @@ ORACLES = {
     "docs_pii_redact": PII_REDACT_SQL,
     "docs_decontaminate": DOCS_DECON_SQL,
     "docs_paragraph_dedup": PARAGRAPH_DEDUP_SQL,
+    "docs_paragraph_boilerplate": PARAGRAPH_BOILER_SQL,
     "lang_id": LANG_ID_SQL,
     "quality_score": QUALITY_SQL,
     "token_count": TOKEN_COUNT_SQL,

@@ -67,7 +67,13 @@ def _record_bytes(url: str, ts: datetime, html: bytes) -> bytes:
 def warc_bytes(rows, per_record_gzip: bool = True) -> bytes:
     """rows of (url, ts, html-bytes) → one WARC file's bytes.
     ``per_record_gzip``: each record is its own gzip member
-    (Common Crawl convention); False writes a plain .warc."""
+    (Common Crawl convention); False writes a plain .warc.
+
+    Codec contract: any url WITHOUT trailing ASCII space/tab
+    round-trips byte-exactly through ``_parse_warc`` (readers OWS-trim
+    header values per the WARC grammar, so trailing space/tab is
+    unrepresentable unencoded — raw spaces are illegal in URIs per
+    RFC 3986 anyway; Unicode whitespace such as NBSP survives)."""
     out = io.BytesIO()
     for url, ts, html in rows:
         rec = _record_bytes(url, ts, bytes(html))
