@@ -2753,6 +2753,48 @@ CORPUS_ROLLUP_SQL = """
 """
 
 
+def q_corpus_length_percentiles(spark, sf_dir) -> DataFrame:
+    """Per-language length distribution (the first report any corpus
+    curation run produces): EXACT p50/p90/p99 of chars and token
+    counts — Spark's ``percentile`` and DuckDB's ``quantile_cont``
+    share the (n−1)·p linear-interpolation definition, so the oracle
+    is exact. Exact percentiles sort within each language group; at
+    10^12 docs swap in ``percentile_approx`` (t-digest, mergeable
+    map-side) and drop the oracle to a tolerance check — the
+    scale/exactness trade is the point of keeping both spellings."""
+    d = _docs(spark, sf_dir).withColumn(
+        "n_tokens", F.size(F.split("text", " "))
+    )
+
+    def pct(c, p, name):
+        return F.round(F.percentile(F.col(c), F.lit(p)), 4).alias(name)
+
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        pct("n_chars", 0.5, "p50_chars"),
+        pct("n_chars", 0.9, "p90_chars"),
+        pct("n_chars", 0.99, "p99_chars"),
+        pct("n_tokens", 0.5, "p50_tokens"),
+        pct("n_tokens", 0.9, "p90_tokens"),
+        pct("n_tokens", 0.99, "p99_tokens"),
+    )
+
+
+CORPUS_PCTL_SQL = """
+    WITH d AS (SELECT lang, n_chars,
+                      len(string_split(text, ' ')) AS n_tokens
+               FROM documents)
+    SELECT lang, count(*) AS n_docs,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99_chars,
+           round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+           round(quantile_cont(n_tokens, 0.99), 4) AS p99_tokens
+    FROM d GROUP BY lang
+"""
+
+
 _STREAM_SEQ = [0]
 
 
@@ -3150,6 +3192,7 @@ QUERIES = {
     "events_asof_join": q_events_asof_join,
     "events_moving_avg": q_events_moving_avg,
     "corpus_stats_rollup": q_corpus_stats_rollup,
+    "corpus_length_percentiles": q_corpus_length_percentiles,
     "events_session_agg": q_events_sessions,
     "events_stream_window": q_events_stream_window,
     "events_stream_dedup": q_events_stream_dedup,
@@ -3220,6 +3263,7 @@ ORACLES = {
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_moving_avg": EVENTS_MAVG_SQL,
     "corpus_stats_rollup": CORPUS_ROLLUP_SQL,
+    "corpus_length_percentiles": CORPUS_PCTL_SQL,
     "events_session_agg": EVENTS_SESSIONS_SQL,
     "events_stream_window": EVENTS_WINDOW_SQL,
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
