@@ -55,6 +55,7 @@ HEADLINE = [
     # (windowed agg + cross-batch dedup state)
     "events_stream_window",
     "events_stream_dedup",
+    "events_stream_join",
     "lineitem_agg",
     "top_orders_per_customer",
     # curation family: scan-speed narrow ops + the capped window

@@ -305,3 +305,39 @@ def test_canonical_url_dedup_collapses_variants_across_batches(spark, tmp_path):
         "http://b.org/",
         "https://a.com/x?a=1&b=2",
     ]
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
+    """Stream-stream view->click attribution: two files (separate
+    micro-batches) so matches CROSS the batch boundary — the buffered
+    view from batch 1 must still join a click arriving in batch 2;
+    the drained output equals the batch range join over all rows."""
+    from type_filtered_entity_linker_spark.streaming.incremental import (
+        stream_view_click_join,
+    )
+
+    src = str(tmp_path / "ev")
+    batch1 = [
+        (1, "2024-01-01 10:00:00", 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:05:00", 7, "click", 1.0, "{}"),  # in-batch hit
+        (3, "2024-01-01 10:50:00", 8, "view", 1.0, "{}"),
+    ]
+    batch2 = [
+        (4, "2024-01-01 11:20:00", 8, "click", 1.0, "{}"),  # cross-batch hit
+        (5, "2024-01-01 13:00:00", 7, "click", 1.0, "{}"),  # outside 60 min
+        (6, "2024-01-01 11:00:00", 9, "click", 1.0, "{}"),  # no view
+    ]
+    for rows in (batch1, batch2):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    got = run_stream_once(
+        stream_view_click_join(spark, src, schema),
+        "t_ssjoin",
+        output_mode="append",
+    ).toPandas()
+    assert sorted(zip(got["view_id"], got["click_id"])) == [(1, 2), (3, 4)]

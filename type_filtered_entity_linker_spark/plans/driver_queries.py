@@ -2872,6 +2872,33 @@ EVENTS_STREAM_DEDUP_SQL = """
 """
 
 
+def q_events_stream_join(spark, sf_dir) -> DataFrame:
+    """Stream-stream inner join: views attributed to same-user clicks
+    within 60 minutes (watermarks on both sides + the time-range bound
+    in the join condition = evictable state); AvailableNow drain must
+    equal the batch range join exactly."""
+    from ..streaming.incremental import run_stream_once, stream_view_click_join
+
+    stage = _staged_events_dir(sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    _STREAM_SEQ[0] += 1
+    return run_stream_once(
+        stream_view_click_join(spark, stage, schema),
+        f"events_ssjoin_{_STREAM_SEQ[0]}",
+        output_mode="append",
+    )
+
+
+EVENTS_STREAM_JOIN_SQL = """
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           v.ts AS view_ts, c.ts AS click_ts
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 60 MINUTE
+"""
+
+
 def _staged_crawl_dir_dup(spark, sf_dir: str) -> str:
     """Stage a synthetic crawl table (url, warc_ts) derived from the
     documents table — messy URLs via the shared _ER_URL_CASE shapes —
@@ -3196,6 +3223,7 @@ QUERIES = {
     "events_session_agg": q_events_sessions,
     "events_stream_window": q_events_stream_window,
     "events_stream_dedup": q_events_stream_dedup,
+    "events_stream_join": q_events_stream_join,
     "crawl_stream_url_dedup": q_crawl_stream_url_dedup,
     "events_stateful_totals": q_events_stateful_totals,
     "el_clusters_incremental": q_el_clusters_incremental,
@@ -3267,6 +3295,7 @@ ORACLES = {
     "events_session_agg": EVENTS_SESSIONS_SQL,
     "events_stream_window": EVENTS_WINDOW_SQL,
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
+    "events_stream_join": EVENTS_STREAM_JOIN_SQL,
     "crawl_stream_url_dedup": CRAWL_STREAM_DEDUP_SQL,
     "events_stateful_totals": EVENTS_STATEFUL_SQL,
     "el_clusters_incremental": EL_CLUSTERS_SQL,

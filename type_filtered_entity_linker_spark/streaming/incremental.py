@@ -133,6 +133,61 @@ def stream_deduplicated_events(
     return _restore_ntz(out, "ts", ntz)
 
 
+def stream_view_click_join(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    watermark: str = "2 hours",
+    max_gap_minutes: int = 60,
+) -> DataFrame:
+    """STREAM-STREAM inner join (the attribution classic): every view
+    joined to the same user's clicks arriving within ``max_gap_minutes``
+    AFTER it. Both sides carry event-time watermarks and the join
+    condition carries the time-range bound — together they let the
+    state store evict a buffered view once no qualifying click can
+    still arrive (view_ts + gap + watermark has passed), so the join
+    runs unbounded without unbounded state. Append mode (the only mode
+    stream-stream inner joins support); with Trigger.AvailableNow the
+    drained output equals the batch range join exactly."""
+    views, ntz = _watermarkable_ts(
+        spark.readStream.schema(schema).parquet(path)
+    )
+    clicks, _ = _watermarkable_ts(
+        spark.readStream.schema(schema).parquet(path)
+    )
+    v = (
+        views.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    c = (
+        clicks.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    out = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (
+            F.col("click_ts")
+            <= F.col("view_ts")
+            + F.expr(f"INTERVAL {int(max_gap_minutes)} MINUTES")
+        ),
+        "inner",
+    ).select("user_id", "view_id", "click_id", "view_ts", "click_ts")
+    out = _restore_ntz(out, "view_ts", ntz)
+    return _restore_ntz(out, "click_ts", ntz)
+
+
 def stream_canonical_url_dedup(
     spark: SparkSession,
     path: str,
