@@ -56,6 +56,7 @@ HEADLINE = [
     "events_stream_window",
     "events_stream_dedup",
     "events_stream_join",
+    "events_stream_sessions",
     "lineitem_agg",
     "top_orders_per_customer",
     # curation family: scan-speed narrow ops + the capped window

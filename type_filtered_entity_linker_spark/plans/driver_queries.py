@@ -2872,6 +2872,20 @@ EVENTS_STREAM_DEDUP_SQL = """
 """
 
 
+def q_events_stream_sessions(spark, sf_dir) -> DataFrame:
+    """Streaming sessionization (session_window + watermark, complete
+    drain) — must equal the batch gaps-and-islands oracle exactly."""
+    from ..streaming.incremental import run_stream_once, stream_sessionized_events
+
+    stage = _staged_events_dir(sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    _STREAM_SEQ[0] += 1
+    return run_stream_once(
+        stream_sessionized_events(spark, stage, schema),
+        f"events_sessions_{_STREAM_SEQ[0]}",
+    )
+
+
 def q_events_stream_join(spark, sf_dir) -> DataFrame:
     """Stream-stream inner join: views attributed to same-user clicks
     within 60 minutes (watermarks on both sides + the time-range bound
@@ -3224,6 +3238,7 @@ QUERIES = {
     "events_stream_window": q_events_stream_window,
     "events_stream_dedup": q_events_stream_dedup,
     "events_stream_join": q_events_stream_join,
+    "events_stream_sessions": q_events_stream_sessions,
     "crawl_stream_url_dedup": q_crawl_stream_url_dedup,
     "events_stateful_totals": q_events_stateful_totals,
     "el_clusters_incremental": q_el_clusters_incremental,
@@ -3296,6 +3311,7 @@ ORACLES = {
     "events_stream_window": EVENTS_WINDOW_SQL,
     "events_stream_dedup": EVENTS_STREAM_DEDUP_SQL,
     "events_stream_join": EVENTS_STREAM_JOIN_SQL,
+    "events_stream_sessions": EVENTS_SESSIONS_SQL,
     "crawl_stream_url_dedup": CRAWL_STREAM_DEDUP_SQL,
     "events_stateful_totals": EVENTS_STATEFUL_SQL,
     "el_clusters_incremental": EL_CLUSTERS_SQL,

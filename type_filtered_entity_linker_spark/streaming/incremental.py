@@ -133,6 +133,39 @@ def stream_deduplicated_events(
     return _restore_ntz(out, "ts", ntz)
 
 
+def stream_sessionized_events(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming sessionization with ``session_window`` — the MERGING
+    state-window formulation (a late event can fuse two open sessions;
+    fixed windows can't express that): per (user, session) event count
+    and value sum. The watermark closes a session once event time
+    passes session_end + watermark, bounding state for an unbounded
+    run; with Trigger.AvailableNow the drain equals the batch
+    gaps-and-islands result."""
+    ev = spark.readStream.schema(schema).parquet(path)
+    ev, ntz = _watermarkable_ts(ev)
+    out = (
+        ev.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _restore_ntz(out, "session_start", ntz)
+
+
 def stream_view_click_join(
     spark: SparkSession,
     path: str,
