@@ -93,6 +93,12 @@ HEADLINE = [
     "er_fellegi_sunter",
     "er_blocking_quality",
     "er_em_weights",
+    # keep-one dedup clustering (CC over minhash pairs), Lloyd's
+    # k-means topic bucketing, and PageRank crawl centrality
+    "dedup_cluster_keep",
+    "embed_kmeans",
+    "graph_pagerank",
+    "docs_pack_sequences",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

@@ -198,3 +198,34 @@ def test_decontaminate_short_prompt_whole_doc_fallback(spark):
     # the verbatim short doc is caught via the whole-doc gram; the
     # 4-token doc's single whole-doc gram differs -> clean
     assert got == {0: 1, 1: 0}
+
+
+def test_pack_sequences_spans_and_boundaries(spark):
+    """Hand-checked packing: bucket-local cumsum, ctx windows, a doc
+    straddling a boundary spans two packs, empty docs drop."""
+    from type_filtered_entity_linker_spark.operators.curation import (
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c"),        # bucket 0: 3 toks  -> [0, 3)
+            (8, "d e f g"),      # bucket 0: 4 toks  -> [3, 7) straddles
+            (16, "h h"),         # bucket 0: 2 toks  -> [7, 9)
+            (1, "x y"),          # bucket 1: 2 toks  -> [0, 2)
+            (9, ""),             # empty: dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (
+            r["bucket"], r["start_tok"], r["end_tok"],
+            r["pack_first"], r["pack_last"],
+        )
+        for r in pack_sequences(docs, ctx_len=5, n_buckets=8).collect()
+    }
+    assert out[0] == (0, 0, 3, 0, 0)
+    assert out[8] == (0, 3, 7, 0, 1)   # straddles packs 0 and 1
+    assert out[16] == (0, 7, 9, 1, 1)
+    assert out[1] == (1, 0, 2, 0, 0)
+    assert 9 not in out

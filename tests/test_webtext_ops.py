@@ -190,3 +190,120 @@ def test_phonetic_key_groups_similar_names(spark):
     assert out["robert"] == out["Rupert"] == "R163"
     assert out["gear"] == "G600"
     assert out["12"] is None and out[""] is None
+
+
+def test_dedup_clusters_transitive_keep_one(spark):
+    """A~B and B~C must form ONE cluster with ONE survivor (the
+    longest text); docs outside any pair are their own kept
+    singletons."""
+    from type_filtered_entity_linker_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd"),       # in chain, len 11
+            (2, "aa bb cc dd ee"),    # in chain, len 14 -> survivor
+            (3, "aa bb cc"),          # in chain, len 8
+            (4, "zz yy xx"),          # singleton
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert out[1] == (1, 0)
+    assert out[2] == (1, 1)  # longest text wins the cluster
+    assert out[3] == (1, 0)
+    assert out[4] == (4, 1)  # singleton keeps itself
+
+
+def test_dedup_clusters_tie_breaks_to_lowest_id(spark):
+    from type_filtered_entity_linker_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "same len"), (9, "also len")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(7, 9)], "doc_a long, doc_b long")
+    out = {
+        r["doc_id"]: r["keep"] for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert out == {7: 1, 9: 0}
+
+
+def test_kmeans_separates_two_blobs(spark):
+    """Two well-separated 4-d blobs, k=2: every vector lands with its
+    blob, assignments are deterministic across reruns."""
+    from type_filtered_entity_linker_spark.operators.kmeans import (
+        kmeans_topics,
+    )
+
+    rows = []
+    for i in range(6):  # blob around (0,0,0,0)
+        rows.append((i, [0.0 + i * 0.01, 0.0, 0.1, 0.0]))
+    for i in range(6):  # blob around (10,10,10,10)
+        rows.append((10 + i, [10.0, 10.0 + i * 0.01, 10.0, 9.9]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = kmeans_topics(e, k=2, n_iter=2).collect()
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["vec_id"])
+    assert sorted(len(v) for v in by_cluster.values()) == [6, 6]
+    low = {v for v in by_cluster[min(by_cluster)] if v < 10}
+    assert len(low) in (0, 6)  # no blob is split
+    again = kmeans_topics(e, k=2, n_iter=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_kmeans_update_moves_centroid_to_mean(spark):
+    """One cluster (k=1): after one update the centroid is the mean,
+    so every dist2 equals the vector's squared distance to the mean."""
+    from type_filtered_entity_linker_spark.operators.kmeans import (
+        kmeans_topics,
+    )
+
+    e = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [2.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r["dist2"] for r in kmeans_topics(e, k=1, n_iter=1).collect()}
+    # mean = (1, 2); d2(0,0) = 1+4 = 5; d2(2,4) = 1+4 = 5
+    assert got == {1: 5.0, 2: 5.0}
+
+
+def test_pagerank_symmetric_cycle(spark):
+    """2-cycle: symmetry fixes rank at 0.5/0.5 for every iteration."""
+    from type_filtered_entity_linker_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=4).collect()}
+    assert got == {1: 0.5, 2: 0.5}
+
+
+def test_pagerank_dangling_mass_and_conservation(spark):
+    """A→B with B dangling: hand-computed first iteration; total mass
+    stays 1 (the dangling term's job)."""
+    from type_filtered_entity_linker_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=1).collect()}
+    # r1(A) = 0.15/2 + 0.85*(0 + 0.5/2) = 0.2875
+    # r1(B) = 0.15/2 + 0.85*(0.5 + 0.5/2) = 0.7125
+    assert got == {1: 0.2875, 2: 0.7125}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_drops_self_loops_and_dup_edges(spark):
+    from type_filtered_entity_linker_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2), (1, 2), (1, 1), (2, 1)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=3).collect()}
+    assert got == {1: 0.5, 2: 0.5}  # reduces to the 2-cycle

@@ -312,3 +312,61 @@ def decontaminate(
         "contaminated",
         (F.col("n_contaminated") >= min_hits).cast("int"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int = 512,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the step between a curated
+    corpus and tokenized training shards: documents are concatenated
+    per output shard (bucket) and cut into fixed ``ctx_len`` token
+    windows; every doc learns which contexts it lands in.
+
+    Contract: packing order is (bucket, doc_id) — DETERMINISTIC PER
+    SHARD, not global (real packers pack per output shard for exactly
+    this reason: a global order is one giant sequential fill, per-shard
+    order is embarrassingly parallel and just as reproducible). The
+    bucket is a modulo of the id here; a production pipeline would use
+    the hash-stable ``bucket()`` above.
+
+    Output per doc: (doc_id, bucket, start_tok, end_tok exclusive,
+    pack_first, pack_last) where packs are ``ctx_len``-token windows of
+    the bucket's concatenated token stream — a doc spans
+    ``pack_last - pack_first + 1`` contexts (boundary docs straddle).
+
+    Scale: one shuffle on the bucket + a per-bucket window cumsum
+    (running sum is O(1) state, streams partition-sorted rows);
+    bucket count bounds the partition sort. Token counts ride the
+    BPE-ish regex tokenizer (textstats) — scan-speed, no UDF."""
+    from .textstats import BPE_ISH_PATTERN
+
+    toks = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    )
+    d = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % n_buckets).alias("bucket"),
+        toks.alias("n_tok"),
+    ).where(F.col("n_tok") > 0)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("end_tok", F.sum("n_tok").over(w))
+    return d.select(
+        F.col(id_col),
+        "bucket",
+        (F.col("end_tok") - F.col("n_tok")).alias("start_tok"),
+        "end_tok",
+        F.floor((F.col("end_tok") - F.col("n_tok")) / ctx_len).alias(
+            "pack_first"
+        ),
+        F.floor((F.col("end_tok") - 1) / ctx_len).alias("pack_last"),
+    )

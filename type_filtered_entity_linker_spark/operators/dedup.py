@@ -422,3 +422,55 @@ def paragraph_dedup(
             F.lit(""),
         ).alias("text_clean"),
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs → transitive dedup CLUSTERS → keep-one decision:
+    the step a real corpus dedup runs after pair mining (pairs alone
+    over-delete: A~B and B~C must drop two docs, not up to four
+    endpoints of two independent pairs).
+
+    Plan: connected components (large-star/small-star, the same
+    iterative CC as entity clustering) over the verified pair edges;
+    every doc outside any pair is its own singleton cluster; the
+    canonical survivor per cluster is the LONGEST text (tie → lowest
+    id) — the standard keep-best-copy rule.
+
+    Output: (id, cluster_id, keep∈{0,1}) for EVERY input doc.
+
+    Scale: edges are near-dup pairs only (≪ corpus); CC state is one
+    row per involved doc. The keep election is a window over
+    cluster_id — dup clusters are small by nature, and a mega-cluster
+    (boilerplate explosion) is the upstream pair-miner's DF-cut
+    problem, observable via the cluster-size distribution before this
+    step is run.
+    """
+    from .clustering import connected_components
+
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    assign = connected_components(edges)
+    base = docs.select(F.col(id_col), F.length(text_col).alias("n"))
+    withc = base.join(
+        assign, base[id_col] == assign["node"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+        F.col("n"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n"), F.col(id_col).asc()
+    )
+    return withc.select(
+        F.col(id_col),
+        F.col("cluster_id"),
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+    )

@@ -1,0 +1,91 @@
+"""Graph centrality over web-scale link graphs — PageRank as an
+iterative DataFrame loop (the crawl-side quality signal: Common Crawl
+publishes host-level centrality ranks computed exactly this way, and
+training-data pipelines use them to weight/filter domains).
+
+Design (pure DataFrame ops, one shuffle per iteration):
+
+- Power iteration with damping: ``r_{t+1}(v) = (1-d)/N + d·(Σ_{u→v}
+  r_t(u)/deg(u) + dangling_t/N)`` — the dangling-mass term keeps the
+  distribution stochastic when sink nodes exist.
+- The contribution join shuffles edges on ``src`` (rank+degree lookup)
+  then partial-aggregates on ``dst`` — map-side combine collapses each
+  partition to ≤|V| rows before the exchange. Degree is computed ONCE
+  and re-joined (it never changes).
+- The dangling mass is a 1-row aggregate broadcast-crossJoined back —
+  never collected to the driver.
+- ``N`` is a scalar ``count()`` (one aggregate job at build time —
+  the MLlib convention; it parameterizes literals, no data moves).
+- Ranks are rounded to 1e-9 after every iteration: float addition is
+  order-dependent in the last bits, so re-rounding each round keeps
+  the engine bit-synchronized with the unrolled-SQL oracle and stops
+  drift compounding (same convention as operators/kmeans.py).
+- ``localCheckpoint`` per iteration truncates the growing lineage
+  (same pattern as clustering.connected_components).
+
+Skew: a mega-indegree node (a "google.com") concentrates its
+contribution SUM, not its rows — partial aggregation bounds the
+per-task state at one row per (partition, dst). No salting needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """edges(src, dst) → (node, rank) after ``n_iter`` damped power
+    iterations from the uniform distribution. Self-loops dropped,
+    duplicate edges collapsed (simple-graph semantics)."""
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    base = F.lit((1.0 - damping) / n)
+    for _ in range(n_iter):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("s"))
+        )
+        dangling = (
+            ranks.join(
+                deg.select(F.col("src").alias("node")), "node", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    base
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    ),
+                    9,
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("r", 6).alias("rank"))

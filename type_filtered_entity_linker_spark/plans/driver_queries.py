@@ -3174,6 +3174,250 @@ SEMI_ANTI_SQL = """
                   WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
 """
 
+# ------------------------------------------- dedup clusters + topic k-means
+
+
+def q_dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Keep-one dedup decision: minhash near-dup PAIRS → transitive
+    connected components → canonical survivor per cluster (longest
+    text, tie → lowest doc_id). The step that turns pair mining into a
+    corpus-level drop list. Oracle: recursive-CTE min-label
+    propagation over the same (brute-force-Jaccard) pair set — an
+    independent transitive-closure implementation checking the
+    large-star/small-star loop end-to-end on real pair data."""
+    from ..operators.dedup import dedup_clusters, near_duplicates_minhash
+
+    docs = _neardup_corpus(spark, sf_dir)
+    pairs = near_duplicates_minhash(docs, threshold=0.6)
+    return dedup_clusters(docs, pairs)
+
+
+DEDUP_CLUSTERS_SQL = f"""
+    WITH RECURSIVE corpus AS ({NEARDUP_CORPUS_SQL}),
+    pairs AS ({DEDUP_MINHASH_SQL}),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, lbl) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN sym e ON e.a = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS cid FROM reach GROUP BY node),
+    asgn AS (SELECT c.doc_id,
+                    coalesce(comp.cid, c.doc_id) AS cluster_id,
+                    length(c.text) AS n
+             FROM corpus c LEFT JOIN comp ON comp.node = c.doc_id)
+    SELECT doc_id, cluster_id,
+           (row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n DESC, doc_id ASC) = 1)::INT AS keep
+    FROM asgn
+"""
+
+
+KMEANS_K = 8
+KMEANS_ITER = 2
+KMEANS_DIM = 64  # embeddings fixture dim (TESTDATA.md)
+
+
+def q_embed_kmeans(spark, sf_dir) -> DataFrame:
+    """Lloyd's k-means topic bucketing over the embeddings table
+    (operators/kmeans.py): deterministic lowest-id seeds, KMEANS_ITER
+    assign→update rounds (centroids re-rounded to 1e-6 per round —
+    the cross-engine determinism contract), final assignment. Oracle:
+    the same fixed-iteration algorithm unrolled as chained SQL CTEs —
+    per-dim avg over a constant range(1, dim+1) join."""
+    from ..operators.kmeans import kmeans_topics
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    return kmeans_topics(e, k=KMEANS_K, n_iter=KMEANS_ITER)
+
+
+def q_embed_kmeans_stats(spark, sf_dir) -> DataFrame:
+    """Cluster balance/inertia report over the k-means assignment —
+    the observability row for tuning k on a 10^12-doc corpus."""
+    from ..operators.kmeans import kmeans_cluster_stats
+
+    return kmeans_cluster_stats(q_embed_kmeans(spark, sf_dir))
+
+
+def _kmeans_sql(k: int, dim: int, n_iter: int) -> str:
+    """Unrolled fixed-iteration Lloyd's in ANSI SQL (DuckDB): one
+    (distance, argmin, centroid-update) CTE triple per iteration."""
+
+    def d2(e_emb: str, c_emb: str) -> str:
+        return (
+            f"(SELECT sum(({e_emb}[i]::DOUBLE - {c_emb}[i]::DOUBLE)^2) "
+            f"FROM range(1, {dim + 1}) t(i))"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
+        f"embedding AS c_emb "
+        f"FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k}))",
+    ]
+    prev = "c0"
+    for it in range(1, n_iter + 1):
+        parts.append(
+            f"d{it} AS (SELECT e.vec_id, c.cid, "
+            f"{d2('e.embedding', 'c.c_emb')} AS d2 "
+            f"FROM e CROSS JOIN {prev} c)"
+        )
+        parts.append(
+            f"a{it} AS (SELECT vec_id, cid FROM ("
+            f"SELECT vec_id, cid, row_number() OVER ("
+            f"PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn "
+            f"FROM d{it}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"c{it} AS (SELECT cid, list(m ORDER BY i) AS c_emb FROM ("
+            f"SELECT a.cid, t.i, round(avg(e.embedding[t.i]::DOUBLE), 6) AS m "
+            f"FROM a{it} a JOIN e USING (vec_id) "
+            f"CROSS JOIN range(1, {dim + 1}) t(i) "
+            f"GROUP BY a.cid, t.i) GROUP BY cid)"
+        )
+        prev = f"c{it}"
+    parts.append(
+        f"df AS (SELECT e.vec_id, c.cid, "
+        f"{d2('e.embedding', 'c.c_emb')} AS d2 "
+        f"FROM e CROSS JOIN {prev} c)"
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT vec_id, cluster_id, round(d2, 6) AS dist2 FROM (
+        SELECT vec_id, cid AS cluster_id, d2, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        FROM df) WHERE rn = 1
+"""
+    )
+
+
+EMBED_KMEANS_SQL = _kmeans_sql(KMEANS_K, KMEANS_DIM, KMEANS_ITER)
+
+EMBED_KMEANS_STATS_SQL = f"""
+    WITH a AS ({EMBED_KMEANS_SQL})
+    SELECT cluster_id, count(*) AS n_vecs,
+           round(avg(dist2), 6) AS mean_dist2
+    FROM a GROUP BY cluster_id
+"""
+
+# ----------------------------------------------------------- sequence packing
+
+
+def q_docs_pack_sequences(spark, sf_dir) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/curation.py): the
+    curated corpus → fixed 512-token training contexts, packed per
+    shard bucket; each doc reports its token span and the pack window
+    range it lands in. Oracle: the same per-bucket running-sum in one
+    SQL window — integer arithmetic end to end, exact."""
+    from ..operators.curation import pack_sequences
+
+    return pack_sequences(
+        _docs(spark, sf_dir), ctx_len=512, n_buckets=8
+    )
+
+
+DOCS_PACK_SQL = r"""
+    WITH t AS (
+        SELECT doc_id, doc_id % 8 AS bucket,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, bucket, n_tok,
+               -- ::BIGINT: DuckDB's sum(BIGINT) is HUGEINT, which
+               -- pandas would surface as float
+               sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tok
+        FROM t WHERE n_tok > 0
+    )
+    SELECT doc_id, bucket, end_tok - n_tok AS start_tok, end_tok,
+           ((end_tok - n_tok) // 512)::BIGINT AS pack_first,
+           ((end_tok - 1) // 512)::BIGINT AS pack_last
+    FROM s
+"""
+
+# --------------------------------------------------------- graph centrality
+
+PR_ITER = 3
+PR_DAMPING = 0.85
+
+
+def _doc_graph(spark, sf_dir) -> DataFrame:
+    """Deterministic synthetic link graph over the documents table:
+    doc d links to (31·d + j) mod N for j ∈ {1,2,3} (doc_ids are
+    contiguous 0..N-1 in the fixture; 31 is coprime to the corpus
+    sizes in play so in/out-degrees stay ~3). Stands in for the host
+    link graph a crawl pipeline extracts from hrefs."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    dsts = F.array(
+        *[(F.col("doc_id") * 31 + F.lit(j)) % F.lit(n) for j in (1, 2, 3)]
+    )
+    return docs.select(
+        F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+
+
+def q_graph_pagerank(spark, sf_dir) -> DataFrame:
+    """Damped PageRank (operators/graph.py) over the derived doc link
+    graph — the crawl-quality centrality signal. Oracle: the same
+    power iteration unrolled as chained SQL CTEs (contribution join +
+    dangling-mass scalar per round, ranks re-rounded to 1e-9 each
+    round in both engines)."""
+    from ..operators.graph import pagerank
+
+    return pagerank(
+        _doc_graph(spark, sf_dir), n_iter=PR_ITER, damping=PR_DAMPING
+    )
+
+
+def _pagerank_sql(n_iter: int, damping: float) -> str:
+    parts = [
+        "nd AS (SELECT count(*) AS n FROM documents)",
+        "e AS (SELECT DISTINCT doc_id AS src, "
+        "(doc_id*31 + j) % (SELECT n FROM nd) AS dst "
+        "FROM documents CROSS JOIN range(1, 4) t(j) "
+        "WHERE doc_id <> (doc_id*31 + j) % (SELECT n FROM nd))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src)",
+        # ::DOUBLE everywhere: DuckDB's bare numeric literals are
+        # DECIMAL, whose exact arithmetic diverges from the engine's
+        # IEEE doubles at rounding boundaries
+        "r0 AS (SELECT node, 1.0::DOUBLE/(SELECT n FROM nd) AS r FROM nodes)",
+    ]
+    prev = "r0"
+    for it in range(1, n_iter + 1):
+        parts.append(
+            f"dang{it} AS (SELECT coalesce(sum(r), 0.0) AS dm FROM {prev} "
+            f"WHERE node NOT IN (SELECT src FROM deg))"
+        )
+        parts.append(
+            f"c{it} AS (SELECT e.dst, sum(p.r/deg.deg) AS s "
+            f"FROM e JOIN deg USING (src) "
+            f"JOIN {prev} p ON p.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{it} AS (SELECT nodes.node, "
+            f"round((1.0::DOUBLE - {damping}::DOUBLE)/(SELECT n FROM nd) "
+            f"+ {damping}::DOUBLE*("
+            f"coalesce(c.s, 0.0::DOUBLE) + (SELECT dm FROM dang{it})/"
+            f"(SELECT n FROM nd)), 9) AS r "
+            f"FROM nodes LEFT JOIN c{it} c ON c.dst = nodes.node)"
+        )
+        prev = f"r{it}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, round(r, 6) AS rank FROM {prev}\n"
+    )
+
+
+GRAPH_PAGERANK_SQL = _pagerank_sql(PR_ITER, PR_DAMPING)
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -3198,6 +3442,11 @@ QUERIES = {
     "dedup_ngram_df_stats": q_ngram_df_stats,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_cluster_keep": q_dedup_clusters,
+    "embed_kmeans": q_embed_kmeans,
+    "embed_kmeans_stats": q_embed_kmeans_stats,
+    "graph_pagerank": q_graph_pagerank,
+    "docs_pack_sequences": q_docs_pack_sequences,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
@@ -3271,6 +3520,11 @@ ORACLES = {
     "dedup_ngram_df_stats": NGRAM_DF_STATS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "dedup_cluster_keep": DEDUP_CLUSTERS_SQL,
+    "embed_kmeans": EMBED_KMEANS_SQL,
+    "embed_kmeans_stats": EMBED_KMEANS_STATS_SQL,
+    "graph_pagerank": GRAPH_PAGERANK_SQL,
+    "docs_pack_sequences": DOCS_PACK_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_ivf": ANN_TOPK_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
