@@ -99,6 +99,8 @@ HEADLINE = [
     "embed_kmeans",
     "graph_pagerank",
     "docs_pack_sequences",
+    "docs_token_budget_mix",
+    "crawl_snapshot_diff",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

@@ -229,3 +229,44 @@ def test_pack_sequences_spans_and_boundaries(spark):
     assert out[16] == (0, 7, 9, 1, 1)
     assert out[1] == (1, 0, 2, 0, 0)
     assert 9 not in out
+
+
+def test_token_budget_mix_budgets_and_determinism(spark):
+    """Budgets are integer-exact per (stratum, bucket); selection is a
+    prefix of the hash order; excluded strata are absent."""
+    from type_filtered_entity_linker_spark.operators.curation import (
+        token_budget_mix,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "xx", "tok " * 10) for i in range(40)],
+        "doc_id long, lang string, text string",
+    )
+    out = token_budget_mix(
+        docs, {"en": 100}, budget_pct=50, n_buckets=1
+    ).collect()
+    # only 'en' rows appear (weight-less strata are excluded)
+    assert {r["lang"] for r in out} == {"en"}
+    # each doc has 20 bpe-ish tokens ('tok' + nothing; 'tok ' *10 -> 10
+    # word tokens); 20 docs * 10 = 200 total, budget = 100 tokens ->
+    # exactly the first 10 docs in hash order are selected
+    assert sum(r["selected"] for r in out) == 10
+    again = token_budget_mix(
+        docs.repartition(7), {"en": 100}, budget_pct=50, n_buckets=1
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_snapshot_diff_statuses(spark):
+    from type_filtered_entity_linker_spark.operators.curation import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

@@ -370,3 +370,108 @@ def pack_sequences(
         ),
         F.floor((F.col("end_tok") - 1) / ctx_len).alias("pack_last"),
     )
+
+
+def token_budget_mix(
+    docs: DataFrame,
+    weights: dict[str, int],
+    budget_pct: int = 50,
+    n_buckets: int = 16,
+    strat_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize a training data MIXTURE: each stratum (language /
+    source) gets a token budget = ``weights[stratum]``% of
+    (``budget_pct``% of the eligible corpus tokens), filled in
+    deterministic md5 order until the budget is hit — the step that
+    turns a data-mixing recipe ("50% en, 20% de, ...") into an actual
+    document selection.
+
+    Everything is INTEGER arithmetic (weights and budget in percent,
+    one ``div``) so the selection is bit-reproducible in any engine —
+    no float thresholds to drift.
+
+    Scale: the per-stratum fill is sub-bucketed by a content hash and
+    each (stratum, bucket) gets budget/n_buckets — fills run as
+    n_buckets parallel windows per stratum instead of one giant
+    sequential cumsum (the same reasoning as ``pack_sequences``'
+    per-shard contract; hash uniformity makes per-bucket fills
+    statistically identical to the global fill). The corpus total is
+    a 1-row aggregate broadcast back via crossJoin — never collected.
+
+    Output: every eligible doc with (stratum, n_tok, selected 0/1);
+    docs in strata outside the recipe are excluded (weight 0 ≡ absent).
+    A doc straddling the budget boundary is selected iff it STARTS
+    inside the budget (first-fit; matches pack_sequences' boundary
+    rule)."""
+    from .dedup import shingle_hash
+    from .textstats import BPE_ISH_PATTERN
+
+    toks = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    )
+    h = shingle_hash(
+        F.concat(F.lit("mix:"), F.col(id_col).cast("string")), "md5_60"
+    )
+    pct = F.lit(None).cast("long")
+    for name, w in weights.items():
+        pct = F.when(F.col(strat_col) == name, F.lit(w)).otherwise(pct)
+    d = (
+        docs.select(
+            F.col(id_col),
+            F.col(strat_col),
+            toks.alias("n_tok"),
+            h.alias("h"),
+            pct.alias("pct"),
+        )
+        .where(F.col("n_tok") > 0)
+        .where(F.col("pct").isNotNull())
+        .withColumn("bucket", F.col("h") % n_buckets)
+    )
+    total = d.agg(F.sum("n_tok").cast("long").alias("total_tok"))
+    w_fill = (
+        Window.partitionBy(strat_col, "bucket")
+        .orderBy(F.col("h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("end_tok", F.sum("n_tok").over(w_fill)).crossJoin(
+        F.broadcast(total)
+    )
+    budget = F.expr(
+        f"(total_tok * pct * {budget_pct}) div {10000 * n_buckets}"
+    )
+    return d.select(
+        F.col(id_col),
+        F.col(strat_col),
+        "n_tok",
+        ((F.col("end_tok") - F.col("n_tok")) < budget)
+        .cast("int")
+        .alias("selected"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-snapshot diff — the incremental-ingest primitive: which
+    pages were added / removed / changed / unchanged between two crawl
+    snapshots (drives re-extraction of only the changed slice instead
+    of reprocessing 100 TB).
+
+    One full-outer shuffle join on the id comparing content digests
+    (md5 — cross-engine, and at scale you diff digests, never text
+    bytes: 32 hex chars ship instead of 10 KB bodies)."""
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("h_old"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("h_new"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("h_old").isNull(), F.lit("added"))
+        .when(F.col("h_new").isNull(), F.lit("removed"))
+        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col(id_col), status.alias("status"))

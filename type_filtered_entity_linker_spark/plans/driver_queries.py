@@ -3340,6 +3340,102 @@ DOCS_PACK_SQL = r"""
     FROM s
 """
 
+# ------------------------------------------------- data mixing + snapshot diff
+
+MIX_WEIGHTS = {"en": 50, "de": 20, "fr": 15, "es": 10, "zh": 5}
+
+
+def q_docs_token_budget_mix(spark, sf_dir) -> DataFrame:
+    """Materialize a data-mixing recipe (operators/curation.py
+    token_budget_mix): 50% of the corpus' tokens, split 50/20/15/10/5
+    across languages, filled in md5 order sub-bucketed 16 ways.
+    Integer arithmetic end to end — the oracle replays the md5_60
+    hash, the bucket split, and the per-bucket budget division
+    exactly."""
+    from ..operators.curation import token_budget_mix
+
+    return token_budget_mix(
+        _docs(spark, sf_dir), MIX_WEIGHTS, budget_pct=50, n_buckets=16
+    )
+
+
+_MIX_CASE = (
+    "CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20 WHEN 'fr' THEN 15 "
+    "WHEN 'es' THEN 10 WHEN 'zh' THEN 5 END"
+)
+
+DOCS_MIX_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok,
+               {{md5h}} AS h,
+               {_MIX_CASE} AS pct
+        FROM documents
+    ),
+    f AS (SELECT *, h % 16 AS bucket FROM t
+          WHERE n_tok > 0 AND pct IS NOT NULL),
+    tot AS (SELECT sum(n_tok)::BIGINT AS total_tok FROM f),
+    s AS (SELECT f.*,
+                 sum(n_tok) OVER (PARTITION BY lang, bucket
+                                  ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS end_tok
+          FROM f)
+    SELECT doc_id, lang, n_tok,
+           ((end_tok - n_tok) <
+            (((SELECT total_tok FROM tot) * pct * 50) // 160000))::INT
+           AS selected
+    FROM s
+""".format(
+    md5h=_MD5INT.format(x="concat('mix:', doc_id::VARCHAR)")
+)
+
+
+def q_crawl_snapshot_diff(spark, sf_dir) -> DataFrame:
+    """Snapshot diff between two crawls (operators/curation.py
+    snapshot_diff): new snapshot = documents with every 13th page
+    gone, every 11th rewritten, every 17th re-added under a new id —
+    the added/removed/changed/unchanged decision that bounds
+    incremental re-processing. One digest-compare full-outer join."""
+    from ..operators.curation import snapshot_diff
+
+    old = _docs(spark, sf_dir).select("doc_id", "text")
+    new = old.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit("UPDATED "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = old.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    return snapshot_diff(old, new.unionByName(added))
+
+
+SNAPSHOT_DIFF_SQL = """
+    WITH old AS (SELECT doc_id, text FROM documents),
+    new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN 'UPDATED ' || text
+                    ELSE text END AS text
+        FROM old WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, text
+        FROM old WHERE doc_id % 17 = 0
+    ),
+    o AS (SELECT doc_id, md5(text) AS h_old FROM old),
+    n AS (SELECT doc_id, md5(text) AS h_new FROM new)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h_old <> n.h_new THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
 # --------------------------------------------------------- graph centrality
 
 PR_ITER = 3
@@ -3447,6 +3543,8 @@ QUERIES = {
     "embed_kmeans_stats": q_embed_kmeans_stats,
     "graph_pagerank": q_graph_pagerank,
     "docs_pack_sequences": q_docs_pack_sequences,
+    "docs_token_budget_mix": q_docs_token_budget_mix,
+    "crawl_snapshot_diff": q_crawl_snapshot_diff,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
@@ -3525,6 +3623,8 @@ ORACLES = {
     "embed_kmeans_stats": EMBED_KMEANS_STATS_SQL,
     "graph_pagerank": GRAPH_PAGERANK_SQL,
     "docs_pack_sequences": DOCS_PACK_SQL,
+    "docs_token_budget_mix": DOCS_MIX_SQL,
+    "crawl_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_ivf": ANN_TOPK_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
