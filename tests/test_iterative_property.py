@@ -1,0 +1,130 @@
+"""Property-based parity for the iterative DataFrame-loop operators:
+PageRank and Lloyd's k-means agree with straightforward pure-Python /
+numpy references on arbitrary small inputs. These pin the determinism
+CONTRACTS (per-iteration re-rounding, id tie-breaks, dangling-mass
+handling, lowest-id seeding) that the SQL oracles also rely on —
+a contract drift would surface here before it surfaces as an
+oracle-gate mismatch on fixture data."""
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from type_filtered_entity_linker_spark.operators.graph import pagerank
+from type_filtered_entity_linker_spark.operators.kmeans import kmeans_topics
+
+# small graphs: nodes 0..7, up to 14 directed edges (dups/self-loops
+# allowed — the operator must drop them)
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+def ref_pagerank(edge_list, n_iter=3, d=0.85):
+    edges = {(s, t) for s, t in edge_list if s != t}
+    if not edges:
+        return {}
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    out = {}
+    for s, t in edges:
+        out.setdefault(s, set()).add(t)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        dm = sum(r[v] for v in nodes if v not in out)
+        base = (1.0 - d) / n
+        nr = {}
+        for v in nodes:
+            contrib = sum(
+                r[u] / len(out[u]) for u in nodes if u in out and v in out[u]
+            )
+            nr[v] = round(base + d * (contrib + dm / n), 9)
+        r = nr
+    return {v: round(x, 6) for v, x in r.items()}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(EDGES)
+def test_pagerank_matches_reference(spark, edge_list):
+    ref = ref_pagerank(edge_list)
+    e = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=3).collect()}
+    assert got == ref
+
+
+VECS = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-4.0, max_value=4.0, allow_nan=False, width=32
+        ),
+        min_size=3,
+        max_size=3,
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+def ref_kmeans(vecs, k, n_iter):
+    """numpy mirror of the operator contract: lowest-id seeds, double
+    L2, ties -> lowest cid, centroid avg rounded to 1e-6 per round,
+    empty clusters drop."""
+    ids = list(range(len(vecs)))
+    x = np.asarray(vecs, dtype=np.float32).astype(np.float64)
+    cents = {c: x[c].copy() for c in range(min(k, len(ids)))}
+
+    def assign(cents):
+        out = {}
+        for i in ids:
+            best = min(
+                (float(((x[i] - v) ** 2).sum()), c) for c, v in cents.items()
+            )
+            out[i] = best[1]
+        return out
+
+    for _ in range(n_iter):
+        a = assign(cents)
+        new = {}
+        for c in sorted(set(a.values())):
+            members = [i for i in ids if a[i] == c]
+            new[c] = np.round(x[members].mean(axis=0), 6)
+        cents = new
+    final = assign(cents)
+    return {
+        i: (final[i], round(float(((x[i] - cents[final[i]]) ** 2).sum()), 6))
+        for i in ids
+    }
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(VECS)
+def test_kmeans_matches_reference(spark, vec_list):
+    k, n_iter = 3, 2
+    ref = ref_kmeans(vec_list, k, n_iter)
+    e = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vec_list)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["dist2"])
+        for r in kmeans_topics(e, k=k, n_iter=n_iter).collect()
+    }
+    # cluster ids must match exactly (same seeding + tie rules); dist2
+    # is rounded to 1e-6 in both, compare with a 1-ulp-of-rounding slack
+    assert got.keys() == ref.keys()
+    for i in got:
+        assert got[i][0] == ref[i][0], (i, got[i], ref[i])
+        assert abs(got[i][1] - ref[i][1]) <= 1e-6, (i, got[i], ref[i])

@@ -55,6 +55,12 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # degenerate graph (no edges survive the self-loop filter):
+        # empty rank table, not a division by zero
+        return nodes.select(
+            F.col("node"), F.lit(0.0).alias("rank")
+        )
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
     base = F.lit((1.0 - damping) / n)
