@@ -62,19 +62,24 @@ def pagerank(
             F.col("node"), F.lit(0.0).alias("rank")
         )
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # degree never changes: join it into the edge table ONCE and
+    # checkpoint, so each iteration pays one join (ranks), not two
+    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    src_nodes = (
+        e_deg.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
     base = F.lit((1.0 - damping) / n)
     for _ in range(n_iter):
         contrib = (
-            e.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("deg")).alias("s"))
         )
         dangling = (
-            ranks.join(
-                deg.select(F.col("src").alias("node")), "node", "left_anti"
-            )
+            ranks.join(src_nodes, "node", "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
         )
         ranks = (

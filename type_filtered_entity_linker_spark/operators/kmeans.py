@@ -51,20 +51,29 @@ def _assign(
     corpus: DataFrame, cents: DataFrame, id_col: str, emb_col: str
 ) -> DataFrame:
     """Nearest-centroid assignment: (id, emb, cid, d2), ties → lowest
-    cid. cents: (cid, c_emb)."""
+    cid. cents: (cid, c_emb).
+
+    argmin as a PARTIAL-AGGREGATED ``min(struct(d2, cid, emb))`` hash
+    aggregate, not a row_number window: the crossJoin output is
+    co-partitioned with the corpus (broadcast join), so map-side
+    combine collapses the k rows per vector to ONE before any
+    exchange — a window would shuffle and sort all k·n rows. Struct
+    ordering compares (d2, cid) first, which is unique per group, so
+    the carried emb never participates in the comparison."""
     j = corpus.crossJoin(F.broadcast(cents)).select(
         id_col,
-        emb_col,
-        "cid",
-        _sq_l2(F.col(emb_col), F.col("c_emb")).alias("d2"),
+        F.struct(
+            _sq_l2(F.col(emb_col), F.col("c_emb")).alias("d2"),
+            F.col("cid"),
+            F.col(emb_col).alias("emb"),
+        ).alias("cand"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("d2").asc(), F.col("cid").asc()
-    )
-    return (
-        j.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+    best = j.groupBy(id_col).agg(F.min("cand").alias("m"))
+    return best.select(
+        id_col,
+        F.col("m.emb").alias(emb_col),
+        F.col("m.cid").alias("cid"),
+        F.col("m.d2").alias("d2"),
     )
 
 
