@@ -155,3 +155,33 @@ def test_candidate_windows_batch_matches_textlib(texts):
     assert len(got) == len(texts)
     for t, g in zip(texts, got):
         assert g == candidate_windows(t)
+
+
+# --- extract_text: the UDF's literal-split path == the oracle regex ---
+
+import re
+
+_MAIN_RE = re.compile(r"<main><p>(.*?)</p></main>", re.DOTALL)
+
+# text freely containing marker FRAGMENTS so openers/closers appear in
+# arbitrary broken/nested/multiple configurations
+MARKY = st.lists(
+    st.sampled_from(
+        ["<main><p>", "</p></main>", "<p>", "</p>", "x", "\n", "&amp;", " a "]
+    ),
+    max_size=12,
+).map("".join)
+
+
+@given(MARKY)
+@settings(max_examples=300)
+def test_split_extraction_equals_lazy_regex(raw):
+    import pandas as pd
+
+    m = _MAIN_RE.search(raw)
+    want = m.group(1) if m else ""
+    s = pd.Series([raw])
+    tail = s.str.split("<main><p>", n=1, regex=False).str[1].fillna("")
+    parts = tail.str.split("</p></main>", n=1, regex=False)
+    got = parts.str[0].where(parts.str.len() > 1, "").fillna("").iloc[0]
+    assert got == want
