@@ -101,6 +101,7 @@ HEADLINE = [
     "docs_pack_sequences",
     "docs_token_budget_mix",
     "crawl_snapshot_diff",
+    "docs_vocab_topk",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

@@ -307,3 +307,21 @@ def test_pagerank_drops_self_loops_and_dup_edges(spark):
     )
     got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=3).collect()}
     assert got == {1: 0.5, 2: 0.5}  # reduces to the 2-cycle
+
+
+def test_vocab_topk_counts_cut_and_order(spark):
+    from type_filtered_entity_linker_spark.operators.textstats import (
+        vocab_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb aa cc!"),
+            (2, "aa bb dd"),
+            (3, "aa zz"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [tuple(r) for r in vocab_topk(docs, k=10, min_df=2).collect()]
+    # aa: tf 4 df 3; bb: tf 2 df 2; cc/dd/zz/'!': df 1 -> cut
+    assert got == [("aa", 4, 3, 1), ("bb", 2, 2, 2)]

@@ -244,3 +244,46 @@ def fingerprints(
         ),
     )
     return docs.select(F.col(id_col).alias("doc_id"), fp.alias("fingerprint"))
+
+
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 500,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary builder — the tokenizer-training prep step:
+    global term frequency + document frequency per BPE-ish token, a
+    document-frequency cut (hapax/noise removal), and a deterministic
+    global top-K by (tf desc, token asc).
+
+    Scale: explode → ONE partial-aggregated hash agg keyed on the
+    token computing tf=count(*) and df=count(distinct doc) together
+    (distinct-by-doc rides a first-level (token, doc) pre-aggregation
+    so a corpus-wide stopword never concentrates rows in one task);
+    the top-K is orderBy+limit = TakeOrdered (parallel per-partition
+    partial top-K), never a single-partition global sort. The rank
+    window runs over the k survivors only."""
+    toks = docs.select(
+        F.col(id_col).alias("d"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("token"),
+    )
+    # (token, doc) pre-agg: tf partial per doc, df becomes a plain count
+    per_doc = toks.groupBy("token", "d").agg(F.count("*").alias("c"))
+    stats = per_doc.groupBy("token").agg(
+        F.sum("c").cast("long").alias("tf"), F.count("*").alias("df")
+    )
+    top = (
+        stats.where(F.col("df") >= min_df)
+        .orderBy(F.col("tf").desc(), F.col("token").asc())
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("tf").desc(), F.col("token").asc())
+    return top.select(
+        "token", "tf", "df", F.row_number().over(w).alias("rank")
+    )

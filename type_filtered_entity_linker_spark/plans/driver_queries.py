@@ -3340,6 +3340,36 @@ DOCS_PACK_SQL = r"""
     FROM s
 """
 
+# ------------------------------------------------------- vocabulary builder
+
+
+def q_docs_vocab_topk(spark, sf_dir) -> DataFrame:
+    """Tokenizer-training prep (operators/textstats.py vocab_topk):
+    corpus term+document frequencies with a df>=2 cut and a
+    deterministic global top-500 by (tf desc, token asc). TakeOrdered
+    top-K — never a single-partition global sort."""
+    from ..operators.textstats import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=500, min_df=2)
+
+
+DOCS_VOCAB_SQL = r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS token
+        FROM documents
+    ),
+    per_doc AS (SELECT token, doc_id, count(*) AS c
+                FROM toks GROUP BY token, doc_id),
+    stats AS (SELECT token, sum(c)::BIGINT AS tf, count(*) AS df
+              FROM per_doc GROUP BY token),
+    top AS (SELECT * FROM stats WHERE df >= 2
+            ORDER BY tf DESC, token ASC LIMIT 500)
+    SELECT token, tf, df,
+           row_number() OVER (ORDER BY tf DESC, token ASC) AS rank
+    FROM top
+"""
+
 # ------------------------------------------------- data mixing + snapshot diff
 
 MIX_WEIGHTS = {"en": 50, "de": 20, "fr": 15, "es": 10, "zh": 5}
@@ -3545,6 +3575,7 @@ QUERIES = {
     "docs_pack_sequences": q_docs_pack_sequences,
     "docs_token_budget_mix": q_docs_token_budget_mix,
     "crawl_snapshot_diff": q_crawl_snapshot_diff,
+    "docs_vocab_topk": q_docs_vocab_topk,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
@@ -3625,6 +3656,7 @@ ORACLES = {
     "docs_pack_sequences": DOCS_PACK_SQL,
     "docs_token_budget_mix": DOCS_MIX_SQL,
     "crawl_snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "docs_vocab_topk": DOCS_VOCAB_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_ivf": ANN_TOPK_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
