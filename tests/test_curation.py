@@ -270,3 +270,20 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_text_is_presence_not_digest(spark):
+    """md5(NULL) is NULL: presence must come from the join side, not
+    digest nullness, and NULL vs non-NULL text is 'changed'."""
+    from type_filtered_entity_linker_spark.operators.curation import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now has text"), (2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "unchanged", 3: "removed"}

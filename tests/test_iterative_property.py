@@ -6,9 +6,21 @@ handling, lowest-id seeding) that the SQL oracles also rely on —
 a contract drift would surface here before it surfaces as an
 oracle-gate mismatch on fixture data."""
 
+from decimal import ROUND_HALF_UP, Decimal
+
 import numpy as np
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+
+def round_half_up(x: float, places: int) -> float:
+    """Spark's F.round / DuckDB round semantics: decimal HALF_UP (away
+    from zero) on the double's exact decimal expansion. Python round()
+    and np.round are half-to-EVEN, which diverges on exact midpoints —
+    dyadic floats (hypothesis's favorites) hit 1e-6 midpoints easily
+    (code-review r03)."""
+    q = Decimal(1).scaleb(-places)
+    return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
 
 from type_filtered_entity_linker_spark.operators.graph import pagerank
 from type_filtered_entity_linker_spark.operators.kmeans import kmeans_topics
@@ -43,9 +55,9 @@ def ref_pagerank(edge_list, n_iter=3, d=0.85):
             contrib = sum(
                 r[u] / len(out[u]) for u in nodes if u in out and v in out[u]
             )
-            nr[v] = round(base + d * (contrib + dm / n), 9)
+            nr[v] = round_half_up(base + d * (contrib + dm / n), 9)
         r = nr
-    return {v: round(x, 6) for v, x in r.items()}
+    return {v: round_half_up(x, 6) for v, x in r.items()}
 
 
 @settings(
@@ -96,11 +108,15 @@ def ref_kmeans(vecs, k, n_iter):
         new = {}
         for c in sorted(set(a.values())):
             members = [i for i in ids if a[i] == c]
-            new[c] = np.round(x[members].mean(axis=0), 6)
+            mean = x[members].mean(axis=0)
+            new[c] = np.array([round_half_up(float(v), 6) for v in mean])
         cents = new
     final = assign(cents)
     return {
-        i: (final[i], round(float(((x[i] - cents[final[i]]) ** 2).sum()), 6))
+        i: (
+            final[i],
+            round_half_up(float(((x[i] - cents[final[i]]) ** 2).sum()), 6),
+        )
         for i in ids
     }
 

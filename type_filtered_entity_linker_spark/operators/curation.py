@@ -342,33 +342,30 @@ def pack_sequences(
     (running sum is O(1) state, streams partition-sorted rows);
     bucket count bounds the partition sort. Token counts ride the
     BPE-ish regex tokenizer (textstats) — scan-speed, no UDF."""
-    from .textstats import BPE_ISH_PATTERN
+    from .textstats import bpe_token_count
 
-    toks = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
-    )
     d = docs.select(
         F.col(id_col),
         (F.col(id_col) % n_buckets).alias("bucket"),
-        toks.alias("n_tok"),
+        bpe_token_count(text_col).alias("n_tok"),
     ).where(F.col("n_tok") > 0)
-    from pyspark.sql import Window
-
     w = (
         Window.partitionBy("bucket")
         .orderBy(F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     d = d.withColumn("end_tok", F.sum("n_tok").over(w))
+    # integer `div`, not floor(double /): a double quotient loses
+    # exactness once a bucket's running total passes ~2^52 — the
+    # "integer arithmetic end to end" contract must hold at the
+    # 10^12-doc scale this module advertises (code-review r03)
     return d.select(
         F.col(id_col),
         "bucket",
         (F.col("end_tok") - F.col("n_tok")).alias("start_tok"),
         "end_tok",
-        F.floor((F.col("end_tok") - F.col("n_tok")) / ctx_len).alias(
-            "pack_first"
-        ),
-        F.floor((F.col("end_tok") - 1) / ctx_len).alias("pack_last"),
+        F.expr(f"(end_tok - n_tok) div {ctx_len}").alias("pack_first"),
+        F.expr(f"(end_tok - 1) div {ctx_len}").alias("pack_last"),
     )
 
 
@@ -406,11 +403,9 @@ def token_budget_mix(
     inside the budget (first-fit; matches pack_sequences' boundary
     rule)."""
     from .dedup import shingle_hash
-    from .textstats import BPE_ISH_PATTERN
+    from .textstats import bpe_token_count
 
-    toks = F.size(
-        F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
-    )
+    toks = bpe_token_count(text_col)
     h = shingle_hash(
         F.concat(F.lit("mix:"), F.col(id_col).cast("string")), "md5_60"
     )
@@ -464,14 +459,30 @@ def snapshot_diff(
 
     One full-outer shuffle join on the id comparing content digests
     (md5 — cross-engine, and at scale you diff digests, never text
-    bytes: 32 hex chars ship instead of 10 KB bodies)."""
-    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("h_old"))
-    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("h_new"))
+    bytes: 32 hex chars ship instead of 10 KB bodies).
+
+    Presence is carried as explicit flags, NOT inferred from digest
+    nullness: md5(NULL text) is NULL, so a digest-null presence test
+    would misreport a doc whose text is NULL on one side as
+    added/removed (code-review r03). The digest compare itself is
+    null-safe (NULL text ≠ non-NULL text → changed)."""
+    o = old.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("h_old"),
+        F.lit(1).alias("in_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("h_new"),
+        F.lit(1).alias("in_new"),
+    )
     j = o.join(n, id_col, "full_outer")
     status = (
-        F.when(F.col("h_old").isNull(), F.lit("added"))
-        .when(F.col("h_new").isNull(), F.lit("removed"))
-        .when(F.col("h_old") != F.col("h_new"), F.lit("changed"))
+        F.when(F.col("in_old").isNull(), F.lit("added"))
+        .when(F.col("in_new").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("h_old").eqNullSafe(F.col("h_new")), F.lit("changed")
+        )
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col(id_col), status.alias("status"))

@@ -28,6 +28,16 @@ def tokens_col(text_col: str = "text") -> F.Column:
     return F.split(F.col(text_col), r"\s+")
 
 
+def bpe_token_count(text_col: str = "text") -> F.Column:
+    """BPE-ish token count of a text column — THE tokenizer-count
+    contract shared by token_counts, pack_sequences and
+    token_budget_mix (one definition, one thing for the SQL oracles'
+    hardcoded regex to stay in lockstep with)."""
+    return F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    )
+
+
 def lang_scores(text_col: str = "text") -> list[tuple[str, F.Column]]:
     toks = tokens_col(text_col)
     out = []
@@ -93,9 +103,7 @@ def token_counts(
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(tokens_col(text_col)).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)).alias(
-            "bpe_tokens"
-        ),
+        bpe_token_count(text_col).alias("bpe_tokens"),
     )
 
 
