@@ -82,6 +82,57 @@ def read_manifest(path: str) -> dict | None:
         return None
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: str | list[str],
+    n_buckets: int = 64,
+    sort_cols: str | list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Save ``df`` as a bucket-sorted catalog table; return the re-read
+    table (whose scan carries the bucket partitioning/ordering).
+
+    WHY (100 TB): the linkage pipeline joins page-keyed tables on
+    ``url`` over and over (mentions ⋈ candidates ⋈ scores ⋈ links ⋈
+    yesterday's links for the incremental path). Every sort-merge join
+    of unbucketed tables re-shuffles BOTH sides — at 10^12 pages the
+    repeated url shuffle dominates the job. Writing the tables that
+    meet in those joins bucketed by the key with the SAME bucket count
+    makes each later join shuffle-free: the scan reports
+    ``HashPartitioning(key, N)`` so Catalyst drops both Exchanges
+    (pinned by tests/test_bucketed_join.py). On Iceberg this maps to a
+    ``bucket(N, key)`` partition transform + storage-partitioned
+    joins; the session-catalog Parquet bucketing used here implements
+    the same contract in the sandbox.
+
+    The pre-write ``repartition(n_buckets, cols)`` uses the same
+    Murmur3 hash as the bucket spec, so each write task holds exactly
+    one bucket → ONE file per bucket. Without it every task writes a
+    sliver of every bucket (tasks × buckets small files — the classic
+    bucketBy trap), and multi-file buckets also force the reader to
+    re-Sort: single-file buckets + ``sortBy`` let the scan report
+    per-bucket ordering, eliminating the join's Sort as well.
+    """
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    if sort_cols is None:
+        sort = cols
+    else:
+        sort = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    w = (
+        df.repartition(n_buckets, *[F.col(c) for c in cols])
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *cols)
+        .sortBy(*sort)
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+    return df.sparkSession.table(name)
+
+
 def read_or_compute(
     spark: SparkSession,
     path: str,
