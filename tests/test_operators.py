@@ -877,3 +877,33 @@ def test_asof_join_deterministic_on_duplicate_right_ts(spark):
         for _ in range(3)
     }
     assert got == {9.0}
+
+
+def test_golden_records_survivorship(spark):
+    """Mode election with deterministic tie-break + min/max/count
+    merges: the post-cluster survivorship step."""
+    from type_filtered_entity_linker_spark.operators.survivorship import (
+        golden_records,
+    )
+
+    members = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cluster_id": ["c1"] * 4 + ["c2"] * 2,
+                "doc_id": [1, 1, 2, 3, 4, 4],
+                "sf": ["acme", "acme", "acme inc", "acme", "byte", "bite"],
+                "lev": [2, 1, 5, 3, 0, 7],
+            }
+        )
+    )
+    rows = {
+        r.cluster_id: r
+        for r in golden_records(
+            members, min_cols=("lev",), max_cols=("lev",)
+        ).collect()
+    }
+    c1, c2 = rows["c1"], rows["c2"]
+    assert (c1.canonical_sf, c1.n_members, c1.n_docs) == ("acme", 4, 3)
+    assert (c1.min_lev, c1.max_lev) == (1, 5)
+    # c2: tie (1 vote each) -> lexicographically smallest wins
+    assert (c2.canonical_sf, c2.n_members, c2.n_docs) == ("bite", 2, 1)

@@ -385,6 +385,50 @@ EL_CLUSTER_SIZES_SQL = f"""
 """
 
 
+def q_el_golden_records(spark, sf_dir) -> DataFrame:
+    """Survivorship merge (operators/survivorship.py): the record-
+    linkage step AFTER match+cluster — one canonical record per entity
+    cluster with mode-elected surface form (tie → lexicographically
+    smallest), member/doc counts, and best (min) link score. The
+    reference stops at per-mention links (``el/entity_linker.py``);
+    this is the merge its downstream consumers perform."""
+    from ..operators.survivorship import golden_records
+
+    l = _el_links(spark, sf_dir).withColumn(
+        "mention_key", F.concat_ws("#", F.col("doc_id").cast("string"), "sf")
+    )
+    mins = l.groupBy("item_id").agg(F.min("mention_key").alias("cluster_id"))
+    members = l.join(mins, "item_id").select("cluster_id", "doc_id", "sf", "lev")
+    return golden_records(
+        members,
+        cluster_col="cluster_id",
+        mode_col="sf",
+        doc_col="doc_id",
+        min_cols=("lev",),
+    )
+
+
+EL_GOLDEN_RECORDS_SQL = f"""
+    WITH l AS ({EL_LINKS_SQL}),
+    lk AS (SELECT doc_id::VARCHAR || '#' || sf AS mention_key,
+                  doc_id, sf, item_id, lev FROM l),
+    j AS (SELECT m.cluster_id, lk.doc_id, lk.sf, lk.lev
+          FROM lk JOIN (SELECT item_id, min(mention_key) AS cluster_id
+                        FROM lk GROUP BY item_id) m USING (item_id)),
+    sfc AS (SELECT cluster_id, sf, count(*) AS n
+            FROM j GROUP BY cluster_id, sf),
+    canon AS (SELECT cluster_id, sf AS canonical_sf FROM (
+                SELECT cluster_id, sf, row_number() OVER (
+                    PARTITION BY cluster_id ORDER BY n DESC, sf) AS rn
+                FROM sfc) WHERE rn = 1),
+    stats AS (SELECT cluster_id, count(*) AS n_members,
+                     count(DISTINCT doc_id) AS n_docs, min(lev) AS min_lev
+              FROM j GROUP BY cluster_id)
+    SELECT s.cluster_id, s.n_members, s.n_docs, s.min_lev, c.canonical_sf
+    FROM stats s JOIN canon c USING (cluster_id)
+"""
+
+
 def _el_span_containment(spark, sf_dir) -> DataFrame:
     """O14 containment-join analog (reference ``el/filter.py:123,146-175``):
     mention windows = token bigrams [pos, pos+1]; NER spans = single
@@ -3568,6 +3612,7 @@ QUERIES = {
     "el_links": _el_links,
     "el_clusters": _el_clusters,
     "el_cluster_sizes": _el_cluster_sizes,
+    "el_golden_records": q_el_golden_records,
     "el_span_containment": _el_span_containment,
     "el_filter_stats": _el_filter_stats,
     "el_filter_effectiveness": _el_filter_effectiveness,
@@ -3649,6 +3694,7 @@ ORACLES = {
     "el_links": EL_LINKS_SQL,
     "el_clusters": EL_CLUSTERS_SQL,
     "el_cluster_sizes": EL_CLUSTER_SIZES_SQL,
+    "el_golden_records": EL_GOLDEN_RECORDS_SQL,
     "el_span_containment": EL_SPAN_CONTAINMENT_SQL,
     "el_filter_stats": EL_FILTER_STATS_SQL,
     "el_filter_effectiveness": EL_FILTER_EFFECTIVENESS_SQL,
