@@ -102,6 +102,9 @@ HEADLINE = [
     "docs_token_budget_mix",
     "crawl_snapshot_diff",
     "docs_vocab_topk",
+    # survivorship merge over the linkage clusters (reuses the warm
+    # el-chain bases, so this times the merge itself)
+    "el_golden_records",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
