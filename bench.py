@@ -105,6 +105,8 @@ HEADLINE = [
     # survivorship merge over the linkage clusters (reuses the warm
     # el-chain bases, so this times the merge itself)
     "el_golden_records",
+    # key-level MERGE INTO shape (one full-outer join)
+    "docs_merge_upsert",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

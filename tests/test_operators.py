@@ -907,3 +907,36 @@ def test_golden_records_survivorship(spark):
     assert (c1.min_lev, c1.max_lev) == (1, 5)
     # c2: tie (1 vote each) -> lexicographically smallest wins
     assert (c2.canonical_sf, c2.n_members, c2.n_docs) == ("bite", 2, 1)
+
+
+def test_merge_upsert_arms(spark):
+    """All three MERGE arms: matched->update, unmatched-source->insert,
+    matched+tombstone->delete; unmatched target survives; tombstoned
+    inserts never appear; schema mismatch is rejected."""
+    import pytest
+
+    from type_filtered_entity_linker_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3], "v": ["t1", "t2", "t3"]})
+    )
+    source = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [2, 3, 4, 5],
+                "v": ["s2", "s3", "s4", "s5"],
+                "dead": [False, True, False, True],
+            }
+        )
+    )
+    got = {
+        r.k: r.v
+        for r in merge_upsert(target, source, "k", delete_col="dead").collect()
+    }
+    assert got == {1: "t1", 2: "s2", 4: "s4"}  # 3 deleted, 5 never born
+
+    # without the tombstone column the flag must be part of the schema
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(target, source, "k")

@@ -3522,6 +3522,48 @@ SNAPSHOT_DIFF_SQL = """
     FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
 
+def q_docs_merge_upsert(spark, sf_dir) -> DataFrame:
+    """Key-level MERGE INTO shape (operators/merge.py): a re-crawl
+    batch upserts into the corpus snapshot — matched keys take the
+    source row, tombstoned keys drop (WHEN MATCHED DELETE), unmatched
+    target rows survive, new keys insert. One full-outer join (zero
+    shuffles if both sides are bucketed by the key); the Iceberg
+    runtime replaces this with MERGE INTO + file pruning at the sink."""
+    from ..operators.merge import merge_upsert
+
+    d = _docs(spark, sf_dir)
+    target = d.where(F.col("doc_id") % 1000 < 700).select(
+        "doc_id",
+        F.length("text").cast("int").alias("text_len"),
+        F.lit("old").alias("status"),
+    )
+    source = d.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        (F.length("text") + 1).cast("int").alias("text_len"),
+        F.lit("new").alias("status"),
+        (F.col("doc_id") % 15 == 0).alias("is_deleted"),
+    )
+    return merge_upsert(target, source, "doc_id", delete_col="is_deleted")
+
+
+DOCS_MERGE_UPSERT_SQL = """
+    WITH t AS (SELECT doc_id, length(text)::INTEGER AS text_len,
+                      'old' AS status
+               FROM documents WHERE doc_id % 1000 < 700),
+    s AS (SELECT doc_id, (length(text) + 1)::INTEGER AS text_len,
+                 'new' AS status, doc_id % 15 = 0 AS is_deleted
+          FROM documents WHERE doc_id % 3 = 0),
+    j AS (SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+                 CASE WHEN s.doc_id IS NOT NULL THEN s.text_len
+                      ELSE t.text_len END AS text_len,
+                 CASE WHEN s.doc_id IS NOT NULL THEN s.status
+                      ELSE t.status END AS status,
+                 coalesce(s.is_deleted, FALSE) AS del
+          FROM t FULL OUTER JOIN s ON t.doc_id = s.doc_id)
+    SELECT doc_id, text_len, status FROM j WHERE NOT del
+"""
+
+
 # --------------------------------------------------------- graph centrality
 
 PR_ITER = 3
@@ -3632,6 +3674,7 @@ QUERIES = {
     "docs_pack_sequences": q_docs_pack_sequences,
     "docs_token_budget_mix": q_docs_token_budget_mix,
     "crawl_snapshot_diff": q_crawl_snapshot_diff,
+    "docs_merge_upsert": q_docs_merge_upsert,
     "docs_vocab_topk": q_docs_vocab_topk,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_topk_lsh": q_ann_lsh,
@@ -3714,6 +3757,7 @@ ORACLES = {
     "docs_pack_sequences": DOCS_PACK_SQL,
     "docs_token_budget_mix": DOCS_MIX_SQL,
     "crawl_snapshot_diff": SNAPSHOT_DIFF_SQL,
+    "docs_merge_upsert": DOCS_MERGE_UPSERT_SQL,
     "docs_vocab_topk": DOCS_VOCAB_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_ivf": ANN_TOPK_SQL,
