@@ -144,3 +144,54 @@ def test_kmeans_matches_reference(spark, vec_list):
     for i in got:
         assert got[i][0] == ref[i][0], (i, got[i], ref[i])
         assert abs(got[i][1] - ref[i][1]) <= 1e-6, (i, got[i], ref[i])
+
+
+# ----------------------------------------------------- merge upsert
+
+from type_filtered_entity_linker_spark.operators.merge import merge_upsert
+
+# target: key -> value; source: key -> (value, deleted)
+TARGET = st.dictionaries(
+    st.integers(min_value=0, max_value=9),
+    st.text(alphabet="abc", min_size=1, max_size=3),
+    max_size=8,
+)
+SOURCE = st.dictionaries(
+    st.integers(min_value=0, max_value=9),
+    st.tuples(
+        st.text(alphabet="xyz", min_size=1, max_size=3), st.booleans()
+    ),
+    max_size=8,
+)
+
+
+def ref_merge(target: dict, source: dict) -> dict:
+    out = dict(target)
+    for k, (v, dead) in source.items():
+        if dead:
+            out.pop(k, None)
+        else:
+            out[k] = v
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(TARGET, SOURCE)
+def test_merge_upsert_matches_dict_semantics(spark, target, source):
+    """merge_upsert == plain dict update-with-tombstones, on arbitrary
+    key overlap patterns (both empty inputs included)."""
+    t = spark.createDataFrame(
+        [(k, v) for k, v in target.items()], "k long, v string"
+    )
+    s = spark.createDataFrame(
+        [(k, v, d) for k, (v, d) in source.items()],
+        "k long, v string, dead boolean",
+    )
+    got = {
+        r.k: r.v for r in merge_upsert(t, s, "k", delete_col="dead").collect()
+    }
+    assert got == ref_merge(target, source)
