@@ -217,3 +217,32 @@ def test_d2kb_with_span_filter_mode(spark, inputs, fx, tmp_path):
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_golden_records_over_pipeline_clusters(result):
+    """Survivorship merge composes with the real pipeline output:
+    one golden record per cluster, member counts conserved, and every
+    elected canonical surface form actually occurs in its cluster."""
+    from type_filtered_entity_linker_spark.operators.survivorship import (
+        golden_records,
+    )
+
+    members = result.clusters.join(
+        result.mentions.select(
+            F.concat_ws("#", "url", "mention_id").alias("mention_key"),
+            "url",
+            "sf",
+        ),
+        "mention_key",
+    ).select("cluster_id", "url", "sf")
+    gr = golden_records(members, mode_col="sf", doc_col="url")
+    assert gr.count() == members.select("cluster_id").distinct().count()
+    assert (
+        gr.agg(F.sum("n_members")).collect()[0][0] == members.count()
+    )
+    strays = (
+        gr.select("cluster_id", F.col("canonical_sf").alias("sf"))
+        .join(members, ["cluster_id", "sf"], "left_anti")
+        .count()
+    )
+    assert strays == 0
