@@ -1,7 +1,7 @@
 """Same-session A/B: bucketed vs unbucketed same-key join.
 
 tests/test_bucketed_join.py pins the PLAN contract (bucketed tables →
-SortMergeJoin with zero Exchange/Sort); this script measures the
+SortMergeJoin with zero Exchange); this script measures the
 payoff on this box so BENCH/AB_R3.md carries a number, not just a
 plan. Both paths run interleaved in ONE process (box noise swings
 2.7x across sessions — never compare across runs here), reading the
@@ -99,7 +99,7 @@ def main() -> None:
     ratios = [f / b for f, b in zip(flat, buck)]
     out = {
         "rows_per_side": ROWS,
-        "join_multiplicity": ROWS // KEYS,
+        "avg_key_multiplicity": ROWS / KEYS,
         "buckets": BUCKETS,
         "speedup_median_paired": round(statistics.median(ratios), 3),
         "paired_ratios": [round(r, 3) for r in ratios],

@@ -940,3 +940,23 @@ def test_merge_upsert_arms(spark):
     # without the tombstone column the flag must be part of the schema
     with pytest.raises(ValueError, match="schema mismatch"):
         merge_upsert(target, source, "k")
+
+
+def test_golden_records_null_never_beats_real_value(spark):
+    """NULLS-LAST tie-break (oracle-parity convention): a NULL member
+    value tied with a real one must lose the mode election."""
+    from type_filtered_entity_linker_spark.operators.survivorship import (
+        golden_records,
+    )
+
+    members = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cluster_id": ["c"] * 4,
+                "doc_id": [1, 2, 3, 4],
+                "sf": [None, None, "a", "a"],
+            }
+        )
+    )
+    row = golden_records(members).collect()[0]
+    assert row.canonical_sf == "a"

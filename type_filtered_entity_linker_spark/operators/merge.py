@@ -49,9 +49,7 @@ def merge_upsert(
             f"schema mismatch: target payload {sorted(payload)} "
             f"vs source payload {sorted(src_payload)}"
         )
-    t = target.select(
-        *ks, F.struct(*payload).alias("_t"), F.lit(True).alias("_in_t")
-    )
+    t = target.select(*ks, F.struct(*payload).alias("_t"))
     s_cols = [*ks, F.struct(*payload).alias("_s"), F.lit(True).alias("_in_s")]
     if delete_col is not None:
         s_cols.append(F.coalesce(F.col(delete_col), F.lit(False)).alias("_del"))

@@ -42,8 +42,10 @@ def golden_records(
     counts = members.groupBy(cluster_col, mode_col).agg(
         F.count("*").alias("_n")
     )
+    # NULLS LAST matches DuckDB's ASC default (oracle-parity
+    # convention): a NULL member value must never beat a real one
     w = Window.partitionBy(cluster_col).orderBy(
-        F.col("_n").desc(), F.col(mode_col).asc()
+        F.col("_n").desc(), F.col(mode_col).asc_nulls_last()
     )
     canon = (
         counts.withColumn("_rn", F.row_number().over(w))

@@ -3526,8 +3526,8 @@ def q_docs_merge_upsert(spark, sf_dir) -> DataFrame:
     """Key-level MERGE INTO shape (operators/merge.py): a re-crawl
     batch upserts into the corpus snapshot — matched keys take the
     source row, tombstoned keys drop (WHEN MATCHED DELETE), unmatched
-    target rows survive, new keys insert. One full-outer join (zero
-    shuffles if both sides are bucketed by the key); the Iceberg
+    target rows survive, new keys insert. One full-outer join (no
+    Exchange if both sides are bucketed by the key); the Iceberg
     runtime replaces this with MERGE INTO + file pruning at the sink."""
     from ..operators.merge import merge_upsert
 

@@ -111,9 +111,12 @@ def write_bucketed(
     Murmur3 hash as the bucket spec, so each write task holds exactly
     one bucket → ONE file per bucket. Without it every task writes a
     sliver of every bucket (tasks × buckets small files — the classic
-    bucketBy trap), and multi-file buckets also force the reader to
-    re-Sort: single-file buckets + ``sortBy`` let the scan report
-    per-bucket ordering, eliminating the join's Sort as well.
+    bucketBy trap). NOTE: the join's per-partition Sort is NOT
+    eliminated — since Spark 3.0 the bucketed scan does not report
+    sort ordering by default
+    (``spark.sql.legacy.bucketedTableScan.outputOrdering=false``;
+    verified on 4.1.2) — only the Exchange is. ``sortBy`` still buys
+    within-file key locality (row-group stats / compression).
     """
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     if sort_cols is None:
