@@ -107,6 +107,8 @@ HEADLINE = [
     "el_golden_records",
     # key-level MERGE INTO shape (one full-outer join)
     "docs_merge_upsert",
+    # ordered conversion funnel (3 same-key partial-agg shuffles)
+    "events_funnel",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

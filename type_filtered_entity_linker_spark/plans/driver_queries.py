@@ -2777,6 +2777,60 @@ EVENTS_MAVG_SQL = """
 """
 
 
+def q_events_funnel(spark, sf_dir) -> DataFrame:
+    """Ordered conversion funnel (view → click-after-view →
+    purchase-after-that-click): per-user stage timestamps chain via
+    min-after-previous-stage semantics; output = one row of stage
+    counts. Three partial-aggregated shuffles on user_id (the same key
+    every stage — a bucketed events table would carry all three with
+    zero Exchange); stage tables shrink monotonically so the later
+    joins see ever-smaller build sides."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after")))
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2
+          GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM v) AS n_viewed,
+           (SELECT count(*) FROM c) AS n_clicked_after,
+           (SELECT count(*) FROM p) AS n_purchased_after
+"""
+
+
 def q_corpus_stats_rollup(spark, sf_dir) -> DataFrame:
     """Corpus reporting rollup: per-(lang, source), per-lang subtotals
     and the grand total in one pass (ROLLUP grouping sets — partial
@@ -3710,6 +3764,7 @@ QUERIES = {
     "events_hourly_window": q_events_window,
     "events_asof_join": q_events_asof_join,
     "events_moving_avg": q_events_moving_avg,
+    "events_funnel": q_events_funnel,
     "corpus_stats_rollup": q_corpus_stats_rollup,
     "corpus_length_percentiles": q_corpus_length_percentiles,
     "events_session_agg": q_events_sessions,
@@ -3793,6 +3848,7 @@ ORACLES = {
     "events_hourly_window": EVENTS_WINDOW_SQL,
     "events_asof_join": EVENTS_ASOF_SQL,
     "events_moving_avg": EVENTS_MAVG_SQL,
+    "events_funnel": EVENTS_FUNNEL_SQL,
     "corpus_stats_rollup": CORPUS_ROLLUP_SQL,
     "corpus_length_percentiles": CORPUS_PCTL_SQL,
     "events_session_agg": EVENTS_SESSIONS_SQL,
