@@ -109,6 +109,8 @@ HEADLINE = [
     "docs_merge_upsert",
     # ordered conversion funnel (3 same-key partial-agg shuffles)
     "events_funnel",
+    # meta-blocking: purge -> CBS weight -> weighted-node pruning
+    "er_meta_blocking",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

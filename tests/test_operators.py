@@ -960,3 +960,97 @@ def test_golden_records_null_never_beats_real_value(spark):
     )
     row = golden_records(members).collect()[0]
     assert row.canonical_sf == "a"
+
+
+def _blocks_df(spark, entries):
+    return spark.createDataFrame(
+        pd.DataFrame(entries, columns=["rec_id", "block_key"])
+    )
+
+
+def test_meta_blocking_purge_and_wnp(spark):
+    """Block purging drops the oversized block entirely (rec 4's only
+    key), CBS counts shared blocks, and weighted-node pruning drops
+    the edge that is weak in BOTH endpoints' neighborhoods."""
+    from type_filtered_entity_linker_spark.operators.meta_blocking import (
+        meta_block_prune,
+    )
+
+    entries = (
+        [(1, "b1"), (2, "b1"), (1, "b2"), (2, "b2")]
+        + [(1, "b3"), (3, "b3"), (1, "b4"), (3, "b4")]
+        + [(2, "b5"), (3, "b5")]
+        + [(i, "big") for i in (1, 2, 3, 4)]  # purged at max 3
+    )
+    got = {
+        (r.id_a, r.id_b): (r.cbs, r.weight)
+        for r in meta_block_prune(
+            _blocks_df(spark, entries), max_block_size=3
+        ).collect()
+    }
+    # edges before pruning: (1,2)=2, (1,3)=2, (2,3)=1; node means:
+    # 1 -> 2.0, 2 -> 1.5, 3 -> 1.5; (2,3) < both endpoint means -> cut
+    assert got == {(1, 2): (2, 2.0), (1, 3): (2, 2.0)}
+
+
+def test_meta_blocking_wep(spark):
+    """Weighted-edge pruning keeps only edges at or above the global
+    mean edge weight."""
+    from type_filtered_entity_linker_spark.operators.meta_blocking import (
+        meta_block_prune,
+    )
+
+    entries = [(1, "b1"), (2, "b1"), (3, "b1"), (1, "b2"), (2, "b2")]
+    got = {
+        (r.id_a, r.id_b): r.cbs
+        for r in meta_block_prune(
+            _blocks_df(spark, entries), scheme="wep", max_block_size=10
+        ).collect()
+    }
+    # edges (1,2)=2, (1,3)=1, (2,3)=1; mean 4/3 -> only (1,2) survives
+    assert got == {(1, 2): 2}
+
+
+def test_meta_blocking_ecbs_matches_python_reference(spark):
+    """ECBS weights equal the paper's formula computed independently in
+    Python: cbs * ln(B/|B_a|) * ln(B/|B_b|) over the purged blocks."""
+    import math
+
+    import pytest
+
+    from type_filtered_entity_linker_spark.operators.meta_blocking import (
+        pair_weights,
+    )
+
+    entries = [
+        (1, "b1"), (2, "b1"), (3, "b1"),
+        (1, "b2"), (2, "b2"),
+        (2, "b3"), (3, "b3"), (4, "b3"),
+        (1, "b4"), (4, "b4"),
+    ]
+    got = {
+        (r.id_a, r.id_b): r.weight
+        for r in pair_weights(
+            _blocks_df(spark, entries), weight="ecbs"
+        ).collect()
+    }
+    nb = {}
+    for rid, _ in entries:
+        nb[rid] = nb.get(rid, 0) + 1
+    total = len({b for _, b in entries})
+    cbs = {}
+    by_block = {}
+    for rid, b in entries:
+        by_block.setdefault(b, []).append(rid)
+    for ids in by_block.values():
+        for i, a in enumerate(ids):
+            for b2 in ids[i + 1:]:
+                k = (min(a, b2), max(a, b2))
+                cbs[k] = cbs.get(k, 0) + 1
+    want = {
+        (a, b): (c * math.log(total / nb[a])) * math.log(total / nb[b])
+        for (a, b), c in cbs.items()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)

@@ -2315,6 +2315,93 @@ ER_BLOCK_QUALITY_SQL = """
 """
 
 
+def q_er_meta_blocking(spark, sf_dir) -> DataFrame:
+    """Meta-blocking (Papadakis TKDE'14) over a redundancy-positive
+    3-scheme blocking of the dirty-customer corpus: phone prefix +
+    phone suffix + city. Block purging (max 50) drops the oversized
+    city blocks at sf ≥ 0.01; planted duplicate pairs then co-occur in
+    BOTH phone blocks (cbs = 2, except the every-30th prefix-corrupted
+    copies) while chance collisions share one, and weighted-node
+    pruning keeps each record's locally-strong edges. Output: the
+    retained candidate-edge table a pair scorer would consume. CBS
+    weights are integers end-to-end → exact DuckDB parity (the ECBS
+    variant is property-tested in pytest instead)."""
+    from ..operators.meta_blocking import meta_block_prune
+
+    records, _, _ = _fs_customers(spark, sf_dir, corrupt="phone")
+    blocks = (
+        records.select(
+            "rec_id",
+            F.concat(F.lit("p3:"), F.substring("phone", 1, 3)).alias(
+                "block_key"
+            ),
+        )
+        .unionAll(
+            records.select(
+                "rec_id",
+                F.concat(F.lit("p4:"), F.expr("substring(phone, 4)")).alias(
+                    "block_key"
+                ),
+            )
+        )
+        .unionAll(
+            records.select(
+                "rec_id",
+                F.concat(F.lit("c:"), F.col("city")).alias("block_key"),
+            )
+        )
+    )
+    return meta_block_prune(
+        blocks, weight="cbs", scheme="wnp", max_block_size=50
+    )
+
+
+ER_META_BLOCK_SQL = """
+    WITH clean AS (
+        SELECT c_custkey AS rec_id,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone,
+               'city_' || c_nationkey::VARCHAR AS city
+        FROM customer),
+    records AS (
+        SELECT rec_id, phone, city FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000,
+               CASE WHEN rec_id % 30 = 0 THEN '99' || substr(phone, 3)
+                    ELSE phone END,
+               city
+        FROM clean WHERE rec_id % 10 = 0),
+    blocks AS (
+        SELECT rec_id, 'p3:' || substr(phone, 1, 3) AS block_key FROM records
+        UNION ALL
+        SELECT rec_id, 'p4:' || substr(phone, 4) AS block_key FROM records
+        UNION ALL
+        SELECT rec_id, 'c:' || city AS block_key FROM records),
+    purged AS (
+        SELECT b.rec_id, b.block_key
+        FROM blocks b
+        JOIN (SELECT block_key FROM blocks
+              GROUP BY block_key HAVING count(*) <= 50) k
+          USING (block_key)),
+    edges AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b, count(*) AS cbs
+        FROM purged a
+        JOIN purged b ON a.block_key = b.block_key AND a.rec_id < b.rec_id
+        GROUP BY 1, 2),
+    w AS (SELECT id_a, id_b, cbs, cbs::DOUBLE AS weight FROM edges),
+    node_avg AS (
+        SELECT node, avg(weight) AS avg_w
+        FROM (SELECT id_a AS node, weight FROM w
+              UNION ALL
+              SELECT id_b AS node, weight FROM w)
+        GROUP BY node)
+    SELECT w.id_a, w.id_b, w.cbs, w.weight
+    FROM w
+    JOIN node_avg na ON na.node = w.id_a
+    JOIN node_avg nb ON nb.node = w.id_b
+    WHERE w.weight >= na.avg_w OR w.weight >= nb.avg_w
+"""
+
+
 # messy synthetic crawl URLs, built identically in both engines (the
 # driver corpus has no url column): three shapes exercising case norm,
 # www/default-port stripping, tracking-param removal, param sorting,
@@ -3759,6 +3846,7 @@ QUERIES = {
     "er_fellegi_sunter": q_er_fellegi_sunter,
     "er_em_weights": q_er_em_weights,
     "er_blocking_quality": q_er_blocking_quality,
+    "er_meta_blocking": q_er_meta_blocking,
     "url_canonicalize": q_url_canonicalize,
     "media_features": q_media_features,
     "events_hourly_window": q_events_window,
@@ -3843,6 +3931,7 @@ ORACLES = {
     "er_fellegi_sunter": ER_FS_SQL,
     "er_em_weights": ER_EM_SQL,
     "er_blocking_quality": ER_BLOCK_QUALITY_SQL,
+    "er_meta_blocking": ER_META_BLOCK_SQL,
     "url_canonicalize": URL_CANON_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "events_hourly_window": EVENTS_WINDOW_SQL,
