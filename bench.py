@@ -111,6 +111,8 @@ HEADLINE = [
     "events_funnel",
     # meta-blocking: purge -> CBS weight -> weighted-node pruning
     "er_meta_blocking",
+    # Winkler TF-adjusted Fellegi-Sunter (per-value agreement weights)
+    "er_tf_adjusted",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

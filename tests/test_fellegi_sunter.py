@@ -3,6 +3,8 @@
 
 import math
 
+import pytest
+
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -121,3 +123,44 @@ def test_em_recovers_planted_structure(spark):
     # monotone sharpening of the informative field across iterations
     by_iter = sorted(rows, key=lambda r: r.iter)
     assert by_iter[-1].m_phone >= by_iter[0].m_phone, rows
+
+
+def test_tf_adjustment_rare_value_outscores_common(spark):
+    """Winkler TF adjustment: two pairs identical except that one
+    agrees on a rare surname (1/8 records) and the other on a common
+    one (5/8): the rare-agreement pair must score exactly
+    log2(cnt_common/cnt_rare) bits higher; disagreement and missing
+    weights stay at the fixed literals."""
+    from type_filtered_entity_linker_spark.operators.fellegi_sunter import (
+        tf_adjusted_scores,
+    )
+
+    recs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rec_id": [1, 2, 3, 4, 5, 6, 7, 8],
+                "surname": ["zyz", "zyz"] + ["smith"] * 5 + [None],
+            }
+        )
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {"id_a": [1, 3, 1, 1], "id_b": [2, 4, 3, 8]}
+        )
+    )
+    m, u = 0.95, 0.1
+    out = {
+        (r.id_a, r.id_b): r
+        for r in tf_adjusted_scores(
+            recs, pairs, {"surname": (m, u)}, tf_fields=("surname",)
+        ).collect()
+    }
+    rare, common = out[(1, 2)].score, out[(3, 4)].score
+    # tf(zyz)=2/7 non-null, tf(smith)=5/7 -> gap = log2(5/2)
+    assert rare - common == pytest.approx(math.log2(5 / 2), abs=2e-6)
+    assert rare == pytest.approx(math.log2(m) - math.log2(2 / 7), abs=1e-6)
+    # disagreement keeps the fixed literal; missing contributes 0
+    assert out[(1, 3)].score == pytest.approx(
+        math.log2((1 - m) / (1 - u)), abs=1e-6
+    )
+    assert out[(1, 8)].score == 0.0 and out[(1, 8)].agree_surname is None

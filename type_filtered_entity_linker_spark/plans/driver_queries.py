@@ -2133,6 +2133,126 @@ def _fs_oracle_sql() -> str:
 ER_FS_SQL = _fs_oracle_sql()
 
 
+# (m, u) per field for the TF-adjusted variant; 'surname' gets
+# per-value term-frequency agreement weights instead of log2(m/u)
+TF_PARAMS = {"name": (0.9, 0.05), "surname": (0.95, 0.1), "phone": (0.99, 0.001)}
+
+
+def _tf_surname_col() -> F.Column:
+    """Deterministically SKEWED surname over the original customer key:
+    floor(sqrt(k % 100)) maps 100 keys to values 0..9 with counts
+    1,3,5,…,19 — sn_0 is ~19× rarer than sn_9, so a match on it earns
+    ~3 more bits under the TF adjustment."""
+    return F.concat(
+        F.lit("sn_"),
+        F.floor(F.sqrt((F.col("rec_id") % 1000000) % 100)).cast("string"),
+    )
+
+
+def q_er_tf_adjusted(spark, sf_dir) -> DataFrame:
+    """Fellegi–Sunter with Winkler/Splink-style term-frequency
+    adjustment on the skewed surname field: planted (orig, copy) pairs
+    all agree on surname, but the agreement weight now varies by value
+    rarity — log2(m) − log2(tf_v) — so a match on the rare sn_0
+    outscores one on the common sn_9 by ~4 bits. Name/phone keep their
+    fixed (m, u) literal weights; distractor (i, i+3) pairs still fall
+    to non_link on the phone disagreement."""
+    from ..operators.fellegi_sunter import tf_adjusted_scores
+
+    records, truth, nonmatch = _fs_customers(spark, sf_dir, corrupt="city")
+    records = records.withColumn("surname", _tf_surname_col())
+    pairs = truth.unionByName(nonmatch)
+    return tf_adjusted_scores(
+        records,
+        pairs,
+        TF_PARAMS,
+        tf_fields=("surname",),
+        near=FS_NEAR,
+        upper=FS_UPPER,
+        lower=FS_LOWER,
+    )
+
+
+def _tf_oracle_sql() -> str:
+    """DuckDB replica of the TF-adjusted scorer: same synthesized
+    fields, same python-log2 literals for the fixed weights, and the
+    same single data-dependent term log2(m) − log2(cnt/N) — integer
+    counts divided then log2'd, added in the same field order; the
+    final round(…, 6) absorbs any last-ulp libm divergence."""
+    import math as _math
+
+    from ..operators.fellegi_sunter import fs_weights
+
+    terms = []
+    agrees = []
+    for f, (m, u) in TF_PARAMS.items():
+        wa, wd = fs_weights(m, u)
+        if f == "surname":
+            agrees.append(
+                "CASE WHEN a.surname IS NULL OR b.surname IS NULL THEN NULL "
+                "WHEN a.surname = b.surname THEN 1 ELSE 0 END AS agree_surname"
+            )
+            terms.append(
+                f"CASE WHEN agree_surname IS NULL THEN 0.0 "
+                f"WHEN agree_surname = 1 THEN {_math.log2(m)!r} "
+                f"- log2(cnt_a::DOUBLE / nrec) "
+                f"ELSE {wd!r} END"
+            )
+        else:
+            t = FS_NEAR.get(f, 0)
+            agrees.append(
+                f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
+                f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
+                f"AS agree_{f}"
+            )
+            terms.append(
+                f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
+                f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
+            )
+    score = " + ".join(["0.0"] + terms)
+    return f"""
+    WITH clean0 AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    recs0 AS (
+        SELECT rec_id, name, phone FROM clean0
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1), phone
+        FROM clean0 WHERE rec_id % 10 = 0),
+    records AS (
+        SELECT *,
+               'sn_' || CAST(CAST(floor(sqrt((rec_id % 1000000) % 100))
+                   AS BIGINT) AS VARCHAR) AS surname
+        FROM recs0),
+    pairs AS (
+        SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+        FROM clean0 WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id, rec_id + 3 FROM clean0 WHERE rec_id % 10 = 0),
+    freq AS (SELECT surname AS v, count(*) AS cnt FROM records
+             WHERE surname IS NOT NULL GROUP BY surname),
+    n AS (SELECT count(surname) AS nrec FROM records),
+    ag AS (
+        SELECT p.id_a, p.id_b, {', '.join(agrees)},
+               f.cnt AS cnt_a, n.nrec
+        FROM pairs p
+        JOIN records a ON p.id_a = a.rec_id
+        JOIN records b ON p.id_b = b.rec_id
+        LEFT JOIN freq f ON a.surname = f.v
+        CROSS JOIN n),
+    sc AS (SELECT *, round({score}, 6) AS score FROM ag)
+    SELECT id_a, id_b, agree_name, agree_surname, agree_phone, score,
+           CASE WHEN score >= {FS_UPPER!r} THEN 'link'
+                WHEN score < {FS_LOWER!r} THEN 'non_link'
+                ELSE 'possible' END AS decision
+    FROM sc
+"""
+
+
+ER_TF_SQL = _tf_oracle_sql()
+
+
 EM_ITERS = 3
 EM_INIT = dict(init_m=0.9, init_u=0.1, init_p=0.5)
 
@@ -3847,6 +3967,7 @@ QUERIES = {
     "er_em_weights": q_er_em_weights,
     "er_blocking_quality": q_er_blocking_quality,
     "er_meta_blocking": q_er_meta_blocking,
+    "er_tf_adjusted": q_er_tf_adjusted,
     "url_canonicalize": q_url_canonicalize,
     "media_features": q_media_features,
     "events_hourly_window": q_events_window,
@@ -3932,6 +4053,7 @@ ORACLES = {
     "er_em_weights": ER_EM_SQL,
     "er_blocking_quality": ER_BLOCK_QUALITY_SQL,
     "er_meta_blocking": ER_META_BLOCK_SQL,
+    "er_tf_adjusted": ER_TF_SQL,
     "url_canonicalize": URL_CANON_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "events_hourly_window": EVENTS_WINDOW_SQL,
