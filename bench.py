@@ -113,6 +113,8 @@ HEADLINE = [
     "er_meta_blocking",
     # Winkler TF-adjusted Fellegi-Sunter (per-value agreement weights)
     "er_tf_adjusted",
+    # meta-blocking evaluation gate (edge reduction vs truth recall)
+    "er_meta_blocking_quality",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

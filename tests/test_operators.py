@@ -1010,6 +1010,18 @@ def test_meta_blocking_wep(spark):
     # edges (1,2)=2, (1,3)=1, (2,3)=1; mean 4/3 -> only (1,2) survives
     assert got == {(1, 2): 2}
 
+    # keep_all returns every edge with the kept flag instead
+    flags = {
+        (r.id_a, r.id_b): r.kept
+        for r in meta_block_prune(
+            _blocks_df(spark, entries),
+            scheme="wep",
+            max_block_size=10,
+            keep_all=True,
+        ).collect()
+    }
+    assert flags == {(1, 2): True, (1, 3): False, (2, 3): False}
+
 
 def test_meta_blocking_ecbs_matches_python_reference(spark):
     """ECBS weights equal the paper's formula computed independently in

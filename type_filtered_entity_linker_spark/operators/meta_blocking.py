@@ -116,6 +116,7 @@ def meta_block_prune(
     weight: str = "cbs",
     scheme: str = "wnp",
     max_block_size: int = 50,
+    keep_all: bool = False,
 ) -> DataFrame:
     """Purge → weight → prune. Returns the retained candidate edges
     (id_a, id_b, cbs, weight) — the pair table a downstream scorer
@@ -126,24 +127,30 @@ def meta_block_prune(
     schemes consume it 2–3 times (threshold aggregate + final filter),
     and Spark does not reuse the block self-join exchange across those
     consumers (verified: 0 ReusedExchange in the executed plan), so
-    without it the most expensive stage runs once per consumer."""
+    without it the most expensive stage runs once per consumer.
+
+    ``keep_all=True`` returns EVERY candidate edge with a boolean
+    ``kept`` column instead of filtering — the evaluation shape
+    (measure pair reduction vs truth recall) at the same cost."""
     purged = block_purge(blocks, block_col, max_block_size)
     w = pair_weights(purged, id_col, block_col, weight).localCheckpoint(
         eager=False
     )
     if scheme == "wep":
         mean = w.agg(F.avg("weight").alias("_mean"))
-        return (
-            w.crossJoin(F.broadcast(mean))
-            .where(F.col("weight") >= F.col("_mean"))
-            .select("id_a", "id_b", "cbs", "weight")
+        flagged = w.crossJoin(F.broadcast(mean)).select(
+            "id_a",
+            "id_b",
+            "cbs",
+            "weight",
+            (F.col("weight") >= F.col("_mean")).alias("kept"),
         )
-    if scheme == "wnp":
+    elif scheme == "wnp":
         incid = w.select(F.col("id_a").alias("_node"), "weight").unionAll(
             w.select(F.col("id_b").alias("_node"), "weight")
         )
         node_avg = incid.groupBy("_node").agg(F.avg("weight").alias("_avg"))
-        return (
+        flagged = (
             w.join(
                 node_avg.select(
                     F.col("_node").alias("id_a"), F.col("_avg").alias("_avg_a")
@@ -156,10 +163,19 @@ def meta_block_prune(
                 ),
                 "id_b",
             )
-            .where(
-                (F.col("weight") >= F.col("_avg_a"))
-                | (F.col("weight") >= F.col("_avg_b"))
+            .select(
+                "id_a",
+                "id_b",
+                "cbs",
+                "weight",
+                (
+                    (F.col("weight") >= F.col("_avg_a"))
+                    | (F.col("weight") >= F.col("_avg_b"))
+                ).alias("kept"),
             )
-            .select("id_a", "id_b", "cbs", "weight")
         )
-    raise ValueError(f"unknown pruning scheme {scheme!r}")
+    else:
+        raise ValueError(f"unknown pruning scheme {scheme!r}")
+    if keep_all:
+        return flagged
+    return flagged.where("kept").drop("kept")

