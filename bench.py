@@ -115,6 +115,8 @@ HEADLINE = [
     "er_tf_adjusted",
     # meta-blocking evaluation gate (edge reduction vs truth recall)
     "er_meta_blocking_quality",
+    # sorted-neighborhood pairs over the distributed global rank
+    "er_sorted_neighborhood",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

@@ -1066,3 +1066,52 @@ def test_meta_blocking_ecbs_matches_python_reference(spark):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_global_rank_matches_single_window(spark):
+    """The range-shuffle + offset-composition rank equals the naive
+    single-task global window rank, including on duplicate sort keys
+    (total order via the id tiebreaker)."""
+    from pyspark.sql import Window
+
+    from type_filtered_entity_linker_spark.operators.sorted_neighborhood import (
+        global_rank,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rec_id": list(range(200)),
+                "k": [f"key_{(i * 37) % 50:02d}" for i in range(200)],
+            }
+        )
+    ).repartition(7)
+    got = {
+        r.rec_id: r.rank
+        for r in global_rank(df, ["k", "rec_id"], num_partitions=5).collect()
+    }
+    w = Window.orderBy("k", "rec_id")
+    want = {
+        r.rec_id: r.rank
+        for r in df.withColumn("rank", F.row_number().over(w)).collect()
+    }
+    assert got == want
+
+
+def test_sorted_neighborhood_pairs_window(spark):
+    """Every pair within the rank window appears exactly once with the
+    right distance; nothing beyond the window is generated."""
+    from type_filtered_entity_linker_spark.operators.sorted_neighborhood import (
+        sorted_neighborhood_pairs,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"rec_id": [1, 2, 3, 4], "name": ["a", "b", "c", "d"]})
+    )
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in sorted_neighborhood_pairs(df, ["name"], window=2).collect()
+    }
+    assert got == {
+        (1, 2): 1, (2, 3): 1, (3, 4): 1, (1, 3): 2, (2, 4): 2,
+    }

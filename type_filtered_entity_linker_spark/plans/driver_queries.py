@@ -2623,6 +2623,40 @@ ER_META_BLOCK_QUALITY_SQL = (
 )
 
 
+def q_er_sorted_neighborhood(spark, sf_dir) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández–Stolfo SNM) over the
+    dirty-customer corpus, sort key = name: a planted copy's truncated
+    name is a PREFIX of the original so the pair sorts adjacently and
+    is generated at dist 1 — no equi key needed. The global rank is
+    computed WITHOUT the single-task global window (range shuffle +
+    per-partition row_number + broadcast offset composition,
+    `operators/sorted_neighborhood.py::global_rank`), which this
+    query's exact hash-parity against DuckDB's one-window
+    row_number() verifies end-to-end: every rank must match for any
+    pair row to hash equal."""
+    from ..operators.sorted_neighborhood import sorted_neighborhood_pairs
+
+    records, _, _ = _fs_customers(spark, sf_dir, corrupt="phone")
+    return sorted_neighborhood_pairs(records, ["name"], window=3)
+
+
+ER_SNM_SQL = """
+    WITH clean AS (SELECT c_custkey AS rec_id, c_name AS name
+                   FROM customer),
+    records AS (
+        SELECT rec_id, name FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1)
+        FROM clean WHERE rec_id % 10 = 0),
+    ranked AS (SELECT rec_id,
+                      row_number() OVER (ORDER BY name, rec_id) AS rnk
+               FROM records)
+    SELECT a.rec_id AS id_a, b.rec_id AS id_b, b.rnk - a.rnk AS dist
+    FROM ranked a
+    JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3
+"""
+
+
 # messy synthetic crawl URLs, built identically in both engines (the
 # driver corpus has no url column): three shapes exercising case norm,
 # www/default-port stripping, tracking-param removal, param sorting,
@@ -4070,6 +4104,7 @@ QUERIES = {
     "er_meta_blocking": q_er_meta_blocking,
     "er_tf_adjusted": q_er_tf_adjusted,
     "er_meta_blocking_quality": q_er_meta_blocking_quality,
+    "er_sorted_neighborhood": q_er_sorted_neighborhood,
     "url_canonicalize": q_url_canonicalize,
     "media_features": q_media_features,
     "events_hourly_window": q_events_window,
@@ -4157,6 +4192,7 @@ ORACLES = {
     "er_meta_blocking": ER_META_BLOCK_SQL,
     "er_tf_adjusted": ER_TF_SQL,
     "er_meta_blocking_quality": ER_META_BLOCK_QUALITY_SQL,
+    "er_sorted_neighborhood": ER_SNM_SQL,
     "url_canonicalize": URL_CANON_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "events_hourly_window": EVENTS_WINDOW_SQL,
