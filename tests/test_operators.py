@@ -1025,13 +1025,16 @@ def test_meta_blocking_wep(spark):
 
 def test_meta_blocking_ecbs_matches_python_reference(spark):
     """ECBS weights equal the paper's formula computed independently in
-    Python: cbs * ln(B/|B_a|) * ln(B/|B_b|) over the purged blocks."""
+    Python: cbs * ln(B/|B_a|) * ln(B/|B_b|) over the PURGED blocks —
+    the full purge→ECBS composition via meta_block_prune(keep_all),
+    so a regression that fed pre-purge counts into |B_i| or B would
+    fail here (the oversized block below must not appear in either)."""
     import math
 
     import pytest
 
     from type_filtered_entity_linker_spark.operators.meta_blocking import (
-        pair_weights,
+        meta_block_prune,
     )
 
     entries = [
@@ -1040,10 +1043,15 @@ def test_meta_blocking_ecbs_matches_python_reference(spark):
         (2, "b3"), (3, "b3"), (4, "b3"),
         (1, "b4"), (4, "b4"),
     ]
+    oversized = [(i, "big") for i in (1, 2, 3, 4)]
     got = {
         (r.id_a, r.id_b): r.weight
-        for r in pair_weights(
-            _blocks_df(spark, entries), weight="ecbs"
+        for r in meta_block_prune(
+            _blocks_df(spark, entries + oversized),
+            weight="ecbs",
+            scheme="wep",
+            max_block_size=3,
+            keep_all=True,
         ).collect()
     }
     nb = {}
@@ -1082,7 +1090,12 @@ def test_global_rank_matches_single_window(spark):
         pd.DataFrame(
             {
                 "rec_id": list(range(200)),
-                "k": [f"key_{(i * 37) % 50:02d}" for i in range(200)],
+                # every 9th key NULL: must rank LAST in both the
+                # distributed rank and the DuckDB-convention window
+                "k": [
+                    None if i % 9 == 0 else f"key_{(i * 37) % 50:02d}"
+                    for i in range(200)
+                ],
             }
         )
     ).repartition(7)
@@ -1090,7 +1103,7 @@ def test_global_rank_matches_single_window(spark):
         r.rec_id: r.rank
         for r in global_rank(df, ["k", "rec_id"], num_partitions=5).collect()
     }
-    w = Window.orderBy("k", "rec_id")
+    w = Window.orderBy(F.col("k").asc_nulls_last(), "rec_id")
     want = {
         r.rec_id: r.rank
         for r in df.withColumn("rank", F.row_number().over(w)).collect()

@@ -314,7 +314,9 @@ def tf_adjusted_scores(
                 .groupBy(F.col(f).alias(f"_v_{f}"))
                 .agg(F.count("*").alias(f"_cnt_{f}"))
             )
-            nf = records.agg(F.count(f).alias(f"_n_{f}"))
+            # N = Σ counts of the freq table just built — no second
+            # full-records scan per TF field
+            nf = freq.agg(F.sum(f"_cnt_{f}").alias(f"_n_{f}"))
             j = j.join(
                 F.broadcast(freq),
                 F.col(f"a_{f}") == F.col(f"_v_{f}"),

@@ -44,12 +44,17 @@ def global_rank(
 ) -> DataFrame:
     """Exact 1-based global rank of every row under ``order_cols``
     (which must define a TOTAL order), computed without a
-    single-task global window — see module docstring."""
+    single-task global window — see module docstring.
+
+    NULL sort keys rank LAST (explicit ``asc_nulls_last``, overriding
+    Spark's NULLS-FIRST ascending default): the repo's oracle-parity
+    convention, matching DuckDB's ASC default — a nullable sort column
+    ranks identically in both engines."""
     parts = (
         num_partitions
         or df.sparkSession.sparkContext.defaultParallelism
     )
-    cols = [F.col(c) for c in order_cols]
+    cols = [F.col(c).asc_nulls_last() for c in order_cols]
     d = df.repartitionByRange(parts, *cols).withColumn(
         "_pid", F.spark_partition_id()
     )

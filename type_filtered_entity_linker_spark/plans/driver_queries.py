@@ -2155,8 +2155,13 @@ def q_er_tf_adjusted(spark, sf_dir) -> DataFrame:
     all agree on surname, but the agreement weight now varies by value
     rarity — log2(m) − log2(tf_v) — so a match on the rare sn_0
     outscores one on the common sn_9 by ~4 bits. Name/phone keep their
-    fixed (m, u) literal weights; distractor (i, i+3) pairs still fall
-    to non_link on the phone disagreement."""
+    fixed (m, u) literal weights. Distractor (i, i+3) pairs split
+    between non_link and possible (measured at sf0.01: 60/90): their
+    phones disagree (−6.64 bits) but their names near-agree within
+    Levenshtein 1 and 3/5 of them share a common surname, whose
+    TF-adjusted ~2.5–3.8 bits lift the total above the lower
+    threshold — the documented cost of rewarding common-value
+    agreement at all."""
     from ..operators.fellegi_sunter import tf_adjusted_scores
 
     records, truth, nonmatch = _fs_customers(spark, sf_dir, corrupt="city")
