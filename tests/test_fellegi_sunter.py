@@ -164,3 +164,36 @@ def test_tf_adjustment_rare_value_outscores_common(spark):
         math.log2((1 - m) / (1 - u)), abs=1e-6
     )
     assert out[(1, 8)].score == 0.0 and out[(1, 8)].agree_surname is None
+
+
+def test_er_pipeline_clusters_match_planted_truth(spark):
+    """Composite blocking→FS→threshold→CC pipeline recovers exactly the
+    planted (orig, orig+1M) pairs whose city survived as 2-clusters
+    keyed by the original rec_id. The every-20th pairs whose city the
+    fixture blanked score 11.71 < the 12-bit link threshold (the
+    designed 'possible' band) and stay singletons — pairwise precision
+    1.0, recall = the deliberate city-corruption cost."""
+    from type_filtered_entity_linker_spark.plans.driver_queries import (
+        _fs_customers,
+        q_er_pipeline_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r["rec_id"]: r["cluster_id"]
+        for r in q_er_pipeline_clusters(spark, sf).collect()
+    }
+    _, truth, _ = _fs_customers(spark, sf, corrupt="city")
+    tpairs = [(r["id_a"], r["id_b"]) for r in truth.collect()]
+    assert tpairs, "fixture must plant duplicates"
+    linked = [(a, b) for a, b in tpairs if a % 20 != 0]
+    blanked = [(a, b) for a, b in tpairs if a % 20 == 0]
+    assert linked and blanked, "fixture must exercise both bands"
+    for a, b in linked:  # clean-city planted pairs co-cluster
+        assert out[a] == out[b] == a
+    for a, b in blanked:  # blanked-city pairs fall below threshold
+        assert out[a] == a and out[b] == b
+    planted = {x for p in tpairs for x in p}
+    for rec, cid in out.items():  # precision: everyone else a singleton
+        if rec not in planted:
+            assert cid == rec

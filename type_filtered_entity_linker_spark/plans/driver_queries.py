@@ -2662,6 +2662,144 @@ ER_SNM_SQL = """
 """
 
 
+ER_PIPE_SNM_W = 2
+
+
+def q_er_pipeline_clusters(spark, sf_dir) -> DataFrame:
+    """The composite dirty-record ER pipeline — the flagship shape of
+    this tier end-to-end in ONE query: multi-scheme blocking (union of
+    phone-exact equi blocks and name sorted-neighborhood at window 2 —
+    belt and braces: a record corrupted in either field is still
+    caught by the other scheme) → Fellegi–Sunter scoring of the
+    blocked pairs → link-threshold edge set → transitive clustering by
+    the iterative large-star/small-star connected-components loop →
+    one (rec_id, cluster_id) row per record, singletons self-assigned.
+
+    Planted (orig, truncated-copy) pairs score name-near + phone-agree
+    ≥ 14.1 bits and link; phone-collision and rank-adjacent distractor
+    pairs stay under the 12-bit threshold. The oracle replicates the
+    whole pipeline in SQL, with the CC loop as a recursive CTE
+    propagating reachable labels over the symmetrized link edges —
+    exact hash parity therefore pins blocking, scoring, thresholding
+    AND the distributed fixpoint in one gate.
+
+    Scale shape: phone blocks are equi-join bounded by block size, SNM
+    is O(n·w) by the rank-bucket join, scoring shuffles pairs on
+    rec_id only, and CC is the O(log n)-round loop — no stage is
+    quadratic in the corpus."""
+    from ..operators.clustering import connected_components
+    from ..operators.fellegi_sunter import fellegi_sunter_scores
+    from ..operators.sorted_neighborhood import sorted_neighborhood_pairs
+
+    records, _, _ = _fs_customers(spark, sf_dir, corrupt="city")
+    ph = records.select("rec_id", "phone")
+    phone_pairs = (
+        ph.alias("a")
+        .join(ph.alias("b"), "phone")
+        .where(F.col("a.rec_id") < F.col("b.rec_id"))
+        .select(
+            F.col("a.rec_id").alias("id_a"), F.col("b.rec_id").alias("id_b")
+        )
+    )
+    snm_pairs = sorted_neighborhood_pairs(
+        records, ["name"], window=ER_PIPE_SNM_W
+    ).select("id_a", "id_b")
+    pairs = phone_pairs.unionByName(snm_pairs).distinct()
+    scored = fellegi_sunter_scores(
+        records, pairs, FS_PARAMS, near=FS_NEAR, upper=FS_UPPER, lower=FS_LOWER
+    )
+    edges = scored.where(F.col("score") >= FS_UPPER).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    assign = connected_components(edges).withColumnRenamed("node", "rec_id")
+    return (
+        records.select("rec_id")
+        .join(assign, "rec_id", "left")
+        .select(
+            F.col("rec_id").cast("long").alias("rec_id"),
+            F.coalesce("cluster_id", F.col("rec_id"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+
+
+def _er_pipeline_oracle_sql() -> str:
+    """DuckDB replica of the full pipeline: same corpus CTE, same
+    blocking union (equi self-join + one-window row_number rank
+    neighborhood), same agreement CASEs and python-log2 weight
+    literals in the same field order, then connected components as a
+    recursive CTE: seed every node labeled by itself, propagate labels
+    along symmetrized link edges until fixpoint (UNION dedups), and
+    take min(label) per node — exactly the min-node cluster id the
+    large-star/small-star loop converges to."""
+    from ..operators.fellegi_sunter import fs_weights
+
+    terms = []
+    agrees = []
+    for f, (m, u) in FS_PARAMS.items():
+        t = FS_NEAR.get(f, 0)
+        agrees.append(
+            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
+            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
+            f"AS agree_{f}"
+        )
+        wa, wd = fs_weights(m, u)
+        terms.append(
+            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
+            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
+        )
+    score = " + ".join(["0.0"] + terms)
+    return f"""
+    WITH RECURSIVE clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               CASE WHEN rec_id % 20 = 0 THEN 'unknown' ELSE city END,
+               phone
+        FROM clean WHERE rec_id % 10 = 0),
+    phone_pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM records a JOIN records b
+          ON a.phone = b.phone AND a.rec_id < b.rec_id),
+    ranked AS (SELECT rec_id,
+                      row_number() OVER (ORDER BY name, rec_id) AS rnk
+               FROM records),
+    snm_pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM ranked a
+        JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {ER_PIPE_SNM_W}),
+    pairs AS (SELECT DISTINCT id_a, id_b FROM (
+        SELECT * FROM phone_pairs UNION ALL SELECT * FROM snm_pairs)),
+    ag AS (
+        SELECT p.id_a, p.id_b, {', '.join(agrees)}
+        FROM pairs p
+        JOIN records a ON p.id_a = a.rec_id
+        JOIN records b ON p.id_b = b.rec_id),
+    sc AS (SELECT *, round({score}, 6) AS score FROM ag),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM sc WHERE score >= {FS_UPPER!r}
+        UNION
+        SELECT id_b, id_a FROM sc WHERE score >= {FS_UPPER!r}),
+    walk(node, lbl) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node)
+    SELECT r.rec_id::BIGINT AS rec_id,
+           coalesce(c.cluster_id, r.rec_id)::BIGINT AS cluster_id
+    FROM records r LEFT JOIN comp c ON r.rec_id = c.node
+"""
+
+
+ER_PIPELINE_SQL = _er_pipeline_oracle_sql()
+
+
 # messy synthetic crawl URLs, built identically in both engines (the
 # driver corpus has no url column): three shapes exercising case norm,
 # www/default-port stripping, tracking-param removal, param sorting,
@@ -4110,6 +4248,7 @@ QUERIES = {
     "er_tf_adjusted": q_er_tf_adjusted,
     "er_meta_blocking_quality": q_er_meta_blocking_quality,
     "er_sorted_neighborhood": q_er_sorted_neighborhood,
+    "er_pipeline_clusters": q_er_pipeline_clusters,
     "url_canonicalize": q_url_canonicalize,
     "media_features": q_media_features,
     "events_hourly_window": q_events_window,
@@ -4198,6 +4337,7 @@ ORACLES = {
     "er_tf_adjusted": ER_TF_SQL,
     "er_meta_blocking_quality": ER_META_BLOCK_QUALITY_SQL,
     "er_sorted_neighborhood": ER_SNM_SQL,
+    "er_pipeline_clusters": ER_PIPELINE_SQL,
     "url_canonicalize": URL_CANON_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "events_hourly_window": EVENTS_WINDOW_SQL,
