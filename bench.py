@@ -39,6 +39,9 @@ HEADLINE = [
     # head-shingle stress: every doc shares a boilerplate footer; at
     # sf0.1 the DF-cut prunes those shingles — bounded runtime evidence
     "dedup_ngram_boilerplate",
+    # exact prefix-filter similarity join (lossless AllPairs; compare
+    # against dedup_ngram_*'s DF-cut numbers at the same sf)
+    "dedup_allpairs",
     "dedup_simhash",
     "dedup_embedding",
     "ann_topk_bruteforce",

@@ -1,0 +1,174 @@
+"""Round-3 ER additions: prefix-filter exact similarity join (AllPairs),
+B-cubed cluster metrics, reciprocal-best one-to-one matching."""
+
+import math
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from type_filtered_entity_linker_spark.operators.evaluation import (
+    bcubed_metrics,
+)
+from type_filtered_entity_linker_spark.operators.matching import (
+    mutual_best_match,
+)
+from type_filtered_entity_linker_spark.operators.set_similarity import (
+    all_pairs_join,
+)
+
+
+def _brute_force(docs: dict[int, str], t: float) -> set[tuple[int, int, float]]:
+    sets = {
+        i: set(tok for tok in text.split() if tok) for i, text in docs.items()
+    }
+    out = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not sets[a] or not sets[b]:
+                continue
+            ov = len(sets[a] & sets[b])
+            un = len(sets[a] | sets[b])
+            j = ov / un
+            if j >= t:
+                out.add((a, b, round(j, 6)))
+    return out
+
+
+def _spark_result(spark, docs: dict[int, str], t: float):
+    df = spark.createDataFrame(
+        [(i, s) for i, s in docs.items()], "doc_id long, text string"
+    )
+    rows = all_pairs_join(df, threshold=t).collect()
+    return {(r.doc_a, r.doc_b, round(r.jaccard, 6)) for r in rows}
+
+
+def test_allpairs_matches_bruteforce_random(spark):
+    vocab = [f"w{k}" for k in range(40)]
+    rng = random.Random(1234)
+    for seed in range(3):
+        rng.seed(seed)
+        docs = {
+            i: " ".join(
+                rng.choices(vocab, k=rng.randint(1, 15))
+            )
+            for i in range(60)
+        }
+        # plant near-duplicates so the >= t band is populated
+        for i in range(0, 60, 7):
+            toks = docs[i].split()
+            docs[1000 + i] = " ".join(toks[1:]) if len(toks) > 1 else docs[i]
+        for t in (0.5, 0.6, 0.8):
+            assert _spark_result(spark, docs, t) == _brute_force(docs, t), (
+                f"seed={seed} t={t}"
+            )
+
+
+def test_allpairs_exact_threshold_boundary(spark):
+    # J = 3/5 = 0.6 exactly: the subset pair must survive at t=0.6
+    docs = {1: "x y z", 2: "x y z u v", 3: "p q r s"}
+    got = _spark_result(spark, docs, 0.6)
+    assert got == {(1, 2, 0.6)}
+
+
+def test_allpairs_identical_and_empty_docs(spark):
+    docs = {1: "a b c", 2: "a b c", 3: "", 4: "   ", 5: "unique tokens here"}
+    got = _spark_result(spark, docs, 0.9)
+    assert got == {(1, 2, 1.0)}
+
+
+def test_bcubed_hand_example(spark):
+    # clusters {1,2,3},{4,5}; classes {1,2},{3,4},{5}
+    rows = [(1, 10, 100), (2, 10, 100), (3, 10, 200), (4, 20, 200), (5, 20, 300)]
+    df = spark.createDataFrame(
+        rows, "rec_id long, cluster_id long, class_id long"
+    )
+    m = bcubed_metrics(df).collect()[0]
+    # cells (cluster, class, m): (10,100,2) (10,200,1) (20,200,1) (20,300,1)
+    # P = sum m^2/|cluster| / N, R = sum m^2/|class| / N
+    p = (4 / 3 + 1 / 3 + 1 / 2 + 1 / 2) / 5
+    r = (2 + 1 / 2 + 1 / 2 + 1) / 5
+    assert m.n_records == 5
+    assert m.bcubed_precision == pytest.approx(round(p, 6), abs=1e-9)
+    assert m.bcubed_recall == pytest.approx(round(r, 6), abs=1e-9)
+    assert m.bcubed_f1 == pytest.approx(
+        round(2 * p * r / (p + r), 6), abs=1e-9
+    )
+
+
+def test_bcubed_perfect_clustering(spark):
+    rows = [(i, i % 3, i % 3) for i in range(9)]
+    df = spark.createDataFrame(
+        rows, "rec_id long, cluster_id long, class_id long"
+    )
+    m = bcubed_metrics(df).collect()[0]
+    assert (m.bcubed_precision, m.bcubed_recall, m.bcubed_f1) == (1.0, 1.0, 1.0)
+
+
+def test_mutual_best_reciprocal_and_ties(spark):
+    pairs = [
+        ("a1", "b1", 0.9),
+        ("a1", "b2", 0.8),
+        ("a2", "b1", 0.7),  # a2's best is b1, but b1 prefers a1 -> unmatched
+        ("a2", "b2", 0.6),
+        ("a3", "b3", 0.5),  # tie a3: b3 vs b4 -> lower partner id b3 wins
+        ("a3", "b4", 0.5),
+    ]
+    df = spark.createDataFrame(pairs, "id_a string, id_b string, score double")
+    got = {(r.id_a, r.id_b) for r in mutual_best_match(df).collect()}
+    assert got == {("a1", "b1"), ("a3", "b3")}
+    # one-to-one by construction
+    lefts = [a for a, _ in got]
+    rights = [b for _, b in got]
+    assert len(lefts) == len(set(lefts)) and len(rights) == len(set(rights))
+
+
+def test_mutual_best_passthrough_columns(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 1.0, "link")],
+        "id_a string, id_b string, score double, decision string",
+    )
+    out = mutual_best_match(df)
+    assert set(out.columns) == {"id_a", "id_b", "score", "decision"}
+    assert out.collect()[0].decision == "link"
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    # mirror token_shingles: \s+ split, short-doc whole-text fallback
+    import re
+
+    toks = re.split(r"\s+", text)
+    if len(toks) >= n:
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return {" ".join(toks)}
+
+
+def test_allpairs_shingle_mode_matches_bruteforce(spark):
+    rng = random.Random(7)
+    vocab = [f"w{k}" for k in range(30)]
+    docs = {
+        i: " ".join(rng.choices(vocab, k=rng.randint(1, 20)))
+        for i in range(40)
+    }
+    for i in range(0, 40, 5):
+        toks = docs[i].split()
+        docs[2000 + i] = " ".join(toks[1:]) if len(toks) > 1 else docs[i]
+    t = 0.6
+    exp = set()
+    ids = sorted(docs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            sa, sb = _shingles(docs[a]), _shingles(docs[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                exp.add((a, b, round(j, 6)))
+    df = spark.createDataFrame(
+        [(i, s) for i, s in docs.items()], "doc_id long, text string"
+    )
+    rows = all_pairs_join(df, threshold=t, shingle_n=3).collect()
+    got = {(r.doc_a, r.doc_b, round(r.jaccard, 6)) for r in rows}
+    assert got == exp

@@ -109,3 +109,54 @@ def pairwise_f1_spark(clusters: DataFrame, labeled_pairs: DataFrame) -> DataFram
             "n_pairs_evaluated"
         ),
     )
+
+
+def bcubed_metrics(assignments: DataFrame) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin '98) of predicted
+    clusters vs gold classes — the per-RECORD counterpart of
+    ``pairwise_f1_spark`` (pairwise F1 weights a cluster's error
+    quadratically in its size; B-cubed weights each record equally, so
+    it is the standard second axis for grading ER cluster output).
+
+    ``assignments``: one row per record with (rec_id, cluster_id,
+    class_id) — predicted cluster and gold class.
+
+    For record i with cluster C(i) and class T(i), the overlap
+    o(i) = |C(i) ∩ T(i)| depends only on the (cluster, class) CELL the
+    record falls in, so the whole metric collapses to aggregations
+    over the contingency cells — NO self-join, no per-record fanout:
+
+        B3P = (1/N) * sum_cells m^2 / |cluster|
+        B3R = (1/N) * sum_cells m^2 / |class|
+
+    where m is the cell size. Plan: three hash aggregations (cells,
+    cluster sizes, class sizes) + two joins of the cell table against
+    the two size tables — every intermediate is at most one row per
+    distinct (cluster, class) pair, far smaller than the input at any
+    scale. Returns one row (n_records, bcubed_precision,
+    bcubed_recall, bcubed_f1), rounded to 6.
+    """
+    cells = assignments.groupBy("cluster_id", "class_id").agg(
+        F.count("*").alias("m")
+    )
+    csize = assignments.groupBy("cluster_id").agg(
+        F.count("*").alias("cs")
+    )
+    tsize = assignments.groupBy("class_id").agg(F.count("*").alias("ts"))
+    per_cell = (
+        cells.join(csize, "cluster_id")
+        .join(tsize, "class_id")
+        .agg(
+            F.sum(F.col("m") * F.col("m") / F.col("cs")).alias("pnum"),
+            F.sum(F.col("m") * F.col("m") / F.col("ts")).alias("rnum"),
+            F.sum("m").alias("n"),
+        )
+    )
+    p = F.col("pnum") / F.col("n")
+    r = F.col("rnum") / F.col("n")
+    return per_cell.select(
+        F.col("n").alias("n_records"),
+        F.round(p, 6).alias("bcubed_precision"),
+        F.round(r, 6).alias("bcubed_recall"),
+        F.round(2 * p * r / (p + r), 6).alias("bcubed_f1"),
+    )

@@ -2800,6 +2800,176 @@ def _er_pipeline_oracle_sql() -> str:
 ER_PIPELINE_SQL = _er_pipeline_oracle_sql()
 
 
+def q_er_bcubed(spark, sf_dir) -> DataFrame:
+    """B-cubed P/R/F1 of the composite ER pipeline's clusters against
+    the planted ground truth (a dirty copy's gold class is its clean
+    original: rec_id mod 1,000,000). Complements the pairwise-F1 gate:
+    pairwise weighs a big wrong cluster quadratically, B-cubed weighs
+    every record once — both axes now sit in the driver gate."""
+    from ..operators.evaluation import bcubed_metrics
+
+    assign = q_er_pipeline_clusters(spark, sf_dir).select(
+        "rec_id",
+        "cluster_id",
+        (F.col("rec_id") % 1000000).alias("class_id"),
+    )
+    return bcubed_metrics(assign)
+
+
+ER_BCUBED_SQL = f"""
+    WITH asn AS (
+        SELECT rec_id, cluster_id, rec_id % 1000000 AS class_id
+        FROM ({ER_PIPELINE_SQL})),
+    cells AS (SELECT cluster_id, class_id, count(*) AS m
+              FROM asn GROUP BY 1, 2),
+    cs AS (SELECT cluster_id, count(*) AS cs FROM asn GROUP BY 1),
+    ts AS (SELECT class_id, count(*) AS ts FROM asn GROUP BY 1),
+    agg AS (SELECT sum(m * m / cs.cs) AS pnum,
+                   sum(m * m / ts.ts) AS rnum,
+                   sum(m) AS n
+            FROM cells JOIN cs USING (cluster_id) JOIN ts USING (class_id))
+    SELECT n::BIGINT AS n_records,
+           round(pnum / n, 6) AS bcubed_precision,
+           round(rnum / n, 6) AS bcubed_recall,
+           round(2 * (pnum / n) * (rnum / n) / ((pnum / n) + (rnum / n)), 6)
+               AS bcubed_f1
+    FROM agg
+"""
+
+
+def q_er_mutual_best(spark, sf_dir) -> DataFrame:
+    """Clean-clean ER assignment: the pipeline's blocked pairs (phone
+    equi ∪ name sorted-neighborhood), FS-scored, restricted to the
+    bipartite clean→dirty direction, then resolved to a ONE-TO-ONE
+    matching by reciprocal best (operators/matching.py) — the
+    resolution a duplicate-free-sources linkage needs instead of
+    transitive clustering. Ties (FS scores are sums of a few weight
+    literals, so equal scores are common) break on the lower partner
+    id in both engines."""
+    from ..operators.fellegi_sunter import fellegi_sunter_scores
+    from ..operators.matching import mutual_best_match
+    from ..operators.sorted_neighborhood import sorted_neighborhood_pairs
+
+    records, _, _ = _fs_customers(spark, sf_dir, corrupt="city")
+    ph = records.select("rec_id", "phone")
+    phone_pairs = (
+        ph.alias("a")
+        .join(ph.alias("b"), "phone")
+        .where(F.col("a.rec_id") < F.col("b.rec_id"))
+        .select(
+            F.col("a.rec_id").alias("id_a"), F.col("b.rec_id").alias("id_b")
+        )
+    )
+    snm_pairs = sorted_neighborhood_pairs(
+        records, ["name"], window=ER_PIPE_SNM_W
+    ).select("id_a", "id_b")
+    pairs = phone_pairs.unionByName(snm_pairs).distinct()
+    scored = fellegi_sunter_scores(
+        records, pairs, FS_PARAMS, near=FS_NEAR, upper=FS_UPPER, lower=FS_LOWER
+    )
+    bip = scored.where(
+        (F.col("id_a") < 1000000) & (F.col("id_b") >= 1000000)
+    )
+    return mutual_best_match(bip)
+
+
+def _er_mutual_best_oracle_sql() -> str:
+    """Replica: pipeline CTEs up to the scored pairs, bipartite
+    restriction, then two row_number argmaxes joined on rank-1 both
+    ways — reciprocal best with the same (score DESC, partner ASC)
+    tie-break."""
+    from ..operators.fellegi_sunter import fs_weights
+
+    terms = []
+    agrees = []
+    for f, (m, u) in FS_PARAMS.items():
+        t = FS_NEAR.get(f, 0)
+        agrees.append(
+            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
+            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
+            f"AS agree_{f}"
+        )
+        wa, wd = fs_weights(m, u)
+        terms.append(
+            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
+            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
+        )
+    score = " + ".join(["0.0"] + terms)
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               CASE WHEN rec_id % 20 = 0 THEN 'unknown' ELSE city END,
+               phone
+        FROM clean WHERE rec_id % 10 = 0),
+    phone_pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM records a JOIN records b
+          ON a.phone = b.phone AND a.rec_id < b.rec_id),
+    ranked AS (SELECT rec_id,
+                      row_number() OVER (ORDER BY name, rec_id) AS rnk
+               FROM records),
+    snm_pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM ranked a
+        JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {ER_PIPE_SNM_W}),
+    pairs AS (SELECT DISTINCT id_a, id_b FROM (
+        SELECT * FROM phone_pairs UNION ALL SELECT * FROM snm_pairs)),
+    ag AS (
+        SELECT p.id_a, p.id_b, {', '.join(agrees)}
+        FROM pairs p
+        JOIN records a ON p.id_a = a.rec_id
+        JOIN records b ON p.id_b = b.rec_id),
+    sc AS (SELECT *, round({score}, 6) AS score FROM ag),
+    dec AS (SELECT *,
+                   CASE WHEN score >= {FS_UPPER!r} THEN 'link'
+                        WHEN score < {FS_LOWER!r} THEN 'non_link'
+                        ELSE 'possible' END AS decision
+            FROM sc
+            WHERE id_a < 1000000 AND id_b >= 1000000),
+    ba AS (SELECT *, row_number() OVER (PARTITION BY id_a
+                                        ORDER BY score DESC, id_b) AS rn
+           FROM dec),
+    bb AS (SELECT id_a, id_b,
+                  row_number() OVER (PARTITION BY id_b
+                                     ORDER BY score DESC, id_a) AS rn
+           FROM dec)
+    SELECT ba.id_a, ba.id_b, agree_name, agree_city, agree_phone,
+           score, decision
+    FROM ba JOIN bb ON ba.id_a = bb.id_a AND ba.id_b = bb.id_b
+    WHERE ba.rn = 1 AND bb.rn = 1
+"""
+
+
+ER_MUTUAL_BEST_SQL = _er_mutual_best_oracle_sql()
+
+
+def q_dedup_allpairs(spark, sf_dir) -> DataFrame:
+    """Exact Jaccard >= 0.6 similarity self-join on 3-word-shingle
+    sets by prefix filtering (operators/set_similarity.py): the EXACT
+    complement to MinHash-LSH (probabilistic) and the DF-cut n-gram
+    join (exact only below the cut) — bounded candidate generation
+    with zero recall loss at any scale. Same shingle universe and the
+    SAME brute-force oracle as dedup_minhash_lsh: two independent
+    distributed algorithms (banded LSH + verify vs df-ordered prefix
+    join) pinned to one ground truth — and for this one the
+    exactness is a theorem, not a recall measurement."""
+    from ..operators.set_similarity import all_pairs_join
+
+    return all_pairs_join(
+        _neardup_corpus(spark, sf_dir), threshold=0.6, shingle_n=3
+    )
+
+
+DEDUP_ALLPAIRS_SQL = _jaccard_oracle_sql(NEARDUP_CORPUS_SQL)
+
+
 # messy synthetic crawl URLs, built identically in both engines (the
 # driver corpus has no url column): three shapes exercising case norm,
 # www/default-port stripping, tracking-param removal, param sorting,
@@ -4249,6 +4419,9 @@ QUERIES = {
     "er_meta_blocking_quality": q_er_meta_blocking_quality,
     "er_sorted_neighborhood": q_er_sorted_neighborhood,
     "er_pipeline_clusters": q_er_pipeline_clusters,
+    "er_bcubed": q_er_bcubed,
+    "er_mutual_best": q_er_mutual_best,
+    "dedup_allpairs": q_dedup_allpairs,
     "url_canonicalize": q_url_canonicalize,
     "media_features": q_media_features,
     "events_hourly_window": q_events_window,
@@ -4338,6 +4511,9 @@ ORACLES = {
     "er_meta_blocking_quality": ER_META_BLOCK_QUALITY_SQL,
     "er_sorted_neighborhood": ER_SNM_SQL,
     "er_pipeline_clusters": ER_PIPELINE_SQL,
+    "er_bcubed": ER_BCUBED_SQL,
+    "er_mutual_best": ER_MUTUAL_BEST_SQL,
+    "dedup_allpairs": DEDUP_ALLPAIRS_SQL,
     "url_canonicalize": URL_CANON_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "events_hourly_window": EVENTS_WINDOW_SQL,
