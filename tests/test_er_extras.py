@@ -172,3 +172,90 @@ def test_allpairs_shingle_mode_matches_bruteforce(spark):
     rows = all_pairs_join(df, threshold=t, shingle_n=3).collect()
     got = {(r.doc_a, r.doc_b, round(r.jaccard, 6)) for r in rows}
     assert got == exp
+
+
+def test_jw_boost_threshold_duckdb_parity():
+    """boost_threshold=0.7 must be bit-identical to DuckDB's native
+    jaro_winkler_similarity on non-empty strings (the documented
+    divergence is both-empty only: ours 1.0, DuckDB 0.0)."""
+    import duckdb
+    import numpy as np
+
+    from type_filtered_entity_linker_spark.functions.strings import (
+        jaro_winkler_batch,
+    )
+
+    rng = random.Random(99)
+    pairs = []
+    for _ in range(2000):
+        n1, n2 = rng.randint(1, 12), rng.randint(0, 12)
+        pairs.append(
+            (
+                "".join(rng.choices("abcdef", k=n1)),
+                "".join(rng.choices("abcdef", k=n2)),
+            )
+        )
+    con = duckdb.connect()
+    got = jaro_winkler_batch(
+        [p[0] for p in pairs], [p[1] for p in pairs], boost_threshold=0.7
+    )
+    want = np.array(
+        [
+            con.execute(
+                "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+            ).fetchone()[0]
+            for a, b in pairs
+        ]
+    )
+    assert np.abs(got - want).max() == 0.0
+
+
+def test_jw_default_threshold_unchanged():
+    """boost_threshold default must reproduce the historic always-boost
+    outputs (the scorer's goldens depend on them)."""
+    from type_filtered_entity_linker_spark.functions.strings import (
+        jaro_winkler_batch,
+    )
+
+    a = ["martha", "dwayne", "bedecea", ""]
+    b = ["marhta", "duane", "bedabb", ""]
+    legacy = jaro_winkler_batch(a, b)
+    dflt = jaro_winkler_batch(a, b, boost_threshold=0.0)
+    assert (legacy == dflt).all()
+
+
+def test_monge_elkan_hand_example(spark):
+    from type_filtered_entity_linker_spark.operators.matching import (
+        monge_elkan_scores,
+    )
+    from type_filtered_entity_linker_spark.functions.strings import (
+        jaro_winkler_batch,
+    )
+
+    recs = spark.createDataFrame(
+        [(1, "peter christen smith"), (2, "smith peter"), (3, "zzz qqq")],
+        "rec_id long, fullname string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in monge_elkan_scores(recs, pairs, "fullname").collect()
+    }
+
+    def jw(a, b):
+        return float(jaro_winkler_batch([a], [b], boost_threshold=0.7)[0])
+
+    A = "peter christen smith".split()
+    B = "smith peter".split()
+    me_ab = sum(max(jw(ta, tb) for tb in B) for ta in A) / len(A)
+    me_ba = sum(max(jw(tb, ta) for ta in A) for tb in B) / len(B)
+    r = rows[(1, 2)]
+    assert r.me_ab == pytest.approx(round(me_ab, 6), abs=1e-9)
+    assert r.me_ba == pytest.approx(round(me_ba, 6), abs=1e-9)
+    assert r.monge_elkan == pytest.approx(
+        round((me_ab + me_ba) / 2, 6), abs=1e-9
+    )
+    # reordered shared tokens score high; unrelated pair scores low
+    assert rows[(1, 2)].monge_elkan > 0.8 > rows[(1, 3)].monge_elkan

@@ -33,9 +33,21 @@ def _to_codes(strings: "np.ndarray | list[str]", max_len: int) -> np.ndarray:
     return out
 
 
-def jaro_winkler_batch(a: "list[str] | np.ndarray", b: "list[str] | np.ndarray") -> np.ndarray:
+def jaro_winkler_batch(
+    a: "list[str] | np.ndarray",
+    b: "list[str] | np.ndarray",
+    boost_threshold: float = 0.0,
+) -> np.ndarray:
     """Jaro-Winkler similarity for n string pairs, vectorized across the
-    batch dimension (loops only over character positions, max_len²)."""
+    batch dimension (loops only over character positions, max_len²).
+
+    ``boost_threshold``: the Winkler prefix boost applies only where
+    jaro > boost_threshold. The historic default 0.0 boosts always
+    (byte-identical to the original scorer outputs — jaro == 0 with a
+    nonzero prefix is impossible, a shared first char is a match);
+    0.7 is the classic strcmp95 setting and matches DuckDB's
+    jaro_winkler_similarity bit-for-bit on non-empty strings (the one
+    divergence: both-empty, where this returns 1.0 and DuckDB 0.0)."""
     a = ["" if x is None else x for x in a]
     b = ["" if x is None else x for x in b]
     n = len(a)
@@ -107,7 +119,8 @@ def jaro_winkler_batch(a: "list[str] | np.ndarray", b: "list[str] | np.ndarray")
         np.minimum(np.minimum(la, lb), 4),
         prefix_eq.argmin(axis=1),
     ).astype(np.float64)
-    return jaro + prefix * 0.1 * (1.0 - jaro)
+    boosted = jaro + prefix * 0.1 * (1.0 - jaro)
+    return np.where(jaro > boost_threshold, boosted, jaro)
 
 
 def levenshtein_batch(a: "list[str]", b: "list[str]") -> np.ndarray:

@@ -2950,6 +2950,73 @@ def _er_mutual_best_oracle_sql() -> str:
 ER_MUTUAL_BEST_SQL = _er_mutual_best_oracle_sql()
 
 
+def q_er_monge_elkan(spark, sf_dir) -> DataFrame:
+    """Monge–Elkan hybrid similarity (operators/matching.py) over the
+    dirty-customer truth + distractor pairs, on the concatenated
+    multi-token record string (name + city + phone): per-token best
+    Jaro-Winkler, averaged, symmetrized. JW runs with the strcmp95
+    0.7 boost threshold, which is bit-identical to DuckDB's native
+    jaro_winkler_similarity on non-empty tokens — so the oracle
+    replicates the whole scorer with the SQL builtin and the hash
+    match pins OUR vectorized numpy JW kernel against an independent
+    C++ implementation, token for token."""
+    from ..operators.matching import monge_elkan_scores
+
+    records, truth, nonmatch = _fs_customers(spark, sf_dir, corrupt="city")
+    recs = records.select(
+        "rec_id",
+        F.concat_ws(" ", "name", "city", "phone").alias("fullname"),
+    )
+    pairs = truth.unionByName(nonmatch)
+    return monge_elkan_scores(recs, pairs, "fullname")
+
+
+ER_MONGE_ELKAN_SQL = """
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               CASE WHEN rec_id % 20 = 0 THEN 'unknown' ELSE city END,
+               phone
+        FROM clean WHERE rec_id % 10 = 0),
+    pairs AS (
+        SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id, rec_id + 3 FROM clean WHERE rec_id % 10 = 0),
+    recs AS (SELECT rec_id,
+                    string_split(name || ' ' || city || ' ' || phone, ' ')
+                        AS l
+             FROM records),
+    toks AS (SELECT rec_id, unnest(l) AS tok,
+                    generate_subscripts(l, 1) - 1 AS pos
+             FROM recs),
+    cr AS (SELECT p.id_a, p.id_b, a.pos AS pos_a, b.pos AS pos_b,
+                  jaro_winkler_similarity(a.tok, b.tok) AS s
+           FROM pairs p
+           JOIN toks a ON a.rec_id = p.id_a
+           JOIN toks b ON b.rec_id = p.id_b),
+    ab AS (SELECT id_a, id_b, avg(best) AS me_ab FROM (
+               SELECT id_a, id_b, pos_a, max(s) AS best
+               FROM cr GROUP BY 1, 2, 3)
+           GROUP BY 1, 2),
+    ba AS (SELECT id_a, id_b, avg(best) AS me_ba FROM (
+               SELECT id_a, id_b, pos_b, max(s) AS best
+               FROM cr GROUP BY 1, 2, 3)
+           GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(me_ab, 6) AS me_ab,
+           round(me_ba, 6) AS me_ba,
+           round((me_ab + me_ba) / 2, 6) AS monge_elkan
+    FROM ab JOIN ba USING (id_a, id_b)
+"""
+
+
 def q_dedup_allpairs(spark, sf_dir) -> DataFrame:
     """Exact Jaccard >= 0.6 similarity self-join on 3-word-shingle
     sets by prefix filtering (operators/set_similarity.py): the EXACT
@@ -4421,6 +4488,7 @@ QUERIES = {
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "er_bcubed": q_er_bcubed,
     "er_mutual_best": q_er_mutual_best,
+    "er_monge_elkan": q_er_monge_elkan,
     "dedup_allpairs": q_dedup_allpairs,
     "url_canonicalize": q_url_canonicalize,
     "media_features": q_media_features,
@@ -4513,6 +4581,7 @@ ORACLES = {
     "er_pipeline_clusters": ER_PIPELINE_SQL,
     "er_bcubed": ER_BCUBED_SQL,
     "er_mutual_best": ER_MUTUAL_BEST_SQL,
+    "er_monge_elkan": ER_MONGE_ELKAN_SQL,
     "dedup_allpairs": DEDUP_ALLPAIRS_SQL,
     "url_canonicalize": URL_CANON_SQL,
     "media_features": MEDIA_FEATURES_SQL,
