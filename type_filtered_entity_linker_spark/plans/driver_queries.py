@@ -4418,6 +4418,61 @@ def _pagerank_sql(n_iter: int, damping: float) -> str:
 
 GRAPH_PAGERANK_SQL = _pagerank_sql(PR_ITER, PR_DAMPING)
 
+
+def q_lm_perplexity(spark, sf_dir) -> DataFrame:
+    """CCNet-style bigram-LM perplexity quality filter
+    (operators/lm_quality.py): train an add-0.5 bigram LM on the
+    even-doc_id half of the corpus (two hash aggregations), score
+    EVERY document's cross-entropy/perplexity under it (explode +
+    two LEFT joins; unseen bigrams hit the smoothing floor), and
+    bucket into CCNet head/middle/tail thirds by the exact
+    distributed perplexity rank. Zero UDFs; probabilities are ratios
+    of integer counts, so the oracle replica is exact up to the house
+    round(…, 6)."""
+    from ..operators.lm_quality import lm_quality
+
+    return lm_quality(_docs(spark, sf_dir))
+
+
+LM_PPL_SQL = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    bg_all AS (
+        SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+        FROM (SELECT doc_id, l,
+                     unnest(generate_series(1, len(l) - 1)) AS i
+              FROM tok)
+    ),
+    bg_train AS (SELECT * FROM bg_all WHERE doc_id % 2 = 0),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg_train GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg_train GROUP BY w1),
+    v AS (SELECT count(DISTINCT t) AS vocab
+          FROM (SELECT unnest(l) AS t FROM tok WHERE doc_id % 2 = 0)),
+    nll AS (
+        SELECT b.doc_id,
+               -ln((coalesce(c12.c12, 0) + 0.5)
+                   / (coalesce(c1.c1, 0) + 0.5 * v.vocab)) AS nll
+        FROM bg_all b
+        LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+        LEFT JOIN c1 ON b.w1 = c1.w1
+        CROSS JOIN v
+    ),
+    agg AS (SELECT doc_id, count(*) AS n_bigrams, avg(nll) AS h
+            FROM nll GROUP BY doc_id),
+    ranked AS (
+        SELECT doc_id, n_bigrams, round(h, 6) AS cross_entropy,
+               round(exp(h), 6) AS ppl,
+               row_number() OVER (ORDER BY round(exp(h), 6), doc_id)
+                   AS ppl_rank,
+               count(*) OVER () AS n
+        FROM agg
+    )
+    SELECT doc_id, n_bigrams, cross_entropy, ppl, ppl_rank,
+           CASE WHEN ppl_rank * 3 <= n THEN 'head'
+                WHEN ppl_rank * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS tier
+    FROM ranked
+"""
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -4452,6 +4507,7 @@ QUERIES = {
     "crawl_snapshot_diff": q_crawl_snapshot_diff,
     "docs_merge_upsert": q_docs_merge_upsert,
     "docs_vocab_topk": q_docs_vocab_topk,
+    "docs_lm_perplexity": q_lm_perplexity,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
@@ -4545,6 +4601,7 @@ ORACLES = {
     "crawl_snapshot_diff": SNAPSHOT_DIFF_SQL,
     "docs_merge_upsert": DOCS_MERGE_UPSERT_SQL,
     "docs_vocab_topk": DOCS_VOCAB_SQL,
+    "docs_lm_perplexity": LM_PPL_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_ivf": ANN_TOPK_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
