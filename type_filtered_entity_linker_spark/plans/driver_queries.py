@@ -4473,6 +4473,111 @@ LM_PPL_SQL = """
     FROM ranked
 """
 
+def q_cms_heavy_hitters(spark, sf_dir) -> DataFrame:
+    """Count-Min heavy hitters (operators/sketches.py): top-20 tokens
+    by exact count annotated with their CMS point-query estimate and
+    overestimate. The md5-salted bucket math is replicated cell-for-
+    cell in DuckDB (same hex-fold idiom as the SimHash oracle), so the
+    sketch itself — not just the exact counts — is value-hash-gated."""
+    from ..operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(_docs(spark, sf_dir), k=20)
+
+
+def _hex_fold(expr: str, start: int, length: int) -> str:
+    """DuckDB replica of F.conv(substring(md5(expr), start, length),
+    16, 10): fold hex digits to a BIGINT."""
+    return (
+        f"list_reduce([strpos('0123456789abcdef', substr(md5({expr}), i, 1)) - 1 "
+        f"for i in generate_series({start}, {start + length - 1})], "
+        f"(a, b) -> a * 16 + b)::BIGINT"
+    )
+
+
+CMS_HH_SQL = f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents),
+    exact AS (SELECT token, count(*) AS exact_n FROM toks GROUP BY token
+              ORDER BY exact_n DESC, token ASC LIMIT 20),
+    rows_ AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    cells AS (
+        SELECT j, {_hex_fold("j::VARCHAR || '|' || token", 1, 8)} % 256
+                   AS bucket,
+               count(*) AS cnt
+        FROM toks CROSS JOIN rows_ GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT e.token, j,
+               {_hex_fold("j::VARCHAR || '|' || e.token", 1, 8)} % 256
+                   AS bucket
+        FROM exact e CROSS JOIN rows_
+    ),
+    est AS (
+        SELECT p.token, min(coalesce(c.cnt, 0)) AS cms_est
+        FROM probes p LEFT JOIN cells c USING (j, bucket)
+        GROUP BY p.token
+    )
+    SELECT e.token, e.exact_n, est.cms_est,
+           est.cms_est - e.exact_n AS overestimate
+    FROM exact e JOIN est USING (token)
+"""
+
+
+def q_hll_distinct(spark, sf_dir) -> DataFrame:
+    """HyperLogLog distinct tokens per source (operators/sketches.py):
+    64 md5-addressed registers per group, Flajolet estimator with the
+    small-range linear-counting correction, compared against the exact
+    countDistinct with signed relative error. Register state is
+    replicated exactly in the oracle."""
+    from ..operators.sketches import hll_distinct
+
+    d = _docs(spark, sf_dir).select(
+        "source", F.explode(F.split(F.col("text"), r"\s+")).alias("token")
+    )
+    return hll_distinct(d, "source", "token")
+
+
+_HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / 64) * 64 * 64
+
+HLL_SQL = f"""
+    WITH items AS (SELECT source AS grp,
+                          unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+    hashed AS (
+        SELECT grp,
+               {_hex_fold("token", 1, 2)} % 64 AS bucket,
+               {_hex_fold("token", 3, 15)} AS v
+        FROM items
+    ),
+    reg AS (
+        SELECT grp, bucket,
+               max(CASE WHEN v = 0 THEN 61
+                        ELSE 61 - length(bin(v)) END) AS r
+        FROM hashed GROUP BY grp, bucket
+    ),
+    agg AS (
+        SELECT grp, sum(power(2.0, -r)) AS s_obs, count(*) AS n_obs
+        FROM reg GROUP BY grp
+    ),
+    est AS (
+        SELECT grp,
+               CASE WHEN {_HLL_ALPHA_M2!r} / (s_obs + (64 - n_obs)) <= 160.0
+                         AND (64 - n_obs) > 0
+                    THEN 64.0 * ln(64.0 / (64 - n_obs))
+                    ELSE {_HLL_ALPHA_M2!r} / (s_obs + (64 - n_obs))
+               END AS e
+        FROM agg
+    ),
+    exact AS (SELECT grp, count(DISTINCT token) AS exact_distinct
+              FROM items GROUP BY grp)
+    SELECT exact.grp AS source, exact.exact_distinct,
+           round(est.e, 6) AS hll_est,
+           round((round(est.e, 6) - exact.exact_distinct)
+                 / exact.exact_distinct, 6) AS rel_err
+    FROM exact JOIN est USING (grp)
+"""
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -4508,6 +4613,8 @@ QUERIES = {
     "docs_merge_upsert": q_docs_merge_upsert,
     "docs_vocab_topk": q_docs_vocab_topk,
     "docs_lm_perplexity": q_lm_perplexity,
+    "docs_cms_heavy_hitters": q_cms_heavy_hitters,
+    "docs_hll_distinct": q_hll_distinct,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
@@ -4602,6 +4709,8 @@ ORACLES = {
     "docs_merge_upsert": DOCS_MERGE_UPSERT_SQL,
     "docs_vocab_topk": DOCS_VOCAB_SQL,
     "docs_lm_perplexity": LM_PPL_SQL,
+    "docs_cms_heavy_hitters": CMS_HH_SQL,
+    "docs_hll_distinct": HLL_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_ivf": ANN_TOPK_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
