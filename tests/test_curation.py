@@ -287,3 +287,39 @@ def test_snapshot_diff_null_text_is_presence_not_digest(spark):
     )
     got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     assert got == {1: "changed", 2: "unchanged", 3: "removed"}
+
+
+def test_weighted_sample_matches_pure_python_aes(spark):
+    from math import log
+
+    from type_filtered_entity_linker_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    rows = [(i, 10 + 7 * (i % 13)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+    def py_key(doc_id, w):
+        h = int(hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()[:15], 16)
+        return log((h + 1) / float(1 << 60)) / max(w, 1)
+
+    expect = sorted(rows, key=lambda r: (-py_key(*r), r[0]))[:10]
+    got = weighted_sample(df, k=10, weight_col="n_chars").collect()
+    assert [(r["doc_id"], r["n_chars"]) for r in got] == [
+        (d, w) for d, w in expect
+    ]
+    for r in got:
+        assert r["sample_key"] == round(py_key(r["doc_id"], r["n_chars"]), 6)
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    # one row with overwhelming weight must (essentially always) be
+    # sampled: u^(1/w) -> 1 as w -> inf, and u is bounded away from 0
+    rows = [(i, 1) for i in range(50)] + [(99, 10_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    from type_filtered_entity_linker_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    got = {r["doc_id"] for r in weighted_sample(df, k=5, weight_col="n_chars").collect()}
+    assert 99 in got

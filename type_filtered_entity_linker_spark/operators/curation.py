@@ -486,3 +486,46 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col(id_col), status.alias("status"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-ES, IPL 2006): each row draws u = (md5_60(salt:id)+1)/2^60 in
+    (0, 1] and the k rows with the largest u^(1/w) win — realized as
+    the order-equivalent key ln(u)/w (exp is monotone), which avoids
+    pow() and keeps the key a composition of ops both engines compute
+    identically. Inclusion probability is proportional-to-weight
+    without replacement; the draw is the module's usual content-hash
+    uniform, so the SAMPLE IS A PURE FUNCTION OF THE ROWS — stable
+    under repartitioning and re-reads, unlike rand()-keyed sampling.
+
+    Scale: top-k by key is TakeOrderedAndProject (per-partition heap
+    of k, then a k·partitions merge on the driver) — no global sort,
+    no shuffle. The weighted data-mixing counterpart to
+    ``token_budget_mix``'s budget fill."""
+    from .dedup import shingle_hash
+
+    h = shingle_hash(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")), "md5_60"
+    )
+    # add 1 in INTEGER space, then cast: matches the oracle's
+    # (h + 1)::DOUBLE bit-for-bit (casting first would round h to a
+    # double before the +1 and can differ by an ulp near 2^60)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.log(u) / F.greatest(F.col(weight_col), F.lit(1)).cast("double")
+    return (
+        df.withColumn("_skey", key)
+        .orderBy(F.desc("_skey"), F.asc(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            weight_col,
+            F.round(F.col("_skey"), 6).alias("sample_key"),
+        )
+    )

@@ -4578,6 +4578,29 @@ HLL_SQL = f"""
 """
 
 
+def q_weighted_sample(spark, sf_dir) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample without replacement
+    (operators/curation.py): 50 docs drawn proportional to n_chars via
+    the deterministic md5-uniform key ln(u)/w — repartition-stable by
+    construction, top-k with no global sort."""
+    from ..operators.curation import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), k=50, weight_col="n_chars")
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+    WITH h AS (SELECT doc_id, n_chars,
+                      {_hex_fold("'wsample:' || doc_id::VARCHAR", 1, 15)} AS h
+               FROM documents),
+    k AS (SELECT doc_id, n_chars,
+                 ln((h + 1)::DOUBLE / 1152921504606846976.0)
+                     / greatest(n_chars, 1) AS skey
+          FROM h)
+    SELECT doc_id, n_chars, round(skey, 6) AS sample_key
+    FROM k ORDER BY skey DESC, doc_id ASC LIMIT 50
+"""
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -4615,6 +4638,7 @@ QUERIES = {
     "docs_lm_perplexity": q_lm_perplexity,
     "docs_cms_heavy_hitters": q_cms_heavy_hitters,
     "docs_hll_distinct": q_hll_distinct,
+    "docs_weighted_sample": q_weighted_sample,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
@@ -4711,6 +4735,7 @@ ORACLES = {
     "docs_lm_perplexity": LM_PPL_SQL,
     "docs_cms_heavy_hitters": CMS_HH_SQL,
     "docs_hll_distinct": HLL_SQL,
+    "docs_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_ivf": ANN_TOPK_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
