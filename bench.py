@@ -120,6 +120,14 @@ HEADLINE = [
     "er_meta_blocking_quality",
     # sorted-neighborhood pairs over the distributed global rank
     "er_sorted_neighborhood",
+    # CCNet-style bigram-LM perplexity tiers (two LM-count shuffles +
+    # two scoring joins + exact distributed rank)
+    "docs_lm_perplexity",
+    # mergeable sketches: Count-Min heavy hitters, HLL distinct-per-
+    # source, and the A-ES weighted sample (all single-shuffle)
+    "docs_cms_heavy_hitters",
+    "docs_hll_distinct",
+    "docs_weighted_sample",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
