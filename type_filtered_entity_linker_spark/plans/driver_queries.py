@@ -4601,6 +4601,40 @@ WEIGHTED_SAMPLE_SQL = f"""
 """
 
 
+def q_events_key_skew(spark, sf_dir) -> DataFrame:
+    """Shuffle-key skew report (operators/diagnostics.py) for
+    events.user_id — top-5 heaviest keys + exact fanout distribution
+    summary and the Σ f·(f−1)/2 self-join pair count that predicts
+    quadratic blowup, all from one fanout aggregate."""
+    from ..operators.diagnostics import key_skew_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return key_skew_stats(ev, ["user_id"], top_n=5)
+
+
+EVENTS_KEY_SKEW_SQL = """
+    WITH fan AS (SELECT user_id, count(*) AS fanout
+                 FROM events GROUP BY user_id),
+    summary AS (
+        SELECT sum(fanout)::BIGINT AS n_rows, count(*) AS n_keys,
+               max(fanout) AS max_fanout,
+               round(avg(fanout), 6) AS mean_fanout,
+               round(quantile_cont(fanout, 0.5), 4) AS p50_fanout,
+               round(quantile_cont(fanout, 0.99), 4) AS p99_fanout,
+               coalesce(sum(fanout * (fanout - 1) / 2), 0)::BIGINT
+                   AS selfjoin_pairs
+        FROM fan
+    ),
+    top AS (SELECT user_id, fanout FROM fan
+            ORDER BY fanout DESC, user_id ASC LIMIT 5)
+    SELECT top.user_id, top.fanout,
+           round(top.fanout::DOUBLE / s.n_rows, 6) AS key_share,
+           s.n_rows, s.n_keys, s.max_fanout, s.mean_fanout,
+           s.p50_fanout, s.p99_fanout, s.selfjoin_pairs
+    FROM top CROSS JOIN summary s
+"""
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -4639,6 +4673,7 @@ QUERIES = {
     "docs_cms_heavy_hitters": q_cms_heavy_hitters,
     "docs_hll_distinct": q_hll_distinct,
     "docs_weighted_sample": q_weighted_sample,
+    "events_key_skew": q_events_key_skew,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
@@ -4736,6 +4771,7 @@ ORACLES = {
     "docs_cms_heavy_hitters": CMS_HH_SQL,
     "docs_hll_distinct": HLL_SQL,
     "docs_weighted_sample": WEIGHTED_SAMPLE_SQL,
+    "events_key_skew": EVENTS_KEY_SKEW_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_ivf": ANN_TOPK_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
