@@ -152,6 +152,10 @@ def lm_quality(
     train = docs.where(train_pred)
     bigram_counts, context_counts, vocab = train_bigram_lm(train)
     ppl = lm_perplexity(docs, bigram_counts, context_counts, vocab, k=k)
+    # the count() action and global_rank both consume ppl; checkpoint
+    # once so the LM build + scoring joins run a single time (house
+    # pattern from el_clusters' shared-base memo)
+    ppl = ppl.localCheckpoint()
     n_docs = ppl.count()
     return perplexity_tiers(ppl, n_docs).select(
         "doc_id", "n_bigrams", "cross_entropy", "ppl", "ppl_rank", "tier"

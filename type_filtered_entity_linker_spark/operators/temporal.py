@@ -72,3 +72,64 @@ def asof_join(
         *[c for c in left.columns],
         *[F.col(f"_c.{c}").alias(c) for c in carried],
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    trunc_unit: str = "hour",
+) -> DataFrame:
+    """Interval-overlap (range) join: all (left, right) pairs whose
+    closed intervals intersect — ``l_start <= r_end AND r_start <=
+    l_end``. A naive theta-join is a cross product; this is the
+    standard BANDED plan made exactly-once:
+
+    1. each side explodes to the ``trunc_unit`` buckets its interval
+       covers (``sequence(date_trunc(u, start), date_trunc(u, end))``
+       — narrow, no shuffle),
+    2. EQUI-join on the bucket (one hash shuffle; Catalyst/AQE treat
+       it like any key join),
+    3. keep a pair only in the ONE bucket containing
+       ``greatest(l_start, r_start)`` — the anchor bucket. Any
+       overlapping pair's anchor lies inside both intervals, so it is
+       emitted exactly once and never needs a dedup shuffle.
+
+    Bucket width is the skew/fan-out dial: per-pair emitted rows =
+    interval length / width, and per-bucket join fan-in = concurrent
+    intervals per bucket. Pick the unit near the median interval
+    length (DuckDB's IEJoin and Spark's own range-join hints make the
+    same trade internally). Left/right column names must be disjoint."""
+    unit_interval = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY"}[
+        trunc_unit
+    ]
+
+    def banded(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.date_trunc(trunc_unit, F.col(start)),
+                    F.date_trunc(trunc_unit, F.col(end)),
+                    F.expr(unit_interval),
+                )
+            ),
+        )
+
+    lb = banded(left, l_start, l_end)
+    rb = banded(right, r_start, r_end)
+    anchor = F.date_trunc(
+        trunc_unit, F.greatest(F.col(l_start), F.col(r_start))
+    )
+    return (
+        lb.join(rb, "_bucket")
+        .where(
+            (F.col(l_start) <= F.col(r_end))
+            & (F.col(r_start) <= F.col(l_end))
+            & (F.col("_bucket") == anchor)
+        )
+        .drop("_bucket")
+    )

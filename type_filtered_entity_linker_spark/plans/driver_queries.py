@@ -4635,6 +4635,53 @@ EVENTS_KEY_SKEW_SQL = """
 """
 
 
+def q_events_interval_join(spark, sf_dir) -> DataFrame:
+    """Interval-overlap RANGE join (operators/temporal.py): per-user
+    daily activity intervals × busy-hour incident windows (hours with
+    ≥ 25 events), banded by hour bucket with exactly-once anchor
+    emission — the generic interval join expressed as an equi-join,
+    no cross product, no dedup shuffle. Oracle: DuckDB's plain
+    inequality join (its IEJoin), an independent implementation of
+    the same overlap semantics."""
+    from ..operators.temporal import interval_overlap_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    l = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.min("ts").alias("ls"), F.max("ts").alias("le"))
+    r = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("rs"))
+        .agg(F.count("*").alias("n_ev"))
+        .where(F.col("n_ev") >= 25)
+        .withColumn("re", F.col("rs") + F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = interval_overlap_join(l, r, "ls", "le", "rs", "re")
+    return joined.select(
+        "user_id",
+        "day",
+        F.col("rs").alias("incident_hour"),
+        "n_ev",
+        (
+            F.unix_timestamp(F.least("le", "re"))
+            - F.unix_timestamp(F.greatest("ls", "rs"))
+        ).alias("overlap_secs"),
+    )
+
+
+EVENTS_INTERVAL_SQL = """
+    WITH l AS (SELECT user_id, date_trunc('day', ts) AS day,
+                      min(ts) AS ls, max(ts) AS le
+               FROM events GROUP BY 1, 2),
+    r AS (SELECT rs, n_ev, rs + INTERVAL 1 HOUR AS re FROM (
+            SELECT date_trunc('hour', ts) AS rs, count(*) AS n_ev
+            FROM events GROUP BY 1) WHERE n_ev >= 25)
+    SELECT l.user_id, l.day, r.rs AS incident_hour, r.n_ev,
+           (epoch_us(least(l.le, r.re)) // 1000000
+            - epoch_us(greatest(l.ls, r.rs)) // 1000000) AS overlap_secs
+    FROM l JOIN r ON l.ls <= r.re AND r.rs <= l.le
+"""
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -4674,6 +4721,7 @@ QUERIES = {
     "docs_hll_distinct": q_hll_distinct,
     "docs_weighted_sample": q_weighted_sample,
     "events_key_skew": q_events_key_skew,
+    "events_interval_join": q_events_interval_join,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
@@ -4772,6 +4820,7 @@ ORACLES = {
     "docs_hll_distinct": HLL_SQL,
     "docs_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "events_key_skew": EVENTS_KEY_SKEW_SQL,
+    "events_interval_join": EVENTS_INTERVAL_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_ivf": ANN_TOPK_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
