@@ -128,6 +128,9 @@ HEADLINE = [
     "docs_cms_heavy_hitters",
     "docs_hll_distinct",
     "docs_weighted_sample",
+    # banded interval-overlap range join + shuffle-key skew report
+    "events_interval_join",
+    "events_key_skew",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
