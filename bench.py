@@ -131,6 +131,8 @@ HEADLINE = [
     # banded interval-overlap range join + shuffle-key skew report
     "events_interval_join",
     "events_key_skew",
+    # streaming HLL maintenance (register state, duplicate-delivery)
+    "events_stream_hll",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

@@ -341,3 +341,44 @@ def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
         output_mode="append",
     ).toPandas()
     assert sorted(zip(got["view_id"], got["click_id"])) == [(1, 2), (3, 4)]
+
+
+def test_stream_hll_duplicate_delivery_equals_batch_sketch(spark, tmp_path):
+    """HLL registers as streaming state: the same file delivered twice
+    must drain to EXACTLY the batch register table over one copy
+    (max-merge is idempotent under duplicates), and the estimate must
+    be near-exact in the linear-counting range."""
+    from type_filtered_entity_linker_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from type_filtered_entity_linker_spark.streaming.incremental import (
+        stream_hll_registers,
+    )
+
+    src = str(tmp_path / "hll_ev")
+    rows = [
+        (i, "2024-01-01 00:00:00", i % 7, float(i)) for i in range(40)
+    ]
+    # two identical deliveries
+    _write_events(spark, src, rows)
+    _write_events(spark, src, rows)
+    schema = spark.read.parquet(src).schema
+    got = run_stream_once(
+        stream_hll_registers(
+            spark, src, schema, group_col="event_id", item_col="user_id"
+        ),
+        "t_stream_hll",
+    )
+    # batch sketch over ONE copy (distinct rows)
+    one = spark.read.parquet(src).distinct().select(
+        F.col("event_id").cast("string").alias("g"),
+        F.col("user_id").cast("string").alias("it"),
+    )
+    want = hll_registers(one, "g", "it")
+    got_n = got.withColumn("grp", F.col("grp").cast("string"))
+    diff = got_n.exceptAll(want).count() + want.exceptAll(got_n).count()
+    assert diff == 0
+    ests = hll_estimate(got).collect()
+    # every group has 1 distinct user; linear counting must be tight
+    assert all(abs(r["hll_est"] - 1.0) < 0.2 for r in ests)

@@ -4682,6 +4682,58 @@ EVENTS_INTERVAL_SQL = """
 """
 
 
+def q_events_stream_hll(spark, sf_dir) -> DataFrame:
+    """Streaming HLL distinct users per event_type over the
+    DUPLICATE-delivery staging dir (streaming/incremental.py): the
+    register table is the streaming aggregation state (m·|groups|
+    rows forever, no watermark needed), and max-merge makes the
+    sketch idempotent under re-delivered files — so the drained
+    estimate equals the batch HLL over ONE copy, which the oracle
+    computes exactly."""
+    from ..operators.sketches import hll_estimate
+    from ..streaming.incremental import run_stream_once, stream_hll_registers
+
+    stage = _staged_events_dir_dup(sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    _STREAM_SEQ[0] += 1
+    reg = run_stream_once(
+        stream_hll_registers(spark, stage, schema),
+        f"events_stream_hll_{_STREAM_SEQ[0]}",
+    )
+    return hll_estimate(reg).select(
+        F.col("grp").alias("event_type"), "hll_est"
+    )
+
+
+EVENTS_STREAM_HLL_SQL = f"""
+    WITH items AS (SELECT event_type AS grp, user_id::VARCHAR AS item
+                   FROM events),
+    hashed AS (
+        SELECT grp,
+               {_hex_fold("item", 1, 2)} % 64 AS bucket,
+               {_hex_fold("item", 3, 15)} AS v
+        FROM items
+    ),
+    reg AS (
+        SELECT grp, bucket,
+               max(CASE WHEN v = 0 THEN 61
+                        ELSE 61 - length(bin(v)) END) AS r
+        FROM hashed GROUP BY grp, bucket
+    ),
+    agg AS (
+        SELECT grp, sum(power(2.0, -r)) AS s_obs, count(*) AS n_obs
+        FROM reg GROUP BY grp
+    )
+    SELECT grp AS event_type,
+           round(CASE WHEN {_HLL_ALPHA_M2!r} / (s_obs + (64 - n_obs)) <= 160.0
+                           AND (64 - n_obs) > 0
+                      THEN 64.0 * ln(64.0 / (64 - n_obs))
+                      ELSE {_HLL_ALPHA_M2!r} / (s_obs + (64 - n_obs))
+                 END, 6) AS hll_est
+    FROM agg
+"""
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -4722,6 +4774,7 @@ QUERIES = {
     "docs_weighted_sample": q_weighted_sample,
     "events_key_skew": q_events_key_skew,
     "events_interval_join": q_events_interval_join,
+    "events_stream_hll": q_events_stream_hll,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
@@ -4821,6 +4874,7 @@ ORACLES = {
     "docs_weighted_sample": WEIGHTED_SAMPLE_SQL,
     "events_key_skew": EVENTS_KEY_SKEW_SQL,
     "events_interval_join": EVENTS_INTERVAL_SQL,
+    "events_stream_hll": EVENTS_STREAM_HLL_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_ivf": ANN_TOPK_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,

@@ -469,3 +469,36 @@ def incremental_link_pages(
     q.awaitTermination()
     q.stop()
     return links_path
+
+
+def stream_hll_registers(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    group_col: str = "event_type",
+    item_col: str = "user_id",
+    m: int = 64,
+) -> DataFrame:
+    """Streaming HyperLogLog maintenance: the register table
+    (grp, bucket, max rank) AS the streaming aggregation state. Each
+    micro-batch folds map-side into ≤ m rows per group before the
+    state lookup, state size is m·|groups| FOREVER (no watermark
+    needed — the sketch never grows with stream length), and because
+    merge is max(), re-delivered files change nothing: the sketch is
+    idempotent under duplicates by construction, which is why the
+    driver query feeds it the duplicate-delivery staging dir. Hash
+    math is ``operators/sketches``' md5 idiom, so the drained result
+    equals the batch HLL bit-for-bit."""
+    from ..operators.sketches import _md5_int, hll_rho
+
+    ev = spark.readStream.schema(schema).parquet(path)
+    item = F.col(item_col).cast("string")
+    return (
+        ev.select(
+            F.col(group_col).alias("grp"),
+            (_md5_int(item, 1, 2) % m).alias("bucket"),
+            hll_rho(item).alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
