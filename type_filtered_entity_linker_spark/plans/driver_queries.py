@@ -4434,8 +4434,12 @@ def q_lm_perplexity(spark, sf_dir) -> DataFrame:
     return lm_quality(_docs(spark, sf_dir))
 
 
-LM_PPL_SQL = """
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+def _lm_ppl_sql(corpus_sql: str) -> str:
+    """LM-perplexity oracle parameterized on the corpus CTE (doc_id,
+    text) so composite pipelines can reuse it over derived slices."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
     bg_all AS (
         SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
         FROM (SELECT doc_id, l,
@@ -4472,6 +4476,9 @@ LM_PPL_SQL = """
                 ELSE 'tail' END AS tier
     FROM ranked
 """
+
+
+LM_PPL_SQL = _lm_ppl_sql("SELECT doc_id, text FROM documents")
 
 def q_cms_heavy_hitters(spark, sf_dir) -> DataFrame:
     """Count-Min heavy hitters (operators/sketches.py): top-20 tokens
@@ -4734,6 +4741,55 @@ EVENTS_STREAM_HLL_SQL = f"""
 """
 
 
+def q_corpus_build_e2e(spark, sf_dir) -> DataFrame:
+    """Composite training-corpus construction, end to end: exact dedup
+    (md5 groupBy, lowest-doc_id survivor election — one partial-agg
+    shuffle, no window) → CCNet perplexity tiers over the SURVIVORS
+    (LM retrained on the deduped slice, as a real pipeline would) →
+    drop the 'tail' third → per-language corpus report (docs, tokens,
+    mean perplexity). One oracle replays every stage, so the
+    INTEGRATION — stage composition, not just each operator — is
+    value-hash-gated."""
+    from ..operators.lm_quality import lm_quality
+
+    docs = _docs(spark, sf_dir)
+    keep = (
+        docs.select("doc_id", F.md5("text").alias("th"))
+        .groupBy("th")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d1 = docs.join(keep, "doc_id")
+    tiers = lm_quality(d1.select("doc_id", "text"))
+    kept = d1.join(
+        tiers.where(F.col("tier") != "tail").select("doc_id", "ppl"),
+        "doc_id",
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("sum_tokens"),
+        F.round(F.avg("ppl"), 6).alias("avg_ppl"),
+    )
+
+
+_SURVIVORS_SQL = (
+    "SELECT d.doc_id, d.text FROM documents d JOIN "
+    "(SELECT min(doc_id) AS doc_id FROM "
+    "(SELECT doc_id, md5(text) AS th FROM documents) GROUP BY th) k "
+    "USING (doc_id)"
+)
+
+CORPUS_BUILD_SQL = f"""
+    SELECT d.lang, count(*) AS n_docs,
+           sum(len(string_split(d.text, ' ')))::BIGINT AS sum_tokens,
+           round(avg(t.ppl), 6) AS avg_ppl
+    FROM ({_lm_ppl_sql(_SURVIVORS_SQL)}) t
+    JOIN documents d USING (doc_id)
+    WHERE t.tier <> 'tail'
+    GROUP BY d.lang
+"""
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -4775,6 +4831,7 @@ QUERIES = {
     "events_key_skew": q_events_key_skew,
     "events_interval_join": q_events_interval_join,
     "events_stream_hll": q_events_stream_hll,
+    "corpus_build_e2e": q_corpus_build_e2e,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
@@ -4875,6 +4932,7 @@ ORACLES = {
     "events_key_skew": EVENTS_KEY_SKEW_SQL,
     "events_interval_join": EVENTS_INTERVAL_SQL,
     "events_stream_hll": EVENTS_STREAM_HLL_SQL,
+    "corpus_build_e2e": CORPUS_BUILD_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_ivf": ANN_TOPK_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
