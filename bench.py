@@ -135,6 +135,8 @@ HEADLINE = [
     "events_stream_hll",
     # composite corpus construction: exact dedup -> LM tiers -> report
     "corpus_build_e2e",
+    # FS threshold sweep (sets upper/lower by measurement)
+    "er_pr_curve",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

@@ -197,3 +197,25 @@ def test_er_pipeline_clusters_match_planted_truth(spark):
     for rec, cid in out.items():  # precision: everyone else a singleton
         if rec not in planted:
             assert cid == rec
+
+
+def test_score_pr_curve_hand_computed(spark):
+    from type_filtered_entity_linker_spark.operators.evaluation import (
+        score_pr_curve,
+    )
+
+    rows = [
+        (10.0, 1), (10.0, 1), (5.0, 1), (5.0, 0), (1.0, 0), (1.0, 0),
+    ]
+    df = spark.createDataFrame(rows, "score double, is_match int")
+    out = {r["threshold"]: r for r in score_pr_curve(df).collect()}
+    assert set(out) == {10.0, 5.0, 1.0}
+    r10, r5, r1 = out[10.0], out[5.0], out[1.0]
+    assert (r10["cum_pairs"], r10["cum_true"]) == (2, 2)
+    assert r10["prec"] == 1.0 and r10["rec"] == round(2 / 3, 6)
+    assert r10["f1"] == 0.8  # 2*2/(2+3)
+    assert (r5["cum_pairs"], r5["cum_true"]) == (4, 3)
+    assert r5["prec"] == 0.75 and r5["rec"] == 1.0
+    assert r5["f1"] == round(6 / 7, 6)
+    assert (r1["cum_pairs"], r1["cum_true"]) == (6, 3)
+    assert r1["prec"] == 0.5 and r1["f1"] == round(2 * 3 / 9, 6)

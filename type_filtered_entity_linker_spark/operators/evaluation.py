@@ -160,3 +160,48 @@ def bcubed_metrics(assignments: DataFrame) -> DataFrame:
         F.round(r, 6).alias("bcubed_recall"),
         F.round(2 * p * r / (p + r), 6).alias("bcubed_f1"),
     )
+
+
+def score_pr_curve(
+    scored: DataFrame,
+    label_col: str = "is_match",
+    score_col: str = "score",
+) -> DataFrame:
+    """Precision/recall/F1 sweep over every distinct score threshold —
+    the curve a user reads to SET the Fellegi–Sunter upper/lower
+    cutoffs instead of guessing them. One row per distinct score s:
+    metrics for the policy "link every pair with score ≥ s".
+
+    Shape: per-score aggregation (one partial-agg shuffle over the
+    scored pairs), then a cumulative window over the DISTINCT scores
+    only — for an FS model with k compared fields that is ≤ 3^k rows
+    (agree/disagree/missing per field), so the unpartitioned window is
+    the intentionally-tiny kind (same pattern as global_rank's offset
+    compose), not a data-sized global sort. All three metrics are
+    ratios of exact integer counts: P = ct/cp, R = ct/tt,
+    F1 = 2·ct/(cp+tt) — no float accumulation anywhere."""
+    from pyspark.sql import Window
+
+    per = scored.groupBy(score_col).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.col(label_col).cast("long")).alias("n_true"),
+    )
+    w = Window.orderBy(F.col(score_col).desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per.select(
+        F.col(score_col).alias("threshold"),
+        F.sum("n_pairs").over(w).alias("cum_pairs"),
+        F.sum("n_true").over(w).alias("cum_true"),
+    )
+    totals = per.agg(F.sum("n_true").alias("tot_true"))
+    return cum.crossJoin(F.broadcast(totals)).select(
+        "threshold",
+        "cum_pairs",
+        "cum_true",
+        F.round(F.col("cum_true") / F.col("cum_pairs"), 6).alias("prec"),
+        F.round(F.col("cum_true") / F.col("tot_true"), 6).alias("rec"),
+        F.round(
+            2 * F.col("cum_true") / (F.col("cum_pairs") + F.col("tot_true")), 6
+        ).alias("f1"),
+    )

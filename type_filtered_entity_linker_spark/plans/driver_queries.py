@@ -4790,6 +4790,48 @@ CORPUS_BUILD_SQL = f"""
 """
 
 
+def q_er_pr_curve(spark, sf_dir) -> DataFrame:
+    """Precision/recall/F1 threshold sweep over the Fellegi–Sunter
+    scores (operators/evaluation.py::score_pr_curve): the curve that
+    sets FS_UPPER/FS_LOWER by measurement. Truth labels derive from
+    the planted-pair construction (id_b = id_a + 1,000,000), so the
+    sweep needs no side-channel label table; all metrics are ratios
+    of exact integer counts."""
+    from ..operators.evaluation import score_pr_curve
+    from ..operators.fellegi_sunter import fellegi_sunter_scores
+
+    records, truth, nonmatch = _fs_customers(spark, sf_dir, corrupt="city")
+    pairs = truth.unionByName(nonmatch)
+    scored = fellegi_sunter_scores(
+        records, pairs, FS_PARAMS, near=FS_NEAR, upper=FS_UPPER, lower=FS_LOWER
+    ).withColumn(
+        "is_match", (F.col("id_b") == F.col("id_a") + 1000000).cast("int")
+    )
+    return score_pr_curve(scored)
+
+
+ER_PR_CURVE_SQL = f"""
+    WITH scored AS (SELECT * FROM ({ER_FS_SQL}) fs_scored),
+    lab AS (SELECT score,
+                   CASE WHEN id_b = id_a + 1000000 THEN 1 ELSE 0 END AS y
+            FROM scored),
+    per AS (SELECT score, count(*) AS n_pairs, sum(y)::BIGINT AS n_true
+            FROM lab GROUP BY score),
+    cum AS (SELECT score,
+                   sum(n_pairs) OVER (ORDER BY score DESC
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_pairs,
+                   sum(n_true) OVER (ORDER BY score DESC
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_true
+            FROM per),
+    tot AS (SELECT sum(n_true)::BIGINT AS tt FROM per)
+    SELECT score AS threshold, cum_pairs, cum_true,
+           round(cum_true::DOUBLE / cum_pairs, 6) AS prec,
+           round(cum_true::DOUBLE / tot.tt, 6) AS rec,
+           round(2.0 * cum_true / (cum_pairs + tot.tt), 6) AS f1
+    FROM cum CROSS JOIN tot
+"""
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -4832,6 +4874,7 @@ QUERIES = {
     "events_interval_join": q_events_interval_join,
     "events_stream_hll": q_events_stream_hll,
     "corpus_build_e2e": q_corpus_build_e2e,
+    "er_pr_curve": q_er_pr_curve,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
@@ -4933,6 +4976,7 @@ ORACLES = {
     "events_interval_join": EVENTS_INTERVAL_SQL,
     "events_stream_hll": EVENTS_STREAM_HLL_SQL,
     "corpus_build_e2e": CORPUS_BUILD_SQL,
+    "er_pr_curve": ER_PR_CURVE_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_ivf": ANN_TOPK_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
