@@ -137,6 +137,8 @@ HEADLINE = [
     "corpus_build_e2e",
     # FS threshold sweep (sets upper/lower by measurement)
     "er_pr_curve",
+    # per-source token-distribution Shannon entropy
+    "docs_token_entropy",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

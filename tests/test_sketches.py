@@ -82,3 +82,26 @@ def test_hll_error_within_bound_at_hundreds(spark):
     r = hll_distinct(d, "grp", "token").collect()[0]
     assert r["exact_distinct"] == 300
     assert abs(r["rel_err"]) < 0.4
+
+
+def test_token_entropy_hand_computed(spark):
+    import math
+
+    from type_filtered_entity_linker_spark.operators.textstats import (
+        token_entropy,
+    )
+
+    rows = [
+        (1, "a a b b", "u"),   # uniform over 2 tokens -> ln 2, norm 1
+        (2, "x x x x", "d"),   # degenerate single token -> 0, norm 0
+        (3, "p p q r", "m"),   # H = ln4 - (2 ln2)/4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in token_entropy(df).collect()}
+    assert out["u"]["entropy"] == round(math.log(2), 6)
+    assert out["u"]["norm_entropy"] == 1.0
+    assert out["d"]["entropy"] == 0.0
+    assert out["d"]["vocab"] == 1 and out["d"]["norm_entropy"] == 0.0
+    h = math.log(4) - (2 * math.log(2)) / 4
+    assert out["m"]["entropy"] == round(h, 6)
+    assert out["m"]["norm_entropy"] == round(h / math.log(3), 6)

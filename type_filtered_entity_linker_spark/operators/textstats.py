@@ -295,3 +295,37 @@ def vocab_topk(
     return top.select(
         "token", "tf", "df", F.row_number().over(w).alias("rank")
     )
+
+
+def token_entropy(
+    docs: DataFrame, group_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy of the token distribution per group — the
+    vocabulary-diversity quality signal (a boilerplate/spam slice
+    shows low entropy; a natural-language slice sits near the Zipf
+    expectation). Computed from exact integer counts via
+    H = ln(N) − (Σ c·ln c)/N (nats), plus entropy normalized by the
+    max ln(vocab) — two hash aggregations, partial-agg shuffles, no
+    UDFs. Degenerate single-token vocab → norm_entropy 0."""
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens_col(text_col)).alias("t"),
+    )
+    counts = toks.groupBy("grp", "t").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    vocab = F.count("*")
+    ent = F.log(n) - F.sum(F.col("c") * F.log("c")) / n
+    return counts.groupBy("grp").agg(
+        n.alias("n_tokens"),
+        vocab.alias("vocab"),
+        F.round(ent, 6).alias("entropy"),
+        F.round(
+            F.when(vocab > 1, ent / F.log(vocab)).otherwise(F.lit(0.0)), 6
+        ).alias("norm_entropy"),
+    ).select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "vocab",
+        "entropy",
+        "norm_entropy",
+    )

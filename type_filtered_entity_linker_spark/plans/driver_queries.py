@@ -4832,6 +4832,31 @@ ER_PR_CURVE_SQL = f"""
 """
 
 
+def q_token_entropy(spark, sf_dir) -> DataFrame:
+    """Per-source token-distribution Shannon entropy
+    (operators/textstats.py::token_entropy): vocabulary-diversity
+    quality signal from exact integer counts, H = ln N − (Σ c·ln c)/N."""
+    from ..operators.textstats import token_entropy
+
+    return token_entropy(_docs(spark, sf_dir))
+
+
+TOKEN_ENTROPY_SQL = """
+    WITH toks AS (SELECT source AS grp,
+                         unnest(string_split(text, ' ')) AS t
+                  FROM documents),
+    counts AS (SELECT grp, t, count(*) AS c FROM toks GROUP BY grp, t),
+    agg AS (SELECT grp, sum(c)::BIGINT AS n_tokens, count(*) AS vocab,
+                   ln(sum(c)) - sum(c * ln(c)) / sum(c) AS ent
+            FROM counts GROUP BY grp)
+    SELECT grp AS source, n_tokens, vocab,
+           round(ent, 6) AS entropy,
+           round(CASE WHEN vocab > 1 THEN ent / ln(vocab)
+                      ELSE 0.0 END, 6) AS norm_entropy
+    FROM agg
+"""
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -4875,6 +4900,7 @@ QUERIES = {
     "events_stream_hll": q_events_stream_hll,
     "corpus_build_e2e": q_corpus_build_e2e,
     "er_pr_curve": q_er_pr_curve,
+    "docs_token_entropy": q_token_entropy,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
@@ -4977,6 +5003,7 @@ ORACLES = {
     "events_stream_hll": EVENTS_STREAM_HLL_SQL,
     "corpus_build_e2e": CORPUS_BUILD_SQL,
     "er_pr_curve": ER_PR_CURVE_SQL,
+    "docs_token_entropy": TOKEN_ENTROPY_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_ivf": ANN_TOPK_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
