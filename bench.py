@@ -296,6 +296,30 @@ def main() -> None:
         )
         timings["dedup_simhash_xxhash64"] = round(time.perf_counter() - t0, 3)
 
+        # production-hash sketch paths (md5 variants above are the
+        # oracle-gated queries; same A/B convention as simhash)
+        from type_filtered_entity_linker_spark.operators.sketches import (
+            cms_heavy_hitters,
+            hll_distinct,
+        )
+
+        docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.perf_counter()
+        _noop_write(cms_heavy_hitters(docs_df, k=20, hash_fn="xxhash64"))
+        timings["docs_cms_heavy_hitters_xxhash64"] = round(
+            time.perf_counter() - t0, 3
+        )
+        from pyspark.sql import functions as _F
+
+        toks = docs_df.select(
+            "source", _F.explode(_F.split("text", r"\s+")).alias("token")
+        )
+        t0 = time.perf_counter()
+        _noop_write(hll_distinct(toks, "source", "token", hash_fn="xxhash64"))
+        timings["docs_hll_distinct_xxhash64"] = round(
+            time.perf_counter() - t0, 3
+        )
+
     # full domain pipeline on the seeded synthetic corpus. Inputs are
     # staged to parquet once (untimed) and read back as file scans:
     # driver-side pandas→Arrow conversion would otherwise run

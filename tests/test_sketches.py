@@ -105,3 +105,26 @@ def test_token_entropy_hand_computed(spark):
     h = math.log(4) - (2 * math.log(2)) / 4
     assert out["m"]["entropy"] == round(h, 6)
     assert out["m"]["norm_entropy"] == round(h / math.log(3), 6)
+
+
+def test_sketches_xxhash64_production_path(spark):
+    """The production hash path must satisfy the same structural
+    guarantees as the oracle path: CMS never underestimates (exact in
+    the collision-free regime), HLL small-range counting stays tight."""
+    rows = [(1, "a a a b b c", None), (2, "a c d", None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["token"]: r
+        for r in cms_heavy_hitters(docs, k=10, hash_fn="xxhash64").collect()
+    }
+    truth = {"a": 4, "b": 2, "c": 2, "d": 1}
+    assert {t: r["exact_n"] for t, r in out.items()} == truth
+    assert all(r["cms_est"] >= r["exact_n"] for r in out.values())
+    assert all(r["overestimate"] == 0 for r in out.values())
+
+    d = _tokens(spark, ["a", "b", "c", "d", "e", "a", "b"]).select(
+        F.lit("g").alias("grp"), F.col("token")
+    )
+    r = hll_distinct(d, "grp", "token", hash_fn="xxhash64").collect()[0]
+    assert r["exact_distinct"] == 5
+    assert abs(r["hll_est"] - 5) <= 2

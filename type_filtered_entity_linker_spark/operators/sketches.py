@@ -15,13 +15,16 @@ re-expressed as hash aggregations whose state IS the sketch:
   group per partition, merge = max. The estimator is then a tiny
   per-group fold over ≤ m register rows.
 
-Hashing uses md5 (identical bytes in every engine) folded to integers,
-the same convention as SimHash ``hash_fn='md5_60'`` — so the DuckDB
-oracles replicate the sketches cell-for-cell, not just approximately.
-A production deployment would swap md5 for xxhash64 exactly as the
-SimHash operator does; the structure is hash-agnostic.
+Hashing is dual-path, the SimHash ``hash_fn`` convention
+(operators/dedup.py): ``md5`` (identical bytes in every engine,
+folded to integers) is the ORACLE path — the DuckDB replicas match
+the sketches cell-for-cell, not just approximately — and
+``xxhash64`` is the PRODUCTION path (JVM intrinsic, no hex-string
+round-trip; benched separately, not oracle-replicable since DuckDB
+has no compatible xxhash64). The sketch structure is hash-agnostic;
+the property tests run both paths.
 
-No UDFs anywhere: md5/conv/bin/explode/groupBy are all JVM codegen.
+No UDFs anywhere: hash/conv/bin/explode/groupBy are all JVM codegen.
 """
 
 from __future__ import annotations
@@ -40,10 +43,18 @@ def _md5_int(col: F.Column, start: int, length: int) -> F.Column:
     return F.conv(F.substring(F.md5(col), start, length), 16, 10).cast("long")
 
 
-def cms_bucket(token: F.Column, row: int, width: int = CMS_WIDTH) -> F.Column:
-    """Row-``row`` bucket of a token: md5 of the salted token folded to
-    32 bits, mod width. Independent rows come from the salt prefix."""
-    return _md5_int(F.concat(F.lit(f"{row}|"), token), 1, 8) % width
+def cms_bucket(
+    token: F.Column, row: int, width: int = CMS_WIDTH, hash_fn: str = "md5"
+) -> F.Column:
+    """Row-``row`` bucket of a token: the salted token hashed mod
+    width. Independent rows come from the salt prefix. ``md5`` is the
+    cross-engine oracle path; ``xxhash64`` the production path (JVM
+    intrinsic, no hex-string round-trip) — same trade as SimHash
+    ``hash_fn`` (operators/dedup.py)."""
+    salted = F.concat(F.lit(f"{row}|"), token)
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(salted), F.lit(width))
+    return _md5_int(salted, 1, 8) % width
 
 
 def cms_build(
@@ -51,6 +62,7 @@ def cms_build(
     token_col: str = "token",
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Count-Min sketch of a token stream: (row, bucket, cnt), one row
     per non-empty cell. One explode (depth small constant) + one
@@ -59,7 +71,9 @@ def cms_build(
         *[
             F.struct(
                 F.lit(j).alias("row"),
-                cms_bucket(F.col(token_col), j, width).alias("bucket"),
+                cms_bucket(F.col(token_col), j, width, hash_fn).alias(
+                    "bucket"
+                ),
             )
             for j in range(depth)
         ]
@@ -77,6 +91,7 @@ def cms_estimate(
     token_col: str = "token",
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Point-query the sketch for each row of ``queries``: est =
     min over rows of the addressed cell. The sketch is ≤ depth·width
@@ -90,7 +105,9 @@ def cms_estimate(
                 *[
                     F.struct(
                         F.lit(j).alias("row"),
-                        cms_bucket(F.col(token_col), j, width).alias("bucket"),
+                        cms_bucket(F.col(token_col), j, width, hash_fn).alias(
+                            "bucket"
+                        ),
                     )
                     for j in range(depth)
                 ]
@@ -110,6 +127,7 @@ def cms_heavy_hitters(
     text_col: str = "text",
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Top-k tokens by exact count, annotated with their Count-Min
     estimate and the (always ≥ 0) overestimate — the error a user
@@ -126,8 +144,10 @@ def cms_heavy_hitters(
         .orderBy(F.desc("exact_n"), F.asc("token"))
         .limit(k)
     )
-    sketch = cms_build(tokens, depth=depth, width=width)
-    est = cms_estimate(sketch, exact.select("token"), depth=depth, width=width)
+    sketch = cms_build(tokens, depth=depth, width=width, hash_fn=hash_fn)
+    est = cms_estimate(
+        sketch, exact.select("token"), depth=depth, width=width, hash_fn=hash_fn
+    )
     return (
         exact.join(est, "token")
         .select(
@@ -139,12 +159,17 @@ def cms_heavy_hitters(
     )
 
 
-def hll_rho(col: F.Column) -> F.Column:
-    """HLL rank: 1 + leading zeros of the 60-bit md5 suffix, computed
-    exactly in integer/string ops: rho = 61 - len(bin(v)), v = 0 → 61.
-    (bin() drops leading zeros in Spark and DuckDB alike, so the
-    binary-string length IS 60 minus the leading-zero count.)"""
-    v = _md5_int(col, 3, 15)
+def hll_rho(col: F.Column, hash_fn: str = "md5") -> F.Column:
+    """HLL rank: 1 + leading zeros of a 60-bit hash, computed exactly
+    in integer/string ops: rho = 61 - len(bin(v)), v = 0 → 61. (bin()
+    drops leading zeros in Spark and DuckDB alike, so the
+    binary-string length IS 60 minus the leading-zero count.)
+    ``xxhash64``: v = the hash's top 60 bits via unsigned shift —
+    production path, not oracle-replicable."""
+    if hash_fn == "xxhash64":
+        v = F.shiftrightunsigned(F.xxhash64(col), 4)
+    else:
+        v = _md5_int(col, 3, 15)
     return F.when(v == 0, F.lit(61)).otherwise(
         F.lit(61) - F.length(F.bin(v))
     )
@@ -155,15 +180,20 @@ def hll_registers(
     group_col: str,
     item_col: str,
     m: int = HLL_M,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(group, bucket, r): max HLL rank per register. The whole sketch
     state — mergeable by max, ≤ m rows per group after the single
     partially-aggregated shuffle."""
+    if hash_fn == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.concat(F.lit("b|"), F.col(item_col))), F.lit(m))
+    else:
+        bucket = _md5_int(F.col(item_col), 1, 2) % m
     return (
         items.select(
             F.col(group_col).alias("grp"),
-            (_md5_int(F.col(item_col), 1, 2) % m).alias("bucket"),
-            hll_rho(F.col(item_col)).alias("rho"),
+            bucket.alias("bucket"),
+            hll_rho(F.col(item_col), hash_fn).alias("rho"),
         )
         .groupBy("grp", "bucket")
         .agg(F.max("rho").alias("r"))
@@ -197,6 +227,7 @@ def hll_distinct(
     group_col: str,
     item_col: str,
     m: int = HLL_M,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-group distinct-count comparison: exact countDistinct vs the
     HLL estimate, with signed relative error. Exact is the gate; at
@@ -206,7 +237,9 @@ def hll_distinct(
         items.groupBy(F.col(group_col).alias("grp"))
         .agg(F.countDistinct(item_col).alias("exact_distinct"))
     )
-    est = hll_estimate(hll_registers(items, group_col, item_col, m=m), m=m)
+    est = hll_estimate(
+        hll_registers(items, group_col, item_col, m=m, hash_fn=hash_fn), m=m
+    )
     return (
         exact.join(est, "grp")
         .select(
