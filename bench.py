@@ -139,6 +139,8 @@ HEADLINE = [
     "er_pr_curve",
     # per-source token-distribution Shannon entropy
     "docs_token_entropy",
+    # mergeable histogram quantile sketch with measured error
+    "docs_hist_quantiles",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

@@ -64,3 +64,102 @@ def key_skew_stats(
         "p99_fanout",
         "selfjoin_pairs",
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Mergeable histogram quantile sketch — the scale path for
+    percentiles. Exact ``percentile`` buffers per-value counts; at
+    10^12 rows the mergeable alternative is a FIXED-width histogram:
+    one (min, max) aggregate, one bucket-count aggregate (both
+    partial-agg, merge = add), then nearest-rank + uniform-in-bucket
+    interpolation over the ≤ n_buckets cumulative rows. Error is
+    bounded by bucket width — and this operator MEASURES it: each
+    output row carries the sketch estimate, the exact percentile, and
+    the absolute error, so the n_buckets dial is tuned against data,
+    not guessed (same measured-not-asserted contract as the ANN/
+    MinHash recall gates).
+
+    Returns one row per q: (q, hist_est, exact_pctl, abs_err)."""
+    from pyspark.sql import Window
+
+    bounds = df.agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.count("*").alias("n"),
+    )
+    b = df.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col(value_col) - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / n_buckets)
+            ),
+            F.lit(n_buckets - 1),
+        ).alias("bucket")
+    )
+    hist = b.groupBy("bucket").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+    )
+    qdf = df.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    # nearest-rank target k = ceil(q*n); first bucket with cum >= k
+    j = (
+        qdf.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(cum))
+        .withColumn("k", F.ceil(F.col("q") * F.col("n")))
+        .where(F.col("cum") >= F.col("k"))
+    )
+    wfirst = Window.partitionBy("q").orderBy("bucket")
+    first = j.withColumn("_rn", F.row_number().over(wfirst)).where(
+        F.col("_rn") == 1
+    )
+    width = (F.col("hi") - F.col("lo")) / n_buckets
+    est = (
+        F.col("lo")
+        + F.col("bucket") * width
+        + ((F.col("k") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")) * width
+    )
+    exact = df.agg(
+        *[
+            F.round(F.percentile(F.col(value_col), F.lit(float(q))), 6).alias(
+                f"p{i}"
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    exact_long = exact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"),
+                        F.col(f"p{i}").alias("exact_pctl"),
+                    )
+                    for i, q in enumerate(qs)
+                ]
+            )
+        ).alias("e")
+    ).select(F.col("e.q").alias("q"), F.col("e.exact_pctl").alias("exact_pctl"))
+    return (
+        first.select("q", F.round(est, 6).alias("hist_est"))
+        .join(exact_long, "q")
+        .select(
+            "q",
+            "hist_est",
+            "exact_pctl",
+            F.round(F.abs(F.col("hist_est") - F.col("exact_pctl")), 6).alias(
+                "abs_err"
+            ),
+        )
+    )

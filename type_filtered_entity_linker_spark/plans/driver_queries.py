@@ -4857,6 +4857,59 @@ TOKEN_ENTROPY_SQL = """
 """
 
 
+def q_docs_hist_quantiles(spark, sf_dir) -> DataFrame:
+    """Mergeable histogram-quantile sketch over documents.n_chars
+    (operators/diagnostics.py::histogram_quantiles): 64 fixed-width
+    buckets, nearest-rank + in-bucket interpolation, with the
+    MEASURED absolute error vs the exact percentile per q — the
+    percentile scale path, error-gated like the ANN recall queries."""
+    from ..operators.diagnostics import histogram_quantiles
+
+    return histogram_quantiles(
+        _docs(spark, sf_dir), "n_chars", [0.5, 0.9, 0.99], n_buckets=64
+    )
+
+
+HIST_QUANT_SQL = """
+    WITH bounds AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi,
+                           count(*) AS n FROM documents),
+    b AS (SELECT least(floor((n_chars - bounds.lo)
+                             / ((bounds.hi - bounds.lo) / 64.0)),
+                       63)::BIGINT AS bucket
+          FROM documents CROSS JOIN bounds),
+    hist AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+    cum AS (SELECT bucket, cnt,
+                   sum(cnt) OVER (ORDER BY bucket
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+            FROM hist),
+    qs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q),
+    j AS (SELECT q, bucket, cnt, cum,
+                 ceil(q * bounds.n)::BIGINT AS k, bounds.lo, bounds.hi
+          FROM qs CROSS JOIN bounds CROSS JOIN cum
+          WHERE cum >= ceil(q * bounds.n)),
+    firstb AS (SELECT *, row_number() OVER (PARTITION BY q ORDER BY bucket)
+                   AS rn FROM j),
+    est AS (SELECT q,
+                   round(lo + bucket * ((hi - lo) / 64.0)
+                         + ((k - (cum - cnt)) / cnt) * ((hi - lo) / 64.0),
+                         6) AS hist_est
+            FROM firstb WHERE rn = 1),
+    exact AS (
+        SELECT 0.5::DOUBLE AS q, round(quantile_cont(n_chars, 0.5), 6)
+            AS exact_pctl FROM documents
+        UNION ALL
+        SELECT 0.9::DOUBLE, round(quantile_cont(n_chars, 0.9), 6)
+            FROM documents
+        UNION ALL
+        SELECT 0.99::DOUBLE, round(quantile_cont(n_chars, 0.99), 6)
+            FROM documents
+    )
+    SELECT est.q, est.hist_est, exact.exact_pctl,
+           round(abs(est.hist_est - exact.exact_pctl), 6) AS abs_err
+    FROM est JOIN exact USING (q)
+"""
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -4901,6 +4954,7 @@ QUERIES = {
     "corpus_build_e2e": q_corpus_build_e2e,
     "er_pr_curve": q_er_pr_curve,
     "docs_token_entropy": q_token_entropy,
+    "docs_hist_quantiles": q_docs_hist_quantiles,
     "ann_topk_bruteforce": q_ann_topk,
     "ann_topk_lsh": q_ann_lsh,
     "ann_topk_ivf": q_ann_ivf,
@@ -5004,6 +5058,7 @@ ORACLES = {
     "corpus_build_e2e": CORPUS_BUILD_SQL,
     "er_pr_curve": ER_PR_CURVE_SQL,
     "docs_token_entropy": TOKEN_ENTROPY_SQL,
+    "docs_hist_quantiles": HIST_QUANT_SQL,
     "ann_topk_bruteforce": ANN_TOPK_SQL,
     "ann_topk_ivf": ANN_TOPK_SQL,
     "ann_topk_lsh": ANN_LSH_SQL,
