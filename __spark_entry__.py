@@ -5,9 +5,10 @@ blocking equi-join → type-filter semi-join → top-K → score → argmax →
 cluster) on /root/testdata/sf0.001. ``queries()`` exposes one callable
 per implemented operator family from SURVEY.md §2 plus the
 training-data pipeline operators (dedup / similarity / text analysis /
-multimodal); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
-exactly-reproducible query (approximate ops — SimHash, LSH-ANN — are
-rows-only by design).
+sketches / multimodal); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for EVERY query — including the approximate ops (SimHash, LSH-ANN,
+CMS/HLL), whose hash/banding math is replicated exactly in SQL, so
+nothing is rows-only.
 """
 
 from __future__ import annotations
