@@ -19,12 +19,18 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "on", "at", "for", "with"]
 
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 FP_MOD = 1_000_000_007
 
 
 def tokens_col(text_col: str = "text") -> F.Column:
+    """THE whitespace-token contract for text columns. Java's (and so
+    Spark's) ASCII ``\\s`` is exactly ``[ \\t\\n\\x0B\\f\\r]``; the
+    paired DuckDB oracles spell that class out explicitly
+    (``regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')``) because
+    RE2's ``\\s`` lacks ``\\x0B`` — single-space ``string_split`` is
+    NOT parity-safe on multi-whitespace text (advice r03)."""
     return F.split(F.col(text_col), r"\s+")
 
 
@@ -75,7 +81,7 @@ def quality_scores(
     n_chars = F.length(F.col(text_col))
     n_tokens = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    n_punct = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9 \t\n\x0B\f\r]", ""))
     avg_tok = n_chars.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
     stop_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)).cast("double")
     punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")

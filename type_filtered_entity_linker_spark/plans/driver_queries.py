@@ -645,7 +645,7 @@ def _jaccard_oracle_sql(
     )
     return f"""
     WITH corpus AS ({corpus_sql}),
-    toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+    toks AS (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l FROM corpus),
     -- short-doc fallback matches Spark token_shingles: docs with < 3
     -- tokens contribute one whole-text shingle instead of none
     sh0 AS (SELECT DISTINCT doc_id, s
@@ -731,7 +731,7 @@ def q_ngram_df_stats(spark, sf_dir) -> DataFrame:
 
 NGRAM_DF_STATS_SQL = f"""
     WITH corpus AS ({BOILER_CORPUS_SQL}),
-    toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+    toks AS (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l FROM corpus),
     sh AS (SELECT DISTINCT doc_id, s
            FROM toks, unnest(
                CASE WHEN len(l) >= 3
@@ -774,7 +774,7 @@ def _simhash_oracle_sql() -> str:
     )
     return f"""
     WITH corpus AS ({NEARDUP_CORPUS_SQL}),
-    toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+    toks AS (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l FROM corpus),
     sh AS (SELECT DISTINCT doc_id, s
            FROM toks, unnest(
                CASE WHEN len(l) >= 3
@@ -1356,7 +1356,7 @@ def _minhash_recall_oracle_sql(k: int = 64, threshold: float = 0.5) -> str:
 
     return f"""
     WITH corpus AS ({MINHASH_RECALL_CORPUS_SQL}),
-    toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+    toks AS (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l FROM corpus),
     sh AS (SELECT DISTINCT doc_id, s
            FROM toks, unnest(
                CASE WHEN len(l) >= 3
@@ -1677,7 +1677,7 @@ def q_lang_id(spark, sf_dir) -> DataFrame:
 
 
 LANG_ID_SQL = """
-    WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    WITH s AS (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l FROM documents),
     sc AS (SELECT doc_id,
         len(list_filter(l, t -> list_contains(['the','and','of','to','in'], t))) AS s_en,
         len(list_filter(l, t -> list_contains(['der','die','und','ist','nicht'], t))) AS s_de,
@@ -1700,13 +1700,13 @@ def q_quality(spark, sf_dir) -> DataFrame:
 
 
 QUALITY_SQL = """
-    WITH s AS (SELECT doc_id, text, string_split(text, ' ') AS l FROM documents),
+    WITH s AS (SELECT doc_id, text, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l FROM documents),
     f AS (SELECT doc_id,
         length(text) AS n_chars,
         len(l) AS n_tokens,
         len(list_filter(l, t -> list_contains(
             ['the','a','of','and','to','in','on','at','for','with'], t))) AS n_stop,
-        length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+        length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0b\\f\\r]', '', 'g')) AS n_punct
         FROM s)
     SELECT doc_id, n_chars, n_tokens,
         round(n_chars::DOUBLE / greatest(n_tokens, 1), 6) AS avg_token_len,
@@ -1725,8 +1725,8 @@ def q_token_count(spark, sf_dir) -> DataFrame:
 
 TOKEN_COUNT_SQL = r"""
     SELECT doc_id,
-           len(string_split(text, ' ')) AS ws_tokens,
-           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+           len(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS bpe_tokens
     FROM documents
 """
 
@@ -1738,7 +1738,7 @@ def q_fingerprint(spark, sf_dir) -> DataFrame:
 FINGERPRINT_SQL = """
     WITH s AS (SELECT doc_id,
         [length(t)::BIGINT * 7 + ascii(substr(t, 1, 1))
-         for t in string_split(text, ' ')] AS vals
+         for t in regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')] AS vals
         FROM documents)
     SELECT doc_id,
            list_reduce(list_prepend(0::BIGINT, vals),
@@ -1754,7 +1754,7 @@ def q_repetition(spark, sf_dir) -> DataFrame:
 
 
 REPETITION_SQL = """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    WITH t AS (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l FROM documents),
     g AS (SELECT doc_id, unnest(
             CASE WHEN len(l) >= 2
                  THEN [array_to_string(l[i:i+1], ' ') for i in range(1, len(l))]
@@ -1786,7 +1786,7 @@ def q_bm25_search(spark, sf_dir) -> DataFrame:
 
 
 BM25_SQL = f"""
-    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS tok
                   FROM documents),
     dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
@@ -1907,7 +1907,7 @@ def q_er_rare_token_blocks(spark, sf_dir) -> DataFrame:
 ER_BLOCKS_SQL = f"""
     WITH d AS ({_ER_DOCS_SQL}),
     t AS (SELECT DISTINCT doc_id, tok
-          FROM d, unnest(string_split(text, ' ')) AS u(tok)
+          FROM d, unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS u(tok)
           WHERE length(tok) >= 3),
     dfq AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
     e AS (SELECT * FROM dfq WHERE df BETWEEN 2 AND 20),
@@ -1930,7 +1930,7 @@ def q_er_tfidf_pairs(spark, sf_dir) -> DataFrame:
 ER_TFIDF_SQL = f"""
     WITH d AS ({_ER_DOCS_SQL}),
     tok AS (SELECT doc_id, tok
-            FROM d, unnest(string_split(text, ' ')) AS u(tok)
+            FROM d, unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS u(tok)
             WHERE length(tok) >= 3),
     tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
     dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
@@ -3248,7 +3248,7 @@ def _decon_grams_sql(src: str, n: int = 13) -> str:
 
 
 DOCS_DECON_SQL = f"""
-    WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    WITH d AS (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l FROM documents),
     dg AS (SELECT DISTINCT doc_id, s FROM d, {_decon_grams_sql('t')}),
     ev AS (SELECT l[4:21] AS l FROM d WHERE doc_id % 50 = 0),
     eg AS (SELECT DISTINCT s FROM ev, {_decon_grams_sql('t')})
@@ -4152,7 +4152,7 @@ DOCS_PACK_SQL = r"""
     WITH t AS (
         SELECT doc_id, doc_id % 8 AS bucket,
                len(regexp_extract_all(text,
-                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS n_tok
         FROM documents
     ),
     s AS (
@@ -4185,7 +4185,7 @@ def q_docs_vocab_topk(spark, sf_dir) -> DataFrame:
 DOCS_VOCAB_SQL = r"""
     WITH toks AS (
         SELECT doc_id, unnest(regexp_extract_all(text,
-               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS token
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS token
         FROM documents
     ),
     per_doc AS (SELECT token, doc_id, count(*) AS c
@@ -4227,7 +4227,7 @@ DOCS_MIX_SQL = rf"""
     WITH t AS (
         SELECT doc_id, lang,
                len(regexp_extract_all(text,
-                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]')) AS n_tok,
                {{md5h}} AS h,
                {_MIX_CASE} AS pct
         FROM documents
@@ -4439,7 +4439,7 @@ def _lm_ppl_sql(corpus_sql: str) -> str:
     text) so composite pipelines can reuse it over derived slices."""
     return f"""
     WITH corpus AS ({corpus_sql}),
-    tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+    tok AS (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l FROM corpus),
     bg_all AS (
         SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
         FROM (SELECT doc_id, l,
@@ -4502,7 +4502,7 @@ def _hex_fold(expr: str, start: int, length: int) -> str:
 
 
 CMS_HH_SQL = f"""
-    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token
+    WITH toks AS (SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS token
                   FROM documents),
     exact AS (SELECT token, count(*) AS exact_n FROM toks GROUP BY token
               ORDER BY exact_n DESC, token ASC LIMIT 20),
@@ -4548,7 +4548,7 @@ _HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / 64) * 64 * 64
 
 HLL_SQL = f"""
     WITH items AS (SELECT source AS grp,
-                          unnest(string_split(text, ' ')) AS token
+                          unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS token
                    FROM documents),
     hashed AS (
         SELECT grp,
@@ -4767,7 +4767,7 @@ def q_corpus_build_e2e(spark, sf_dir) -> DataFrame:
     )
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).alias("sum_tokens"),
+        F.sum(F.size(F.split("text", r"\s+"))).alias("sum_tokens"),
         F.round(F.avg("ppl"), 6).alias("avg_ppl"),
     )
 
@@ -4781,7 +4781,7 @@ _SURVIVORS_SQL = (
 
 CORPUS_BUILD_SQL = f"""
     SELECT d.lang, count(*) AS n_docs,
-           sum(len(string_split(d.text, ' ')))::BIGINT AS sum_tokens,
+           sum(len(regexp_split_to_array(d.text, '[ \\t\\n\\x0b\\f\\r]+')))::BIGINT AS sum_tokens,
            round(avg(t.ppl), 6) AS avg_ppl
     FROM ({_lm_ppl_sql(_SURVIVORS_SQL)}) t
     JOIN documents d USING (doc_id)
@@ -4843,7 +4843,7 @@ def q_token_entropy(spark, sf_dir) -> DataFrame:
 
 TOKEN_ENTROPY_SQL = """
     WITH toks AS (SELECT source AS grp,
-                         unnest(string_split(text, ' ')) AS t
+                         unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+')) AS t
                   FROM documents),
     counts AS (SELECT grp, t, count(*) AS c FROM toks GROUP BY grp, t),
     agg AS (SELECT grp, sum(c)::BIGINT AS n_tokens, count(*) AS vocab,
