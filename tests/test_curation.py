@@ -301,7 +301,7 @@ def test_weighted_sample_matches_pure_python_aes(spark):
 
     def py_key(doc_id, w):
         h = int(hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()[:15], 16)
-        return log((h + 1) / float(1 << 60)) / max(w, 1)
+        return log((h + 1) / float(1 << 60)) / w
 
     expect = sorted(rows, key=lambda r: (-py_key(*r), r[0]))[:10]
     got = weighted_sample(df, k=10, weight_col="n_chars").collect()
@@ -323,3 +323,33 @@ def test_weighted_sample_prefers_heavy_weights(spark):
 
     got = {r["doc_id"] for r in weighted_sample(df, k=5, weight_col="n_chars").collect()}
     assert 99 in got
+
+
+def test_weighted_sample_fractional_and_nonpositive_weights(spark):
+    # advice r03: w < 1 must stay proportional-to-weight (the old
+    # greatest(w, 1) clamp flattened fractional weights to uniform),
+    # and w <= 0 rows are excluded outright
+    from math import log
+
+    from type_filtered_entity_linker_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    rows = [(0, 0.001), (1, 0.5), (2, 2.0), (3, 0.0), (4, -3.0), (5, 0.25)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    def py_key(doc_id, w):
+        h = int(hashlib.md5(f"wsample:{doc_id}".encode()).hexdigest()[:15], 16)
+        return log((h + 1) / float(1 << 60)) / w
+
+    positive = [(d, w) for d, w in rows if w > 0]
+    expect = sorted(positive, key=lambda r: (-py_key(*r), r[0]))[:3]
+    got = weighted_sample(df, k=3, weight_col="w").collect()
+    assert [(r["doc_id"], r["w"]) for r in got] == expect
+    assert {3, 4}.isdisjoint({r["doc_id"] for r in got})
+    # a dominant fractional weight among fractional peers still wins
+    # essentially always: key = ln(u)/w -> 0^- as w grows relatively
+    rows2 = [(i, 0.001) for i in range(40)] + [(99, 50.0)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, w double")
+    got2 = {r["doc_id"] for r in weighted_sample(df2, k=3, weight_col="w").collect()}
+    assert 99 in got2

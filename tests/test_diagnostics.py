@@ -121,3 +121,76 @@ def test_histogram_quantiles_within_bucket_of_true_rank(spark):
             k = math.ceil(r["q"] * n)
             true_rank_val = svals[k - 1]
             assert abs(r["hist_est"] - true_rank_val) <= width, (nb, r)
+
+
+def test_histogram_quantiles_constant_column(spark):
+    """hi == lo guard (advice r03): a constant-valued column used to
+    divide by zero in the bucket expression; now every q reports the
+    trivially-correct estimate lo with zero error."""
+    from type_filtered_entity_linker_spark.operators.diagnostics import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([(7,)] * 20, "v long")
+    out = histogram_quantiles(df, "v", [0.5, 0.9, 0.99], n_buckets=16).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["hist_est"] == 7.0
+        assert r["exact_pctl"] == 7.0
+        assert r["abs_err"] == 0.0
+
+
+def test_key_skew_selfjoin_pairs_exact_past_double_precision(spark):
+    """selfjoin_pairs stays in bigint (advice r03): a fanout large
+    enough that f*(f-1)/2 is not double-representable must come back
+    exact. One synthetic key row with fanout 2^28+1 would need 2^55-
+    scale pair counts; build the aggregate directly from a fanout
+    table via the same expression the operator uses."""
+    from pyspark.sql import functions as F
+
+    f = (1 << 28) + 3  # f*(f-1)/2 = 2^55 + ... , beyond 2^53 exactness
+    fan = spark.createDataFrame([(f,), (5,)], "fanout long")
+    got = fan.agg(
+        F.coalesce(
+            F.sum(F.shiftright(F.col("fanout") * (F.col("fanout") - 1), 1)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("p")
+    ).first()["p"]
+    assert got == f * (f - 1) // 2 + 10
+
+
+def test_interval_overlap_join_unit_validation(spark):
+    """Unsupported trunc_unit raises a ValueError naming the options
+    (advice r03), and the newly-supported 'minute' unit produces the
+    same pairs as 'hour' on minute-grain data."""
+    import datetime as dt
+
+    import pytest
+
+    from type_filtered_entity_linker_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0)
+    l = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(minutes=90))], "lid long, ls timestamp, le timestamp"
+    )
+    r = spark.createDataFrame(
+        [
+            (10, t0 + dt.timedelta(minutes=30), t0 + dt.timedelta(minutes=45)),
+            (11, t0 + dt.timedelta(minutes=120), t0 + dt.timedelta(minutes=130)),
+        ],
+        "rid long, rs timestamp, re timestamp",
+    )
+    with pytest.raises(ValueError, match="fortnight.*day.*hour.*minute.*week"):
+        interval_overlap_join(l, r, "ls", "le", "rs", "re", trunc_unit="fortnight")
+    for unit in ("minute", "hour"):
+        got = sorted(
+            (x["lid"], x["rid"])
+            for x in interval_overlap_join(
+                l, r, "ls", "le", "rs", "re", trunc_unit=unit
+            ).collect()
+        )
+        assert got == [(1, 10)], unit

@@ -501,7 +501,9 @@ def weighted_sample(
     the order-equivalent key ln(u)/w (exp is monotone), which avoids
     pow() and keeps the key a composition of ops both engines compute
     identically. Inclusion probability is proportional-to-weight
-    without replacement; the draw is the module's usual content-hash
+    without replacement for ANY positive weight (fractional included);
+    rows with weight <= 0 are excluded up front (zero probability —
+    A-ES is undefined there); the draw is the module's usual content-hash
     uniform, so the SAMPLE IS A PURE FUNCTION OF THE ROWS — stable
     under repartitioning and re-reads, unlike rand()-keyed sampling.
 
@@ -518,9 +520,15 @@ def weighted_sample(
     # (h + 1)::DOUBLE bit-for-bit (casting first would round h to a
     # double before the +1 and can differ by an ulp near 2^60)
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
-    key = F.log(u) / F.greatest(F.col(weight_col), F.lit(1)).cast("double")
+    # rows with w <= 0 are excluded (zero weight = zero inclusion
+    # probability; negative is undefined in A-ES) — dividing by the RAW
+    # positive weight keeps inclusion exactly proportional-to-weight
+    # for fractional weights too (advice r03: the old greatest(w, 1)
+    # clamp silently flattened every w < 1 to uniform)
+    key = F.log(u) / F.col(weight_col).cast("double")
     return (
-        df.withColumn("_skey", key)
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_skey", key)
         .orderBy(F.desc("_skey"), F.asc(id_col))
         .limit(k)
         .select(

@@ -43,8 +43,12 @@ def key_skew_stats(
         F.round(F.percentile(F.col("fanout"), F.lit(0.99)), 4).alias(
             "p99_fanout"
         ),
+        # f·(f−1) is always even, so the right-shift is exact; staying
+        # in bigint the whole way keeps the "exact pair predictor"
+        # claim honest past 2^53 (advice r03: `/ 2` is double division)
         F.coalesce(
-            F.sum(F.col("fanout") * (F.col("fanout") - 1) / 2), F.lit(0.0)
+            F.sum(F.shiftright(F.col("fanout") * (F.col("fanout") - 1), 1)),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("selfjoin_pairs"),
@@ -92,14 +96,22 @@ def histogram_quantiles(
         F.max(value_col).alias("hi"),
         F.count("*").alias("n"),
     )
+    # hi == lo (constant column) guard: the bucket divisor is 0 there
+    # (NULL in non-ANSI Spark, engine-dependent in DuckDB) — pin every
+    # row to bucket 0; the estimate then degenerates to exactly lo
+    # because the interpolation width (hi-lo)/n_buckets is 0 (advice r03)
     b = df.crossJoin(F.broadcast(bounds)).select(
-        F.least(
-            F.floor(
-                (F.col(value_col) - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / n_buckets)
-            ),
-            F.lit(n_buckets - 1),
-        ).alias("bucket")
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col(value_col) - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / n_buckets)
+                ),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .alias("bucket")
     )
     hist = b.groupBy("bucket").agg(F.count("*").alias("cnt"))
     wcum = Window.orderBy("bucket").rowsBetween(

@@ -102,10 +102,25 @@ def interval_overlap_join(
     interval length / width, and per-bucket join fan-in = concurrent
     intervals per bucket. Pick the unit near the median interval
     length (DuckDB's IEJoin and Spark's own range-join hints make the
-    same trade internally). Left/right column names must be disjoint."""
-    unit_interval = {"hour": "INTERVAL 1 HOUR", "day": "INTERVAL 1 DAY"}[
-        trunc_unit
-    ]
+    same trade internally). Left/right column names must be disjoint.
+
+    Preconditions: intervals must be well-formed (start <= end on both
+    sides — an inverted interval would make F.sequence throw deep in
+    execution with no hint of the offending row; filter or fix such
+    rows upstream), and ``trunc_unit`` must be a supported bucket
+    width (advice r03)."""
+    units = {
+        "hour": "INTERVAL 1 HOUR",
+        "day": "INTERVAL 1 DAY",
+        "minute": "INTERVAL 1 MINUTE",
+        "week": "INTERVAL 1 WEEK",
+    }
+    if trunc_unit not in units:
+        raise ValueError(
+            f"trunc_unit={trunc_unit!r} not supported; "
+            f"pick one of {sorted(units)}"
+        )
+    unit_interval = units[trunc_unit]
 
     def banded(df: DataFrame, start: str, end: str) -> DataFrame:
         return df.withColumn(

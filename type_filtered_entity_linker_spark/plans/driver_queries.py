@@ -4601,8 +4601,8 @@ WEIGHTED_SAMPLE_SQL = f"""
                FROM documents),
     k AS (SELECT doc_id, n_chars,
                  ln((h + 1)::DOUBLE / 1152921504606846976.0)
-                     / greatest(n_chars, 1) AS skey
-          FROM h)
+                     / n_chars AS skey
+          FROM h WHERE n_chars > 0)
     SELECT doc_id, n_chars, round(skey, 6) AS sample_key
     FROM k ORDER BY skey DESC, doc_id ASC LIMIT 50
 """
@@ -4628,7 +4628,7 @@ EVENTS_KEY_SKEW_SQL = """
                round(avg(fanout), 6) AS mean_fanout,
                round(quantile_cont(fanout, 0.5), 4) AS p50_fanout,
                round(quantile_cont(fanout, 0.99), 4) AS p99_fanout,
-               coalesce(sum(fanout * (fanout - 1) / 2), 0)::BIGINT
+               coalesce(sum((fanout * (fanout - 1)) // 2), 0)::BIGINT
                    AS selfjoin_pairs
         FROM fan
     ),
@@ -4873,9 +4873,10 @@ def q_docs_hist_quantiles(spark, sf_dir) -> DataFrame:
 HIST_QUANT_SQL = """
     WITH bounds AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi,
                            count(*) AS n FROM documents),
-    b AS (SELECT least(floor((n_chars - bounds.lo)
-                             / ((bounds.hi - bounds.lo) / 64.0)),
-                       63)::BIGINT AS bucket
+    b AS (SELECT CASE WHEN bounds.hi = bounds.lo THEN 0
+                      ELSE least(floor((n_chars - bounds.lo)
+                                 / ((bounds.hi - bounds.lo) / 64.0)),
+                                 63) END::BIGINT AS bucket
           FROM documents CROSS JOIN bounds),
     hist AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
     cum AS (SELECT bucket, cnt,
