@@ -7,6 +7,7 @@ import datetime as dt
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from conftest import assert_df_equal
 from type_filtered_entity_linker_spark.config import LinkerConfig
@@ -138,3 +139,64 @@ def test_nil_end_to_end_cluster_parity(spark, nil_fx, tmp_path):
     # 4 distinct components of size 3 (alias × context group)
     sizes = got.groupby("cluster_id").size()
     assert sorted(sizes) == [3, 3, 3, 3]
+
+
+def test_nil_viral_block_rank_is_two_level(spark):
+    """Verdict r03 #3: a viral NIL block must not funnel through one
+    task's sort. The rank window partitions by (k, _sb) — visible in
+    the physical plan — and a 300-mention block actually splits across
+    many sub-buckets; edges still match the pure-Python replication of
+    the (sub_bucket, mk) neighborhood."""
+    import hashlib
+    from math import sqrt
+
+    import numpy as np
+
+    from type_filtered_entity_linker_spark.operators.nil import (
+        _nil_pair_candidates,
+        nil_sub_bucket,
+    )
+
+    n, w = 300, 4
+    cfg = LinkerConfig(nil_neighborhood=w)
+    # two context groups -> some pairs pass tau, some don't, so the
+    # edge set genuinely depends on WHICH ranks are adjacent
+    embs = {
+        0: embed_text("viral thing | ctx group zero"),
+        1: embed_text("viral thing | ctx group one"),
+    }
+    rows = pd.DataFrame(
+        {
+            "url": [f"u{i:04d}" for i in range(n)],
+            "mention_id": [0] * n,
+            "sf_norm": ["viral thing"] * n,
+            "m_emb": [embs[i % 2].tobytes() for i in range(n)],
+        }
+    )
+    nils = spark.createDataFrame(rows)
+    pairs = _nil_pair_candidates(nils, cfg)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "_sb" in plan  # the rank window is partitioned by (k, _sb)
+    # the block really splits: > 16 distinct sub-buckets at B=64, n=300
+    sb = nils.select(
+        nil_sub_bucket(F.concat_ws("#", "url", "mention_id"), cfg.nil_rank_buckets).alias("sb")
+    )
+    assert sb.distinct().count() > 16
+    # pure-Python replication of the two-level order
+    def sbk(mk):
+        return int(hashlib.md5(mk.encode()).hexdigest()[:15], 16) % cfg.nil_rank_buckets
+
+    mks = sorted((f"u{i:04d}#0" for i in range(n)), key=lambda m: (sbk(m), m))
+    def cos(a, b):
+        va, vb = embs[a], embs[b]
+        return float(np.dot(va, vb) / (sqrt(np.dot(va, va)) * sqrt(np.dot(vb, vb))))
+
+    expect = set()
+    for i in range(n):
+        for j in range(i + 1, min(n, i + 1 + w)):
+            ga, gb = int(mks[i][1:5]) % 2, int(mks[j][1:5]) % 2
+            if cos(ga, gb) >= cfg.nil_tau:
+                expect.add((mks[i], mks[j]))
+    got = {(r["src"], r["dst"]) for r in nil_edges(nils, cfg).collect()}
+    assert got == expect
+    assert 0 < len(got) < n * (n - 1) // 2

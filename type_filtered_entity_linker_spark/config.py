@@ -29,6 +29,10 @@ class LinkerConfig:
     # pathological block at O(n·w) pairs instead of O(n²); blocks of
     # ≤ w+1 mentions are compared all-pairs exactly
     nil_neighborhood: int = 16
+    # two-level NIL rank: a block's order is (md5(mk) % nil_rank_buckets,
+    # mk), so its row_number sort runs as nil_rank_buckets parallel
+    # sub-sorts — no single task ever sorts a viral block (verdict r03)
+    nil_rank_buckets: int = 64
     n_salt: int = 8  # salt buckets for head blocking keys
     salt_threshold: int = 100  # keys with more candidates than this get salted
     # 'cosine' (embedding cosine) | 'mlp' (neural comparator head with

@@ -53,6 +53,14 @@ def nil_mentions(mentions: DataFrame, candidates: DataFrame) -> DataFrame:
     )
 
 
+def nil_sub_bucket(mk: "str | F.Column", n_buckets: int) -> F.Column:
+    """Deterministic sub-bucket of a mention key: first 15 hex chars of
+    md5 folded to a 60-bit int, mod ``n_buckets`` — bit-identical in
+    Python (`oracle.py`) and any SQL engine (the house md5 hex-fold)."""
+    h = F.conv(F.substring(F.md5(mk), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(n_buckets))
+
+
 def _nil_pair_candidates(nils: DataFrame, cfg: LinkerConfig) -> DataFrame:
     """Bucketed candidate pair stream BEFORE the rank predicate.
 
@@ -64,19 +72,43 @@ def _nil_pair_candidates(nils: DataFrame, cfg: LinkerConfig) -> DataFrame:
     mentions therefore GENERATES ≤ 2·n·w join rows — a plain
     ``a.join(b, "k")`` would generate n² rows and only then filter,
     quadratic CPU on exactly the key the neighborhood was added for
-    (VERDICT r02 #2)."""
+    (VERDICT r02 #2).
+
+    The rank itself is TWO-LEVEL so no single task ever sorts a whole
+    viral block (VERDICT r03 #3): the block's total order is
+    ``(sub_bucket(mk), mk)`` with ``sub_bucket`` = md5-fold mod
+    ``cfg.nil_rank_buckets``; ``row_number`` partitions by
+    ``(k, sub_bucket)`` (parallel sorts of ~n/B rows), per-sub-bucket
+    counts cumulate into offsets over ≤ B rows per block, and the
+    block rank = offset + local row number — the ``global_rank``
+    offset-compose trick applied inside a key. The mk order carried no
+    meaning (mention keys are arbitrary w.r.t. context similarity), so
+    hash-prefixing the order changes nothing semantic; ``oracle.py``
+    sorts by the same ``(sub_bucket, mk)`` tuple."""
     from pyspark.sql import Window
 
     wsz = cfg.nil_neighborhood
     mkey = F.concat_ws("#", "url", "mention_id")
-    w = Window.partitionBy("k").orderBy("mk")
+    base = nils.select(
+        F.col("sf_norm").alias("k"), mkey.alias("mk"),
+        F.col("m_emb").alias("e"),
+    ).withColumn("_sb", nil_sub_bucket(F.col("mk"), cfg.nil_rank_buckets))
+    wloc = Window.partitionBy("k", "_sb").orderBy("mk")
+    base = base.withColumn("_lrn", F.row_number().over(wloc))
+    sizes = base.groupBy("k", "_sb").agg(F.count("*").alias("_sn"))
+    woff = (
+        Window.partitionBy("k")
+        .orderBy("_sb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sizes.withColumn(
+        "_off", F.coalesce(F.sum("_sn").over(woff), F.lit(0))
+    ).select("k", "_sb", "_off")
     n = (
-        nils.select(
-            F.col("sf_norm").alias("k"), mkey.alias("mk"),
-            F.col("m_emb").alias("e"),
-        )
-        .withColumn("rn", F.row_number().over(w))
+        base.join(offs, ["k", "_sb"])
+        .withColumn("rn", F.col("_off") + F.col("_lrn"))
         .withColumn("bkt", F.floor((F.col("rn") - F.lit(1)) / F.lit(wsz)))
+        .drop("_sb", "_lrn", "_off")
     )
     a = n.select(
         "k", F.col("mk").alias("src"), F.col("e").alias("ea"),

@@ -130,13 +130,21 @@ def link_corpus(fx: dict[str, pd.DataFrame], cfg: LinkerConfig) -> dict[str, pd.
 
     # NIL-mention dedup edges: same blocking key + context cosine >= tau,
     # bounded by sorted-neighborhood rank distance (mirrors
-    # operators/nil.py — ranks ordered by mention key, pairs within
+    # operators/nil.py — block order (md5_60(mk) % nil_rank_buckets, mk),
+    # the two-level rank's total order; pairs within
     # cfg.nil_neighborhood ranks only)
+    import hashlib
+
+    def _sb(mk: str) -> int:
+        return int(
+            hashlib.md5(mk.encode()).hexdigest()[:15], 16
+        ) % cfg.nil_rank_buckets
+
     by_block: dict[str, list[tuple[str, np.ndarray]]] = {}
     for mkey, sf_norm, emb in nil_mentions:
         by_block.setdefault(sf_norm, []).append((mkey, emb))
     for _, ms in by_block.items():
-        ms.sort()
+        ms.sort(key=lambda t: (_sb(t[0]), t[0]))
         for i in range(len(ms)):
             for j in range(i + 1, min(len(ms), i + 1 + cfg.nil_neighborhood)):
                 c = float(cosine_batch(ms[i][1][None, :], ms[j][1][None, :])[0])
