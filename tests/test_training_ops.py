@@ -320,15 +320,95 @@ def test_media_features_segmented_reduction(spark):
     }
 
 
-def test_media_stub_raises_for_real_media(spark):
+def test_media_stub_raises_for_codec_formats(spark):
+    # JPEG has no stdlib decoder — the honest stub boundary (WAV/BMP/
+    # PNG are really decoded since r4)
     d = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1], "text": ["hello"]})
     )
     media = with_binary_payload(d).withColumn(
-        "media_type", F.lit("image/png")
+        "media_type", F.lit("image/jpeg")
     )
     with pytest.raises(Exception, match="NotImplementedError|codecs unavailable"):
         extract_media_features(media).collect()
+
+
+def test_media_stdlib_decoders_on_spark(spark):
+    """Mixed fixture payloads really decode: dimensions, rates and
+    decoded-sample checksums match the generator's closed forms."""
+    from type_filtered_entity_linker_spark.operators.multimodal import (
+        _bmp_params,
+        _png_params,
+        _wav_params,
+        with_media_payload,
+    )
+
+    d = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(1, 13)),
+                      "text": ["some text"] * 12})
+    )
+    rows = {
+        r.doc_id: r
+        for r in extract_media_features(with_media_payload(d)).collect()
+    }
+    assert len(rows) == 12
+    for did, r in rows.items():
+        m = did % 4
+        if m == 0:
+            assert r.media_type == "text/plain"
+            assert r.byte_checksum == sum(b"some text")
+            assert r.width is None and r.sample_checksum is None
+        elif m == 1:
+            rate, n = _wav_params(did)
+            assert (r.media_type, r.sample_rate, r.n_samples, r.n_channels) == (
+                "audio/wav", rate, n, 1)
+            assert r.n_bytes == 44 + n and r.first_byte == ord("R")
+            assert r.sample_checksum == sum(
+                (did * 31 + 7 * i) % 256 for i in range(n))
+        elif m == 2:
+            w, h = _bmp_params(did)
+            assert (r.media_type, r.width, r.height, r.n_channels) == (
+                "image/bmp", w, h, 3)
+            assert r.sample_checksum == sum(
+                (did * 13 + 5 * j) % 256 for j in range(w * h * 3))
+        else:
+            w, h = _png_params(did)
+            assert (r.media_type, r.width, r.height, r.n_channels) == (
+                "image/png", w, h, 1)
+            assert r.sample_checksum == sum(
+                (did * 17 + 11 * j) % 256 for j in range(w * h))
+
+
+def test_png_sub_filter_and_unsupported_paths():
+    """The Sub (type 1) unfilter path, plus the explicit raise for a
+    filter type the decoder does not implement (Paeth) and a non-
+    grayscale color type."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from type_filtered_entity_linker_spark.operators.multimodal import (
+        _decode_png,
+    )
+
+    def png(w, h, raw, ctype=0):
+        def chunk(tag, data):
+            return (struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data)))
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    # 1x4 row [10, 250, 7, 7] Sub-filtered: deltas [10, 240, 13, 0]
+    raw = bytes([1, 10, 240, 13, 0])
+    f = _decode_png(png(4, 1, raw))
+    assert f["sample_checksum"] == 10 + 250 + 7 + 7
+    assert (f["width"], f["height"]) == (4, 1)
+    with pytest.raises(NotImplementedError, match="filter type 4"):
+        _decode_png(png(2, 1, bytes([4, 1, 2])))
+    with pytest.raises(NotImplementedError, match="color_type=2"):
+        _decode_png(png(1, 1, bytes([0, 1, 2, 3]), ctype=2))
 
 
 def test_media_features_text_payload(spark):

@@ -3336,17 +3336,90 @@ PARAGRAPH_BOILER_SQL = """
 
 
 def q_media_features(spark, sf_dir) -> DataFrame:
-    return extract_media_features(with_binary_payload(_docs(spark, sf_dir)))
+    """Mixed-modality feature extraction (operators/multimodal.py):
+    doc_id % 4 cycles text/WAV/BMP/PNG fixture payloads; WAV decodes
+    via the stdlib wave module, BMP via struct (24-bpp BI_RGB), PNG via
+    zlib+struct (8-bit grayscale, None/Up scanline filters reversed by
+    hand) — real parsing of real container bytes inside Arrow batches.
+    The oracle predicts every decoded feature ARITHMETICALLY from
+    doc_id (the fixture generator's sample values and container sizes
+    have closed forms; PNG IDAT is stored-deflate), so a decoder bug on
+    any field hash-mismatches. Codec formats (JPEG/MP3/video) remain
+    the explicit NotImplementedError stub."""
+    from ..operators.multimodal import with_media_payload
+
+    feats = extract_media_features(
+        with_media_payload(_docs(spark, sf_dir))
+    )
+    return feats.withColumn("sample_mean", F.round("sample_mean", 6))
 
 
 MEDIA_FEATURES_SQL = """
-    SELECT doc_id, 'text/plain' AS media_type,
-           length(text)::INT AS n_bytes,
-           ascii(substr(text, 1, 1))::INT AS first_byte,
-           list_sum([ascii(substr(text, i, 1))
-                     for i in generate_series(1, length(text))])::BIGINT
-               AS byte_checksum
-    FROM documents
+    WITH base AS (SELECT doc_id, doc_id % 4 AS m, text FROM documents),
+    wav AS (
+        SELECT doc_id, round(avg(v), 6) AS mean, sum(v)::BIGINT AS chk
+        FROM (SELECT doc_id, (doc_id*31 + 7*u) % 256 AS v
+              FROM base, unnest(generate_series(0, 63 + doc_id % 32)) t(u)
+              WHERE m = 1)
+        GROUP BY doc_id),
+    bmp AS (
+        SELECT doc_id, round(avg(v), 6) AS mean, sum(v)::BIGINT AS chk
+        FROM (SELECT doc_id, (doc_id*13 + 5*u) % 256 AS v
+              FROM base,
+                   unnest(generate_series(0,
+                       (4 + doc_id % 5) * (3 + doc_id % 4) * 3 - 1)) t(u)
+              WHERE m = 2)
+        GROUP BY doc_id),
+    png AS (
+        SELECT doc_id, round(avg(v), 6) AS mean, sum(v)::BIGINT AS chk
+        FROM (SELECT doc_id, (doc_id*17 + 11*u) % 256 AS v
+              FROM base,
+                   unnest(generate_series(0,
+                       (3 + doc_id % 6) * (2 + doc_id % 5) - 1)) t(u)
+              WHERE m = 3)
+        GROUP BY doc_id),
+    txt AS (
+        SELECT doc_id,
+               length(text)::INT AS n_bytes,
+               ascii(substr(text, 1, 1))::INT AS first_byte,
+               list_sum([ascii(substr(text, i, 1))
+                         for i in generate_series(1, length(text))])::BIGINT
+                   AS chk
+        FROM base WHERE m = 0)
+    SELECT b.doc_id,
+           CASE b.m WHEN 0 THEN 'text/plain' WHEN 1 THEN 'audio/wav'
+                    WHEN 2 THEN 'image/bmp' ELSE 'image/png'
+           END AS media_type,
+           CASE b.m
+                WHEN 0 THEN t.n_bytes
+                WHEN 1 THEN 44 + 64 + b.doc_id % 32
+                WHEN 2 THEN 54 + (3 + b.doc_id % 4) *
+                     ((4 + b.doc_id % 5) * 3 +
+                      (4 - ((4 + b.doc_id % 5) * 3) % 4) % 4)
+                ELSE 68 + (2 + b.doc_id % 5) * ((3 + b.doc_id % 6) + 1)
+           END::INT AS n_bytes,
+           CASE b.m WHEN 0 THEN t.first_byte WHEN 1 THEN 82
+                    WHEN 2 THEN 66 ELSE 137 END::INT AS first_byte,
+           CASE WHEN b.m = 0 THEN t.chk END::BIGINT AS byte_checksum,
+           CASE b.m WHEN 2 THEN 4 + b.doc_id % 5
+                    WHEN 3 THEN 3 + b.doc_id % 6 END::INT AS width,
+           CASE b.m WHEN 2 THEN 3 + b.doc_id % 4
+                    WHEN 3 THEN 2 + b.doc_id % 5 END::INT AS height,
+           CASE b.m WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 1
+                    END::INT AS n_channels,
+           CASE WHEN b.m = 1 THEN 8000 + 4000 * (b.doc_id % 3)
+                END::INT AS sample_rate,
+           CASE WHEN b.m = 1 THEN 64 + b.doc_id % 32
+                END::BIGINT AS n_samples,
+           CASE b.m WHEN 1 THEN w.mean WHEN 2 THEN p2.mean
+                    WHEN 3 THEN p3.mean END AS sample_mean,
+           CASE b.m WHEN 1 THEN w.chk WHEN 2 THEN p2.chk
+                    WHEN 3 THEN p3.chk END::BIGINT AS sample_checksum
+    FROM base b
+    LEFT JOIN txt t USING (doc_id)
+    LEFT JOIN wav w USING (doc_id)
+    LEFT JOIN bmp p2 USING (doc_id)
+    LEFT JOIN png p3 USING (doc_id)
 """
 
 # ------------------------------------------------------- relational anchors
