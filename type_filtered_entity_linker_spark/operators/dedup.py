@@ -102,7 +102,16 @@ def minhash_signatures(
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, k: int = 64) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair.
     (doc_a, doc_b) with doc_a < doc_b, distinct. Band hashes built by a
-    static Python loop (fixed k) — plain codegen expressions."""
+    static Python loop (fixed k) — plain codegen expressions.
+
+    ``sigs`` is materialized once (localCheckpoint) before the
+    self-join: the banded explode differs per side, so Catalyst gets no
+    ReusedExchange, and without the barrier BOTH sides recompute the
+    64-min signature aggregate — measured 132 s vs 31 s composed at a
+    50k-doc 10x probe (scripts/scale_probe.py, round 4). At cluster
+    scale the same barrier is a reliable-storage checkpoint of the
+    signature table — one row per doc, the cheapest table in the job."""
+    sigs = sigs.localCheckpoint()
     rows_per_band = k // bands
     banded = sigs.select(
         "doc_id",
@@ -325,7 +334,10 @@ def near_duplicates_simhash(
     width = 64 // bands  # last band absorbs the remainder
     offs = [bi * width for bi in range(bands)]
     widths = [width] * (bands - 1) + [64 - width * (bands - 1)]
-    sh = simhash64(docs, hash_fn=hash_fn)
+    # same double-compute shape as lsh_candidate_pairs: the 64-vote
+    # aggregate feeds both sides of the band self-join — materialize
+    # the (doc_id, simhash) table once
+    sh = simhash64(docs, hash_fn=hash_fn).localCheckpoint()
     banded = sh.select(
         "doc_id",
         "simhash",
