@@ -1,0 +1,197 @@
+"""Round-4 additions: shingle-containment dedup (operators/dedup.py),
+SCD-type-2 crawl-history intervals (operators/curation.py),
+deterministic label propagation (operators/graph.py), PMI collocations
+and positional phrase search (operators/textstats.py) — each checked
+against a small hand-computable or pure-Python reference."""
+
+import math
+from collections import Counter, defaultdict
+
+from type_filtered_entity_linker_spark.operators.curation import (
+    scd2_intervals,
+)
+from type_filtered_entity_linker_spark.operators.dedup import (
+    containment_duplicates,
+    near_duplicates_ngram,
+)
+from type_filtered_entity_linker_spark.operators.graph import (
+    label_propagation,
+)
+from type_filtered_entity_linker_spark.operators.textstats import (
+    phrase_search,
+    pmi_bigrams,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    # B's 3 shingles are all inside A's 6: containment(B in A) = 1.0
+    # but Jaccard = 3/6 = 0.5 — below any near-dup threshold.
+    corpus = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e"),
+            (3, "x y z w"),
+        ],
+    )
+    out = containment_duplicates(
+        corpus, threshold=0.8, max_doc_freq=None
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["cont_a_in_b"] == 0.5  # |A∩B| / |A| = 3/6
+    assert r["cont_b_in_a"] == 1.0  # |A∩B| / |B| = 3/3
+    # the Jaccard operator at the same threshold finds nothing
+    assert (
+        near_duplicates_ngram(corpus, threshold=0.8, max_doc_freq=None).count()
+        == 0
+    )
+
+
+def test_containment_df_cut_prunes_head_shingles(spark):
+    # every doc shares the same 3-token head shingle; with the cut at
+    # df<=2 that shingle is pruned, leaving the docs disjoint
+    corpus = _docs(
+        spark,
+        [
+            (1, "h h h p q r"),
+            (2, "h h h s t u"),
+            (3, "h h h v w x"),
+        ],
+    )
+    assert (
+        containment_duplicates(corpus, threshold=0.5, max_doc_freq=2).count()
+        == 0
+    )
+    # without the cut the shared head shingle yields i=1, n=4 pairs
+    # below threshold 0.5 — still nothing, but via a nonzero ratio
+    full = containment_duplicates(
+        corpus, threshold=0.25, max_doc_freq=None
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in full} == {(1, 2), (1, 3), (2, 3)}
+    assert all(r["cont_a_in_b"] == 0.25 for r in full)
+
+
+def _snaps(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, snap_ver int, text string"
+    )
+
+
+def test_scd2_intervals_change_gap_and_current(spark):
+    snaps = _snaps(
+        spark,
+        [
+            # content change at v3 -> two intervals
+            (1, 1, "x"), (1, 2, "x"), (1, 3, "y"),
+            # absent at v2 -> gap closes the interval even though the
+            # content is identical on both sides
+            (2, 1, "p"), (2, 3, "p"),
+            # disappears after v1
+            (3, 1, "q"),
+            # never changes -> one interval spanning everything
+            (4, 1, "s"), (4, 2, "s"), (4, 3, "s"),
+        ],
+    )
+    rows = scd2_intervals(snaps).collect()
+    got = {
+        (r["doc_id"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in rows
+    }
+    assert got == {
+        (1, 1, 2, False),
+        (1, 3, 3, True),
+        (2, 1, 1, False),
+        (2, 3, 3, True),
+        (3, 1, 1, False),
+        (4, 1, 3, True),
+    }
+    # digests: doc 2's two intervals carry the SAME digest (the page
+    # came back unchanged — the gap alone split the interval)
+    d2 = sorted(
+        (r["valid_from"], r["digest"]) for r in rows if r["doc_id"] == 2
+    )
+    assert d2[0][1] == d2[1][1]
+
+
+def _ref_lpa(edges, n_iter):
+    """Pure-Python reference: synchronous LPA, undirected simple
+    graph, most-frequent neighbor label, ties to the smallest."""
+    nbrs = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            nbrs[u].add(v)
+            nbrs[v].add(u)
+    labels = {n: n for n in nbrs}
+    for _ in range(n_iter):
+        new = {}
+        for n, ns in nbrs.items():
+            cnt = Counter(labels[m] for m in ns)
+            new[n] = min(cnt, key=lambda lb: (-cnt[lb], lb))
+        labels = new
+    return labels
+
+
+def _lpa_spark(spark, edges, n_iter):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["label"]
+        for r in label_propagation(df, n_iter=n_iter).collect()
+    }
+
+
+def test_label_propagation_bridged_triangles(spark):
+    edges = [
+        (0, 1), (1, 2), (2, 0),
+        (10, 11), (11, 12), (12, 10),
+        (2, 10),
+    ]
+    for n_iter in (1, 2, 3):
+        assert _lpa_spark(spark, edges, n_iter) == _ref_lpa(edges, n_iter)
+    final = _lpa_spark(spark, edges, 3)
+    # each triangle coheres around its own minimum label
+    assert final[0] == final[1] == final[2] == 0
+    assert final[11] == final[12]
+
+
+def test_label_propagation_matches_reference_on_sparse_digraph(spark):
+    # directed input is symmetrized; duplicate edges collapse
+    edges = [(0, 3), (1, 0), (2, 4), (3, 0), (4, 0), (5, 1), (6, 0),
+             (7, 4), (0, 3), (3, 3)]
+    assert _lpa_spark(spark, edges, 3) == _ref_lpa(edges, 3)
+
+
+def test_pmi_bigrams_hand_computed(spark):
+    corpus = _docs(spark, [(1, "a b a b"), (2, "a b c"), (3, "solo")])
+    # bigrams: doc1 -> (a,b) (b,a) (a,b); doc2 -> (a,b) (b,c); N_bi=5
+    # unigrams: a:3 b:3 c:1 solo:1; N_uni=8
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in pmi_bigrams(corpus, min_count=2).collect()
+    }
+    assert set(out) == {("a", "b")}
+    r = out[("a", "b")]
+    assert r["n_pair"] == 3
+    expected = math.log((3 / 5) / ((3 / 8) * (3 / 8)))
+    assert abs(r["pmi"] - expected) < 1e-6
+
+
+def test_phrase_search_counts_overlapping_matches(spark):
+    corpus = _docs(
+        spark,
+        [
+            (1, "a a a a"),   # "a a" at positions 0,1,2 -> 3 matches
+            (2, "x a a y"),   # 1 match
+            (3, "a b a"),     # adjacency broken -> no match
+        ],
+    )
+    out = {
+        r["doc_id"]: r["n_matches"]
+        for r in phrase_search(corpus, "a a").collect()
+    }
+    assert out == {1: 3, 2: 1}

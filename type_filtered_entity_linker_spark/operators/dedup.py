@@ -242,6 +242,67 @@ def near_duplicates_ngram(
     )
 
 
+def containment_duplicates(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_doc_freq: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT near-dup pairs: |A∩B|/|A| and
+    |A∩B|/|B|, keeping pairs where either direction ≥ ``threshold``.
+
+    Jaccard misses subset duplication — a page quoted wholesale inside
+    a longer page has high containment but low Jaccard (the classic
+    Broder distinction; web corpora are full of syndicated excerpts
+    and quoted reposts). This is the containment complement of
+    ``near_duplicates_ngram``: the SAME inverted shingle-index
+    posting-list join and the SAME DF-cut scale guard, only the final
+    ratio differs — so its 100 TB shape is identical (shingle-keyed
+    shuffle, quadratic posting lists bounded by ``max_doc_freq``,
+    AQE skew-join on surviving heavy keys).
+
+    With ``max_doc_freq=None`` the output is EXACT containment over
+    distinct token shingles (every pair with intersection > 0 shares a
+    shingle, so the posting-list join loses nothing).
+    """
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(token_shingles("text", shingle_n)).alias("s"),
+    )
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("s")
+        )
+        sh = sh.join(rare, "s", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    c_a = F.col("i") / F.col("na")
+    c_b = F.col("i") / F.col("nb")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(F.greatest(c_a, c_b) >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(c_a, 6).alias("cont_a_in_b"),
+            F.round(c_b, 6).alias("cont_b_in_a"),
+        )
+    )
+
+
 def shingle_hash(
     col: "str | F.Column" = "tok", hash_fn: str = "xxhash64"
 ) -> F.Column:

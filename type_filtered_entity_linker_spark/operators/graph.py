@@ -34,6 +34,64 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (Raghavan et al.
+    2007, the near-linear community detector used on web/host graphs)
+    over edges(src, dst) → (node, label) after ``n_iter`` rounds.
+
+    Each round every node adopts the most frequent label among its
+    neighbors (graph treated as undirected; self-loops dropped,
+    multi-edges collapsed), ties broken by the SMALLEST label — the
+    synchronous deterministic variant, so the result is a pure
+    function of (graph, n_iter): reproducible across partitionings and
+    engines, unrolled exactly in the SQL oracle. Labels start as the
+    node ids.
+
+    Scale (one shuffle pair per round, hub-safe): the neighbor-label
+    count is a partial-aggregated groupBy (dst, label); the per-node
+    argmax is NOT a window sort but ``max(struct(count, -label))`` —
+    an ordinary aggregate, so a 10^8-degree hub collapses map-side to
+    one row per (partition, dst) and no single task ever sorts a hub's
+    neighborhood (same skew reasoning as pagerank's contribution sum).
+    ``localCheckpoint`` per round truncates the iterative lineage."""
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # symmetric closure: every endpoint appears as a src
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(n_iter):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            votes.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("neg"))
+                ).alias("m")
+            )
+            .select(
+                F.col("dst").alias("node"), (-F.col("m.neg")).alias("label")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 3,

@@ -240,6 +240,106 @@ def bm25_scores(
     )
 
 
+def pmi_bigrams(
+    docs: DataFrame,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level PMI collocations (Church & Hanks 1990): for every
+    adjacent token bigram with corpus count ≥ ``min_count``,
+
+        pmi(x, y) = ln( p(x,y) / (p(x)·p(y)) )
+
+    with p(x,y) over total bigram occurrences and p(x), p(y) over
+    total token occurrences — the standard collocation / multi-word-
+    expression miner (tokenizer-vocab prep, boilerplate-phrase
+    discovery) next to ``vocab_topk``.
+
+    Returns (w1, w2, n_pair, pmi), pmi rounded to the house 1e-6.
+
+    Scale: two hash aggregations (bigram counts, unigram counts) over
+    one pass of the corpus, then the vocab-sized unigram table joins
+    onto the bigram table by word — AQE broadcasts it when the vocab
+    is small, and a shuffle join on the word key stays balanced
+    otherwise because ``min_count`` prunes the bigram tail first. The
+    probability ratio is composed in double in a fixed operation
+    order, mirrored exactly by the oracle SQL."""
+    toks = docs.select(tokens_col(text_col).alias("l"))
+    pair_structs = F.when(
+        F.size("l") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("l") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("l"), i).alias("w1"),
+                F.element_at(F.col("l"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = toks.select(F.explode(pair_structs).alias("p")).select(
+        "p.w1", "p.w2"
+    )
+    uni = toks.select(F.explode("l").alias("w"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    c1 = uni.groupBy("w").agg(F.count("*").alias("cw"))
+    totals = c1.agg(F.sum("cw").alias("n_uni"))
+    n_bi = c12.agg(F.sum("n_pair").alias("n_bi"))
+    pxy = F.col("n_pair").cast("double") / F.col("n_bi").cast("double")
+    px = F.col("c_w1").cast("double") / F.col("n_uni").cast("double")
+    py = F.col("c_w2").cast("double") / F.col("n_uni").cast("double")
+    return (
+        c12.where(F.col("n_pair") >= min_count)
+        .join(c1.select(F.col("w").alias("w1"), F.col("cw").alias("c_w1")), "w1")
+        .join(c1.select(F.col("w").alias("w2"), F.col("cw").alias("c_w2")), "w2")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(F.log(pxy / (px * py)), 6).alias("pmi"),
+        )
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase retrieval via a positional inverted index — the
+    relational form of Lucene's phrase query: (doc, term, position)
+    postings, one inner join per phrase term aligning positions
+    (term_i at base position + i), then a per-doc match count.
+
+    Returns (doc_id, n_matches) for documents containing the phrase
+    at least once (overlapping occurrences each count).
+
+    Scale: the ``tok = term_i`` filters sit directly on the exploded
+    postings — only the phrase terms' postings ever shuffle (the same
+    pushdown shape as ``bm25_scores``). Every join keys on
+    (doc_id, base_pos), so after the first exchange the remaining
+    joins reuse the same partitioning (one Exchange, chained
+    sort-merge/hash joins on identical keys)."""
+    terms = phrase.split(" ")
+    if not terms or any(not t for t in terms):
+        raise ValueError(f"phrase must be non-empty space-separated tokens: {phrase!r}")
+    postings = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "tok"),
+    )
+    matched = postings.where(F.col("tok") == terms[0]).select(
+        "doc_id", F.col("pos").alias("base_pos")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.where(F.col("tok") == t).select(
+            "doc_id", (F.col("pos") - i).alias("base_pos")
+        )
+        matched = matched.join(nxt, ["doc_id", "base_pos"])
+    return matched.groupBy("doc_id").agg(F.count("*").alias("n_matches"))
+
+
 def fingerprints(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -5014,6 +5014,258 @@ HIST_QUANT_SQL = """
 """
 
 
+# ------------------------------------------------------ round-4 additions
+
+
+def _contain_corpus(spark, sf_dir) -> DataFrame:
+    """documents ∪ prefix excerpts (first half of chars, min 20) of
+    every 5th doc — the syndicated-excerpt shape Jaccard misses but
+    containment catches."""
+    d = _docs(spark, sf_dir)
+    exc = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.expr(
+            "substring(text, 1, greatest(20, cast(n_chars div 2 as int)))"
+        ).alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(exc)
+
+
+CONTAIN_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 400000 AS doc_id,
+           substr(text, 1, greatest(20, (n_chars // 2)::INT)) AS text
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def q_dedup_containment(spark, sf_dir) -> DataFrame:
+    """Asymmetric shingle-containment dedup (operators/dedup.py
+    containment_duplicates): excerpt-in-original pairs that exact
+    Jaccard scores far below threshold. max_doc_freq=None → EXACT
+    containment, paired with the brute-force posting-list oracle."""
+    from ..operators.dedup import containment_duplicates
+
+    return containment_duplicates(
+        _contain_corpus(spark, sf_dir), threshold=0.8, max_doc_freq=None
+    )
+
+
+def _containment_oracle_sql(corpus_sql: str, threshold: float) -> str:
+    """Brute-force distinct-shingle containment — shares the shingle
+    CTE conventions of _jaccard_oracle_sql (3-token shingles, short-doc
+    whole-text fallback, Java-\\s tokenization)."""
+    return f"""
+    WITH corpus AS ({corpus_sql}),
+    toks AS (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l FROM corpus),
+    sh AS (SELECT DISTINCT doc_id, s
+           FROM toks, unnest(
+               CASE WHEN len(l) >= 3
+                    THEN [array_to_string(l[i:i+2], ' ')
+                          for i in generate_series(1, len(l) - 2)]
+                    ELSE [array_to_string(l, ' ')] END) AS t(s)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(i::DOUBLE / sa.n, 6) AS cont_a_in_b,
+           round(i::DOUBLE / sb.n, 6) AS cont_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE greatest(i::DOUBLE / sa.n, i::DOUBLE / sb.n) >= {threshold}
+"""
+
+
+DEDUP_CONTAINMENT_SQL = _containment_oracle_sql(CONTAIN_CORPUS_SQL, 0.8)
+
+
+def q_crawl_scd2(spark, sf_dir) -> DataFrame:
+    """SCD-type-2 crawl history (operators/curation.py scd2_intervals)
+    over three synthetic snapshots of the documents table: v2 drops
+    every 13th page and rewrites every 11th; v3 drops every 17th and
+    rewrites every 7th — exercising change-breaks, absence-gaps
+    (%13 pages vanish at v2 and return at v3 as a NEW interval), and
+    the is_current flag in one run."""
+    from ..operators.curation import scd2_intervals
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    v1 = d.withColumn("snap_ver", F.lit(1))
+    v2 = (
+        d.where(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit("V2 "), F.col("text")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .withColumn("snap_ver", F.lit(2))
+    )
+    v3 = (
+        d.where(F.col("doc_id") % 17 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit("V3 "), F.col("text")),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .withColumn("snap_ver", F.lit(3))
+    )
+    return scd2_intervals(v1.unionByName(v2).unionByName(v3))
+
+
+CRAWL_SCD2_SQL = """
+    WITH snaps AS (
+        SELECT doc_id, text, 1 AS snap_ver FROM documents
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN 'V2 ' || text
+                    ELSE text END AS text,
+               2 AS snap_ver
+        FROM documents WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'V3 ' || text
+                    ELSE text END AS text,
+               3 AS snap_ver
+        FROM documents WHERE doc_id % 17 <> 0
+    ),
+    h AS (SELECT doc_id, snap_ver, md5(text) AS digest FROM snaps),
+    l AS (SELECT doc_id, snap_ver, digest,
+                 lag(snap_ver) OVER (PARTITION BY doc_id ORDER BY snap_ver)
+                     AS pv,
+                 lag(digest) OVER (PARTITION BY doc_id ORDER BY snap_ver)
+                     AS pd
+          FROM h),
+    c AS (SELECT *, CASE WHEN pv IS NULL OR snap_ver <> pv + 1
+                              OR digest IS DISTINCT FROM pd
+                         THEN 1 ELSE 0 END AS brk FROM l),
+    s AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY snap_ver)
+              AS seg FROM c)
+    SELECT doc_id, min(digest) AS digest,
+           min(snap_ver) AS valid_from, max(snap_ver) AS valid_to,
+           max(snap_ver) = (SELECT max(snap_ver) FROM snaps) AS is_current
+    FROM s GROUP BY doc_id, seg
+"""
+
+
+LP_ITER = 3
+
+
+def q_graph_label_prop(spark, sf_dir) -> DataFrame:
+    """Deterministic synchronous label propagation (operators/graph.py
+    label_propagation) over the same derived doc link graph as
+    graph_pagerank — community detection as the crawl-side grouping
+    signal. All-integer math; oracle = the rounds unrolled as CTEs
+    with the identical (count DESC, label ASC) tie-break."""
+    from ..operators.graph import label_propagation
+
+    return label_propagation(_doc_graph(spark, sf_dir), n_iter=LP_ITER)
+
+
+def _label_prop_sql(n_iter: int) -> str:
+    parts = [
+        "nd AS (SELECT count(*) AS n FROM documents)",
+        "e0 AS (SELECT DISTINCT doc_id AS src, "
+        "(doc_id*31 + j) % (SELECT n FROM nd) AS dst "
+        "FROM documents CROSS JOIN range(1, 4) t(j) "
+        "WHERE doc_id <> (doc_id*31 + j) % (SELECT n FROM nd))",
+        "sym AS (SELECT src, dst FROM e0 "
+        "UNION SELECT dst AS src, src AS dst FROM e0)",
+        "lp0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)",
+    ]
+    prev = "lp0"
+    for it in range(1, n_iter + 1):
+        parts.append(
+            f"v{it} AS (SELECT e.dst, p.label, count(*) AS c "
+            f"FROM sym e JOIN {prev} p ON p.node = e.src "
+            f"GROUP BY e.dst, p.label)"
+        )
+        parts.append(
+            f"lp{it} AS (SELECT dst AS node, label FROM ("
+            f"SELECT dst, label, row_number() OVER ("
+            f"PARTITION BY dst ORDER BY c DESC, label ASC) AS rn "
+            f"FROM v{it}) WHERE rn = 1)"
+        )
+        prev = f"lp{it}"
+    return "WITH " + ",\n    ".join(parts) + f"\n    SELECT node, label FROM {prev}\n"
+
+
+GRAPH_LABEL_PROP_SQL = _label_prop_sql(LP_ITER)
+
+PMI_MIN_COUNT = 5
+
+
+def q_docs_pmi_bigrams(spark, sf_dir) -> DataFrame:
+    """PMI collocations (operators/textstats.py pmi_bigrams) over the
+    documents corpus — multi-word-expression mining for tokenizer/
+    boilerplate-phrase prep. Probabilities are ratios of integer
+    counts composed in a fixed double-op order mirrored by the SQL."""
+    from ..operators.textstats import pmi_bigrams
+
+    return pmi_bigrams(_docs(spark, sf_dir), min_count=PMI_MIN_COUNT)
+
+
+DOCS_PMI_SQL = f"""
+    WITH toks AS (SELECT regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l FROM documents),
+    bg AS (SELECT l[i] AS w1, l[i + 1] AS w2
+           FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+                 FROM toks WHERE len(l) >= 2)),
+    c12 AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w, count(*) AS cw
+           FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w),
+    nb AS (SELECT sum(n_pair)::DOUBLE AS n_bi FROM c12),
+    nu AS (SELECT sum(cw)::DOUBLE AS n_uni FROM c1)
+    SELECT w1, w2, n_pair,
+           round(ln((n_pair::DOUBLE / n_bi)
+                    / ((a.cw::DOUBLE / n_uni) * (b.cw::DOUBLE / n_uni))),
+                 6) AS pmi
+    FROM c12
+    JOIN c1 a ON a.w = c12.w1
+    JOIN c1 b ON b.w = c12.w2
+    CROSS JOIN nb CROSS JOIN nu
+    WHERE n_pair >= {PMI_MIN_COUNT}
+"""
+
+# mid-frequency fixture trigram (8 hits at sf0.01; same generator vocab
+# at every SF)
+PHRASE = "slow hash batch"
+
+
+def q_docs_phrase_search(spark, sf_dir) -> DataFrame:
+    """Positional-inverted-index exact-phrase retrieval
+    (operators/textstats.py phrase_search): Lucene phrase-query
+    semantics as posting-list joins with position alignment."""
+    from ..operators.textstats import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir), PHRASE)
+
+
+def _phrase_sql(phrase: str) -> str:
+    terms = phrase.split(" ")
+    joins = "".join(
+        f"\n    JOIN p p{i} ON p{i}.doc_id = p0.doc_id "
+        f"AND p{i}.i = p0.i + {i} AND p{i}.tok = '{t}'"
+        for i, t in enumerate(terms[1:], start=1)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l FROM documents),
+    p AS (SELECT doc_id, i, l[i] AS tok
+          FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+                FROM toks)),
+    m AS (SELECT p0.doc_id FROM p p0{joins}
+          WHERE p0.tok = '{terms[0]}')
+    SELECT doc_id, count(*) AS n_matches FROM m GROUP BY doc_id
+"""
+
+
+DOCS_PHRASE_SQL = _phrase_sql(PHRASE)
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -5118,6 +5370,11 @@ QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "top_orders_per_customer": q_top_orders_per_customer,
     "customers_semi_anti": q_semi_anti,
+    "dedup_containment": q_dedup_containment,
+    "crawl_scd2": q_crawl_scd2,
+    "graph_label_prop": q_graph_label_prop,
+    "docs_pmi_bigrams": q_docs_pmi_bigrams,
+    "docs_phrase_search": q_docs_phrase_search,
 }
 
 ORACLES = {
@@ -5222,6 +5479,11 @@ ORACLES = {
     "lineitem_agg": LINEITEM_AGG_SQL,
     "top_orders_per_customer": TOP_ORDERS_SQL,
     "customers_semi_anti": SEMI_ANTI_SQL,
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
+    "crawl_scd2": CRAWL_SCD2_SQL,
+    "graph_label_prop": GRAPH_LABEL_PROP_SQL,
+    "docs_pmi_bigrams": DOCS_PMI_SQL,
+    "docs_phrase_search": DOCS_PHRASE_SQL,
 }
 
 
