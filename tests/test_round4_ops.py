@@ -181,6 +181,65 @@ def test_pmi_bigrams_hand_computed(spark):
     assert abs(r["pmi"] - expected) < 1e-6
 
 
+def _ref_triangles(edges):
+    """Brute-force per-node triangle counts on the undirected simple
+    graph (itertools over canonical vertex triples of the adjacency)."""
+    from itertools import combinations
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    tri = Counter()
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    return {n: (len(adj[n]), tri[n]) for n in adj}
+
+
+def test_triangle_counts_k4_minus_edge(spark):
+    from type_filtered_entity_linker_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (10, 11), (1, 0)]
+    out = {
+        r["node"]: r
+        for r in triangle_counts(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    # K4 minus (2,3): 2 triangles; nodes 0,1 in both, 2,3 in one each
+    assert (out[0]["degree"], out[0]["n_triangles"]) == (3, 2)
+    assert out[0]["clustering_coeff"] == round(2 * 2 / 6, 6)
+    assert (out[2]["degree"], out[2]["n_triangles"]) == (2, 1)
+    assert out[2]["clustering_coeff"] == 1.0
+    # degree-1 pair: zero triangles, guarded coefficient 0.0 (not NULL)
+    assert (out[10]["n_triangles"], out[10]["clustering_coeff"]) == (0, 0.0)
+
+
+def test_triangle_counts_match_bruteforce_on_pseudorandom_graph(spark):
+    edges = [((i * 17) % 23, (i * 5 + 3) % 23) for i in range(60)]
+    out = {
+        r["node"]: (r["degree"], r["n_triangles"])
+        for r in triangle_counts_df(spark, edges).collect()
+    }
+    assert out == _ref_triangles(edges)
+
+
+def triangle_counts_df(spark, edges):
+    from type_filtered_entity_linker_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    return triangle_counts(
+        spark.createDataFrame(edges, "src long, dst long")
+    ).select("node", "degree", "n_triangles")
+
+
 def test_phrase_search_counts_overlapping_matches(spark):
     corpus = _docs(
         spark,

@@ -92,6 +92,90 @@ def label_propagation(
     return labels
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over
+    edges(src, dst) treated as an undirected simple graph (self-loops
+    dropped, direction and multiplicity collapsed) — the web-graph
+    cohesion signal (link-spam farms have near-zero clustering;
+    genuine communities are triangle-dense).
+
+    Returns (node, degree, n_triangles, clustering_coeff) for every
+    node, ``clustering_coeff = 2·T / (deg·(deg−1))`` and 0.0 when
+    deg < 2 (explicit guard — Spark's non-ANSI x/0 would yield NULL).
+
+    Scale — the degree-ordered orientation trick (Chiba–Nishizeki /
+    Schank–Wagner, the MapReduce-era standard): orient every canonical
+    edge from its (degree, id)-smaller endpoint to the larger, so each
+    triangle is enumerated EXACTLY once (its order-minimal vertex sees
+    it) and, critically, every node's oriented out-degree is
+    O(√m) on any graph — a 10^8-degree hub emits √m wedges instead of
+    deg² (the wedge join's fanout is bounded by arboricity, not by the
+    skewed degree distribution). Three hash joins, no windows; the
+    wedge join keys on the oriented edge endpoints."""
+    canon = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .union(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v"))
+    # orient from (deg, id)-smaller to larger: total order → each
+    # triangle appears exactly once as a→b, b→c, a→c
+    fwd = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        canon.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = o.select(F.col("a"), F.col("b"))
+    e2 = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = o.select(F.col("a"), F.col("b").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    # coalesce BEFORE the ratio: a triangle-less node left-joins to
+    # NULL, and a NULL numerator would leak NULL (not 0.0) through the
+    # degree>=2 branch
+    n_tri = F.coalesce("n_triangles", F.lit(0))
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            2.0
+            * n_tri.cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            n_tri.alias("n_triangles"),
+            coeff.alias("clustering_coeff"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 3,

@@ -5197,6 +5197,55 @@ def _label_prop_sql(n_iter: int) -> str:
 
 GRAPH_LABEL_PROP_SQL = _label_prop_sql(LP_ITER)
 
+def q_graph_triangles(spark, sf_dir) -> DataFrame:
+    """Degree-ordered triangle counting + local clustering coefficient
+    (operators/graph.py triangle_counts) over the derived doc link
+    graph — the link-spam/community cohesion signal. All-integer until
+    the final coefficient ratio."""
+    from ..operators.graph import triangle_counts
+
+    return triangle_counts(_doc_graph(spark, sf_dir))
+
+
+GRAPH_TRIANGLES_SQL = """
+    WITH nd AS (SELECT count(*) AS n FROM documents),
+    e0 AS (SELECT DISTINCT doc_id AS src,
+                  (doc_id*31 + j) % (SELECT n FROM nd) AS dst
+           FROM documents CROSS JOIN range(1, 4) t(j)
+           WHERE doc_id <> (doc_id*31 + j) % (SELECT n FROM nd)),
+    canon AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM e0),
+    deg AS (SELECT node, count(*) AS degree
+            FROM (SELECT u AS node FROM canon
+                  UNION ALL SELECT v FROM canon)
+            GROUP BY node),
+    o AS (SELECT CASE WHEN du.degree < dv.degree
+                           OR (du.degree = dv.degree AND u < v)
+                      THEN u ELSE v END AS a,
+                 CASE WHEN du.degree < dv.degree
+                           OR (du.degree = dv.degree AND u < v)
+                      THEN v ELSE u END AS b
+          FROM canon
+          JOIN deg du ON du.node = canon.u
+          JOIN deg dv ON dv.node = canon.v),
+    tri AS (SELECT e1.a, e1.b, e2.b AS c
+            FROM o e1
+            JOIN o e2 ON e2.a = e1.b
+            JOIN o e3 ON e3.a = e1.a AND e3.b = e2.b),
+    pn AS (SELECT node, count(*) AS n_triangles
+           FROM (SELECT a AS node FROM tri
+                 UNION ALL SELECT b FROM tri
+                 UNION ALL SELECT c FROM tri)
+           GROUP BY node)
+    SELECT deg.node, deg.degree,
+           coalesce(pn.n_triangles, 0) AS n_triangles,
+           CASE WHEN deg.degree >= 2
+                THEN round(2.0 * coalesce(pn.n_triangles, 0)::DOUBLE
+                           / (deg.degree * (deg.degree - 1))::DOUBLE, 6)
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg LEFT JOIN pn ON pn.node = deg.node
+"""
+
 PMI_MIN_COUNT = 5
 
 
@@ -5375,6 +5424,7 @@ QUERIES = {
     "graph_label_prop": q_graph_label_prop,
     "docs_pmi_bigrams": q_docs_pmi_bigrams,
     "docs_phrase_search": q_docs_phrase_search,
+    "graph_triangles": q_graph_triangles,
 }
 
 ORACLES = {
@@ -5484,6 +5534,7 @@ ORACLES = {
     "graph_label_prop": GRAPH_LABEL_PROP_SQL,
     "docs_pmi_bigrams": DOCS_PMI_SQL,
     "docs_phrase_search": DOCS_PHRASE_SQL,
+    "graph_triangles": GRAPH_TRIANGLES_SQL,
 }
 
 
