@@ -141,6 +141,15 @@ HEADLINE = [
     "docs_token_entropy",
     # mergeable histogram quantile sketch with measured error
     "docs_hist_quantiles",
+    # round-4 additions: shingle-containment dedup (excerpt shape),
+    # SCD2 crawl-history intervals, LPA communities + degree-ordered
+    # triangle counting, PMI collocations, positional phrase search
+    "dedup_containment",
+    "crawl_scd2",
+    "graph_label_prop",
+    "graph_triangles",
+    "docs_pmi_bigrams",
+    "docs_phrase_search",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

@@ -7,6 +7,9 @@ against a small hand-computable or pure-Python reference."""
 import math
 from collections import Counter, defaultdict
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
 from type_filtered_entity_linker_spark.operators.curation import (
     scd2_intervals,
 )
@@ -117,6 +120,111 @@ def test_scd2_intervals_change_gap_and_current(spark):
         (r["valid_from"], r["digest"]) for r in rows if r["doc_id"] == 2
     )
     assert d2[0][1] == d2[1][1]
+
+
+def _ref_scd2(rows):
+    """Pure-Python SCD2: group by key, order by version, break on
+    digest change or version gap, emit (from, to, current)."""
+    by_key = defaultdict(list)
+    vmax = max(v for _, v, _ in rows)
+    for k, v, t in rows:
+        by_key[k].append((v, t))
+    out = set()
+    for k, vers in by_key.items():
+        vers.sort()
+        runs = []
+        for v, t in vers:
+            if runs and v == runs[-1][1] + 1 and t == runs[-1][2]:
+                runs[-1] = (runs[-1][0], v, t)
+            else:
+                runs.append((v, v, t))
+        for lo, hi, _ in runs:
+            out.add((k, lo, hi, hi == vmax))
+    return out
+
+
+# snapshot stacks: up to 6 keys × versions 1..4, texts from a tiny
+# alphabet so change/no-change and gap patterns all get exercised
+SNAP_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 5),
+        st.integers(1, 4),
+        st.sampled_from(["x", "y", "z"]),
+    ),
+    min_size=1,
+    max_size=24,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(SNAP_ROWS)
+def test_scd2_matches_reference(spark, rows):
+    snaps = spark.createDataFrame(
+        [(k, v, t) for k, v, t in rows],
+        "doc_id long, snap_ver int, text string",
+    )
+    got = {
+        (r["doc_id"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_intervals(snaps).collect()
+    }
+    assert got == _ref_scd2(rows)
+
+
+def _ref_containment(rows, threshold, n=3):
+    """Brute-force distinct-shingle containment reference."""
+    def shingles(text):
+        toks = text.split(" ")
+        if len(toks) >= n:
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)}
+
+    sh = {d: shingles(t) for d, t in rows}
+    out = {}
+    ids = sorted(sh)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            i = len(sh[a] & sh[b])
+            if i and max(i / len(sh[a]), i / len(sh[b])) >= threshold:
+                out[(a, b)] = (i / len(sh[a]), i / len(sh[b]))
+    return out
+
+
+WORDS = st.sampled_from(["a", "b", "c", "d"])
+DOC_ROWS = st.lists(
+    st.tuples(
+        st.integers(0, 7),
+        st.lists(WORDS, min_size=1, max_size=8).map(" ".join),
+    ),
+    min_size=1,
+    max_size=8,
+    unique_by=lambda r: r[0],
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(DOC_ROWS)
+def test_containment_matches_reference(spark, rows):
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in containment_duplicates(
+            _docs(spark, rows), threshold=0.5, max_doc_freq=None
+        ).collect()
+    }
+    ref = _ref_containment(rows, 0.5)
+    assert set(got) == set(ref)
+    for k, (ca, cb) in ref.items():
+        assert abs(got[k][0] - ca) < 1e-6
+        assert abs(got[k][1] - cb) < 1e-6
 
 
 def _ref_lpa(edges, n_iter):

@@ -1,7 +1,9 @@
-"""Graph centrality over web-scale link graphs — PageRank as an
-iterative DataFrame loop (the crawl-side quality signal: Common Crawl
-publishes host-level centrality ranks computed exactly this way, and
-training-data pipelines use them to weight/filter domains).
+"""Graph analytics over web-scale link graphs: PageRank centrality
+(the crawl-side quality signal: Common Crawl publishes host-level
+centrality ranks computed exactly this way, and training-data
+pipelines use them to weight/filter domains), label-propagation
+communities, and degree-ordered triangle counting — all as DataFrame
+loops/joins.
 
 Design (pure DataFrame ops, one shuffle per iteration):
 
