@@ -146,6 +146,7 @@ HEADLINE = [
     # triangle counting, PMI collocations, positional phrase search
     "dedup_containment",
     "crawl_scd2",
+    "crawl_scd2_incremental",
     "graph_label_prop",
     "graph_triangles",
     "docs_pmi_bigrams",

@@ -227,6 +227,48 @@ def test_containment_matches_reference(spark, rows):
         assert abs(got[k][1] - cb) < 1e-6
 
 
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(SNAP_ROWS)
+def test_scd2_incremental_fold_equals_batch(spark, rows):
+    """Folding snapshots one crawl at a time through
+    scd2_apply_snapshot reproduces the batch scd2_intervals result
+    exactly — including version gaps, changes, and returning keys."""
+    from type_filtered_entity_linker_spark.operators.curation import (
+        scd2_apply_snapshot,
+    )
+
+    versions = sorted({v for _, v, _ in rows})
+    by_ver = {
+        v: [(k, t) for k, vv, t in rows if vv == v] for v in versions
+    }
+    first = spark.createDataFrame(
+        [(k, versions[0], t) for k, t in by_ver[versions[0]]],
+        "doc_id long, snap_ver int, text string",
+    )
+    hist = scd2_intervals(first)
+    for v in versions[1:]:
+        snap = spark.createDataFrame(
+            by_ver[v], "doc_id long, text string"
+        )
+        hist = scd2_apply_snapshot(hist, snap, v)
+    batch = scd2_intervals(
+        spark.createDataFrame(
+            rows, "doc_id long, snap_ver int, text string"
+        )
+    )
+    key = lambda r: (  # noqa: E731
+        r["doc_id"], r["digest"], r["valid_from"], r["valid_to"],
+        r["is_current"],
+    )
+    assert sorted(map(key, hist.collect())) == sorted(
+        map(key, batch.collect())
+    )
+
+
 def _ref_lpa(edges, n_iter):
     """Pure-Python reference: synchronous LPA, undirected simple
     graph, most-frequent neighbor label, ties to the smallest."""

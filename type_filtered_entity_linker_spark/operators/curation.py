@@ -553,6 +553,86 @@ def scd2_intervals(
     )
 
 
+def scd2_apply_snapshot(
+    history: DataFrame,
+    snap: DataFrame,
+    new_ver: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incrementally fold ONE arriving crawl snapshot (version
+    ``new_ver``) into an existing SCD2 history table (the output shape
+    of ``scd2_intervals``) — the maintenance path: per crawl you touch
+    the OPEN slice (≤ one row per live URL) and the new snapshot, never
+    the closed history, so cost is proportional to the live corpus
+    width, not to history depth.
+
+    Rules (equivalent BY CONSTRUCTION to re-running
+    ``scd2_intervals`` over all snapshots — pinned by a property test
+    folding random stacks):
+    - open interval with ``valid_to == new_ver - 1`` and an unchanged
+      digest → extend (``valid_to = new_ver``);
+    - changed digest, version gap, or brand-new/returning key → open a
+      fresh ``[new_ver, new_ver]`` interval (the old row survives,
+      closed);
+    - key absent from the snapshot → its interval simply stops
+      extending.
+    ``is_current`` is recomputed globally as ``valid_to == new_ver``
+    (a narrow map — no data moves).
+
+    Plan: closed rows pass through a filter+union (NO shuffle); the
+    open slice full-outer-joins the snapshot digests on the key —
+    one exchange pair sized by the live corpus. ``new_ver`` may skip
+    numbers (a crawl that never ran is a gap for every key).
+
+    Feed ``history`` as a MATERIALIZED table (it is your stored
+    history between crawls — parquet/Iceberg in production,
+    checkpoint in tests): the operator scans it twice (open/closed
+    split), so chaining many folds over one unmaterialized lineage
+    re-executes the whole chain per scan."""
+    h = history.select(
+        id_col, "digest", "valid_from", "valid_to", "is_current"
+    )
+    s = snap.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("h_new"),
+        F.lit(1).alias("in_snap"),
+    )
+    open_rows = h.where(F.col("is_current"))
+    closed_rows = h.where(~F.col("is_current"))
+    j = open_rows.join(s, id_col, "full_outer")
+    extend = (
+        F.col("valid_to").isNotNull()
+        & (F.col("valid_to") == new_ver - 1)
+        & F.col("digest").eqNullSafe(F.col("h_new"))
+        & F.col("in_snap").isNotNull()
+    )
+    # the surviving old interval: everything except the extended case
+    # (extension REPLACES the row with a longer one)
+    kept_old = j.where(~extend & F.col("valid_from").isNotNull()).select(
+        id_col, "digest", "valid_from", "valid_to"
+    )
+    extended = j.where(extend).select(
+        id_col, "digest", "valid_from",
+        F.lit(new_ver).alias("valid_to"),
+    )
+    opened = j.where(~extend & F.col("in_snap").isNotNull()).select(
+        id_col,
+        F.col("h_new").alias("digest"),
+        F.lit(new_ver).alias("valid_from"),
+        F.lit(new_ver).alias("valid_to"),
+    )
+    out = (
+        closed_rows.select(id_col, "digest", "valid_from", "valid_to")
+        .unionByName(kept_old)
+        .unionByName(extended)
+        .unionByName(opened)
+    )
+    return out.select(
+        id_col, "digest", "valid_from", "valid_to",
+        (F.col("valid_to") == F.lit(new_ver)).alias("is_current"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,

@@ -5153,6 +5153,38 @@ CRAWL_SCD2_SQL = """
 """
 
 
+def q_crawl_scd2_incremental(spark, sf_dir) -> DataFrame:
+    """The SAME three snapshots as crawl_scd2, but folded one crawl at
+    a time through scd2_apply_snapshot (operators/curation.py) — the
+    maintenance path that never rescans closed history. Its oracle is
+    LITERALLY crawl_scd2's batch SQL: incremental folding is
+    equivalent by construction, and this row driver-stamps that
+    equivalence on real data."""
+    from ..operators.curation import scd2_apply_snapshot, scd2_intervals
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    v2 = d.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.lit("V2 "), F.col("text"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    v3 = d.where(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.lit("V3 "), F.col("text"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    # checkpoint between folds: in production the history is a STORED
+    # table each crawl reads back (the operator scans it twice for the
+    # open/closed split — see its docstring)
+    hist = scd2_intervals(
+        d.withColumn("snap_ver", F.lit(1))
+    ).localCheckpoint(eager=False)
+    hist = scd2_apply_snapshot(hist, v2, 2).localCheckpoint(eager=False)
+    return scd2_apply_snapshot(hist, v3, 3)
+
+
 LP_ITER = 3
 
 
@@ -5425,6 +5457,7 @@ QUERIES = {
     "docs_pmi_bigrams": q_docs_pmi_bigrams,
     "docs_phrase_search": q_docs_phrase_search,
     "graph_triangles": q_graph_triangles,
+    "crawl_scd2_incremental": q_crawl_scd2_incremental,
 }
 
 ORACLES = {
@@ -5535,6 +5568,7 @@ ORACLES = {
     "docs_pmi_bigrams": DOCS_PMI_SQL,
     "docs_phrase_search": DOCS_PHRASE_SQL,
     "graph_triangles": GRAPH_TRIANGLES_SQL,
+    "crawl_scd2_incremental": CRAWL_SCD2_SQL,
 }
 
 
