@@ -38,14 +38,22 @@ from type_filtered_entity_linker_spark.plans.pipeline import run_pipeline
 from type_filtered_entity_linker_spark.session import spark_session
 
 
-def _noop(df) -> None:
-    df.write.format("noop").mode("overwrite").save()
-
-
-def _skew_splits(df) -> int:
-    """Count AQE skew-split shuffle reads in the EXECUTED plan."""
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    return plan.count("skew=true")
+def _exec_final(df) -> tuple[int, int]:
+    """Execute df's OWN adaptive plan to completion and return
+    (row_count, skew_join_count). ``df.count()`` (and noop writes) run
+    a DIFFERENT QueryExecution — their own aggregated plan — leaving
+    this DF's adaptive root un-finalized (isFinalPlan=false, which
+    never contains skew markers), so the old helper structurally
+    reported 0 (code-review r04). An RDD-level count on the adaptive
+    root forces getFinalPhysicalPlan(); the finalized string then
+    shows ``SortMergeJoin(skew=true)`` / ``AQEShuffleRead … skewed``
+    when AQE split skewed partitions (verified empirically on a forced
+    90%-one-key join)."""
+    qe = df._jdf.queryExecution()
+    n = int(qe.executedPlan().execute().count())
+    plan = qe.executedPlan().toString()
+    assert "isFinalPlan=false" not in plan, "adaptive plan not finalized"
+    return n, plan.count("skew=true")
 
 
 def main() -> None:
@@ -132,9 +140,19 @@ def main() -> None:
         ),
     }
 
-    # AQE skew splits observed in the executed candidate-join plan
-    cand = res.candidates
-    out["aqe_skew_splits_candidates"] = _skew_splits(cand)
+    # AQE skew splits in a FRESH candidate join (res.candidates is
+    # persisted, so executing its plan would just scan the cache and
+    # could never show join-level skew handling) — untimed rerun of
+    # the blocking join with its own finalized adaptive plan
+    from type_filtered_entity_linker_spark.operators.blocking import (
+        generate_candidates,
+    )
+
+    cand_rows, cand_skew = _exec_final(
+        generate_candidates(res.mentions, inputs["entity_aliases"], cfg)
+    )
+    out["aqe_skew_splits_candidates"] = cand_skew
+    out["candidate_join_rows"] = cand_rows
 
     # ---- dedup family at docs_mult x documents
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
@@ -168,10 +186,10 @@ def main() -> None:
 
     t0 = time.perf_counter()
     pairs = near_duplicates_minhash(big, threshold=0.8)
-    n_mh = pairs.count()
+    n_mh, mh_skew = _exec_final(pairs)
     out["dedup_minhash_secs"] = round(time.perf_counter() - t0, 2)
     out["dedup_minhash_pairs"] = n_mh
-    out["aqe_skew_splits_minhash"] = _skew_splits(pairs)
+    out["aqe_skew_splits_minhash"] = mh_skew
 
     t0 = time.perf_counter()
     ng = near_duplicates_ngram(big, threshold=0.8)

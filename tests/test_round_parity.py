@@ -7,7 +7,7 @@ Three round(x, n) implementations exist in this repo's gates:
   double's SHORTEST decimal repr (== ``Decimal(repr(x)).quantize``).
 - DuckDB native ``round`` on DOUBLE: scaled multiply — lands just
   below ~0.3% of exact decimal midpoints and rounds them DOWN.
-- DuckDB ``round(x::VARCHAR::DECIMAL(38,15), n)`` ("the hop",
+- DuckDB ``round(x::VARCHAR::DECIMAL(38,25), n)`` ("the hop",
   ``plans/driver_queries._spark_round``): VARCHAR forces shortest-repr
   digits, DECIMAL round is HALF_UP on those digits — Spark-exact.
 
@@ -45,8 +45,20 @@ def _adversarial_values(n_per_class: int = 4000) -> list[float]:
     ]
     # exact half-ulp-of-1e-6 midpoints
     vals += [(rng.randrange(10**6) + 0.5) / 10**6 for _ in range(n_per_class)]
+    # just-below-midpoint '…4999…' tails whose repr carries 16-17
+    # significant digits: a DECIMAL hop narrower than the full repr
+    # rounds the tail UP before the final round and diverges from
+    # Spark (code-review r04 — scale 15 diverged on ~47% of this
+    # class; scale 25 is exact). Spread across magnitudes so leading
+    # zeros count against the scale too.
+    for _ in range(n_per_class):
+        base = rng.randrange(10**6)
+        x = (base + 0.5) / 10**6
+        x = float(x) - rng.choice([1, 2, 3]) * 2.0**-53 * x
+        vals.append(x * 10.0 ** rng.randrange(-9, 4))
     # the round-3 falsifying value and sign/scale variants
-    vals += [0.3959375, -0.3959375, 0.0000005, 0.9999995, 123.4567895]
+    vals += [0.3959375, -0.3959375, 0.0000005, 0.9999995, 123.4567895,
+             0.12345649999999997]
     return vals
 
 
@@ -76,8 +88,8 @@ def test_duckdb_hop_matches_spark_and_native_diverges():
         """
         SELECT x,
                round(x, 6) AS native6,
-               round(x::VARCHAR::DECIMAL(38,15), 6)::DOUBLE AS hop6,
-               round(x::VARCHAR::DECIMAL(38,15), 9)::DOUBLE AS hop9
+               round(x::VARCHAR::DECIMAL(38,25), 6)::DOUBLE AS hop6,
+               round(x::VARCHAR::DECIMAL(38,25), 9)::DOUBLE AS hop9
         FROM vals
         """
     ).fetchall()

@@ -243,7 +243,6 @@ def bm25_scores(
 def pmi_bigrams(
     docs: DataFrame,
     min_count: int = 5,
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Corpus-level PMI collocations (Church & Hanks 1990): for every

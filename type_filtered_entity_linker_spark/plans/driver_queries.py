@@ -37,7 +37,7 @@ from ..operators.curation import (
     redact_pii,
     stratified_sample,
 )
-from ..operators.multimodal import extract_media_features, with_binary_payload
+from ..operators.multimodal import extract_media_features
 from ..operators.similarity import (
     brute_force_topk,
     embedding_near_duplicates,
@@ -4149,15 +4149,22 @@ def _spark_round(expr: str, places: int = 6) -> str:
     DOUBLE is a scaled multiply that lands just below ~0.3% of exact
     decimal midpoints and rounds them DOWN. The VARCHAR hop forces the
     shortest-repr digits; DECIMAL round is then HALF_UP on exactly
-    those digits. Measured 0 divergences from Spark over 400k
-    adversarial values incl. exact 1e-6/1e-9 midpoints
+    those digits. Scale 25 (not 15/17): the repr can carry 17
+    significant digits BELOW leading zeros (1.23…e-09 → 25 fractional
+    digits), and a narrower scale silently rounds a '…4999…' tail UP
+    before the final round — a second rounding Spark never does
+    (code-review r04: scale 15 diverged on ~47% of just-below-midpoint
+    doubles). Scale 25 holds every 17-sig-digit repr with |x| ∈
+    [1e-9, 1e13) exactly; measured 0 divergences from Spark over 700k
+    adversarial values incl. exact 1e-6/1e-9 midpoints and
+    just-below-midpoint tails across magnitudes
     (tests/test_round_parity.py). Only REQUIRED where the rounded
     value can land exactly on a midpoint — i.e. when upstream math is
     itself decimal-quantized (pagerank's per-iteration re-round,
     k-means' quantized centroids); a raw accumulated double hits a
     shortest-repr midpoint with probability ~0, so plain round(x, n)
     stays the house idiom there (verdict r03 item 3)."""
-    return f"round(({expr})::VARCHAR::DECIMAL(38,15), {places})::DOUBLE"
+    return f"round(({expr})::VARCHAR::DECIMAL(38,25), {places})::DOUBLE"
 
 
 def _kmeans_sql(k: int, dim: int, n_iter: int) -> str:
