@@ -147,6 +147,7 @@ HEADLINE = [
     "dedup_containment",
     "crawl_scd2",
     "crawl_scd2_incremental",
+    "crawl_stream_scd2",
     "graph_label_prop",
     "graph_triangles",
     "docs_pmi_bigrams",

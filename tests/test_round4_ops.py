@@ -269,6 +269,83 @@ def test_scd2_incremental_fold_equals_batch(spark, rows):
     )
 
 
+def test_stream_scd2_equals_batch_and_retry_is_exact(spark, tmp_path):
+    """Three snapshot files streamed as three micro-batches produce
+    the batch scd2_intervals result, and replaying the LAST batch onto
+    the state below its id (the retry-fencing contract) reproduces its
+    stored snapshot exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from type_filtered_entity_linker_spark.operators.curation import (
+        scd2_apply_snapshot,
+    )
+    from type_filtered_entity_linker_spark.streaming.incremental import (
+        _latest_state_id,
+        stream_scd2_history,
+    )
+
+    snaps = [
+        (1, [(1, "x"), (2, "p"), (4, "s")]),
+        (2, [(1, "x"), (4, "s")]),
+        (3, [(1, "y"), (2, "p"), (4, "s")]),
+    ]
+    src = str(tmp_path / "snaps")
+    os.makedirs(src)
+    for ver, rows in snaps:
+        df = spark.createDataFrame(
+            [(k, t, ver) for k, t in rows],
+            "doc_id long, text string, snap_ver int",
+        )
+        tmp = str(tmp_path / f"tmp_{ver}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(src, f"snap_{ver}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1700000000 + ver, 1700000000 + ver))
+
+    schema = spark.read.parquet(os.path.join(src, "snap_1.parquet")).schema
+    wd = str(tmp_path / "wd")
+    root = stream_scd2_history(
+        spark, src, wd, schema, max_files_per_trigger=1
+    )
+    last = _latest_state_id(root, below=1 << 62)
+    got = {
+        (r["doc_id"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in spark.read.parquet(
+            os.path.join(root, f"batch_{last:09d}")
+        ).collect()
+    }
+    all_rows = [
+        (k, ver, t) for ver, rows in snaps for k, t in rows
+    ]
+    batch = scd2_intervals(
+        spark.createDataFrame(
+            all_rows, "doc_id long, snap_ver int, text string"
+        )
+    )
+    want = {
+        (r["doc_id"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+    # retry fencing: fold the last version onto the state BELOW the
+    # last batch id — must reproduce the stored snapshot byte-for-row
+    prev = _latest_state_id(root, below=last)
+    replay = scd2_apply_snapshot(
+        spark.read.parquet(os.path.join(root, f"batch_{prev:09d}")),
+        spark.createDataFrame(snaps[2][1], "doc_id long, text string"),
+        3,
+    )
+    key = lambda r: tuple(r[c] for c in sorted(r.asDict()))  # noqa: E731
+    stored = spark.read.parquet(os.path.join(root, f"batch_{last:09d}"))
+    assert sorted(map(key, replay.collect())) == sorted(
+        map(key, stored.collect())
+    )
+
+
 def _ref_lpa(edges, n_iter):
     """Pure-Python reference: synchronous LPA, undirected simple
     graph, most-frequent neighbor label, ties to the smallest."""

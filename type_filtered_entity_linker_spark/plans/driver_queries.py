@@ -5098,31 +5098,14 @@ def q_crawl_scd2(spark, sf_dir) -> DataFrame:
     the is_current flag in one run."""
     from ..operators.curation import scd2_intervals
 
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    v1 = d.withColumn("snap_ver", F.lit(1))
-    v2 = (
-        d.where(F.col("doc_id") % 13 != 0)
-        .select(
-            "doc_id",
-            F.when(
-                F.col("doc_id") % 11 == 0,
-                F.concat(F.lit("V2 "), F.col("text")),
-            ).otherwise(F.col("text")).alias("text"),
-        )
-        .withColumn("snap_ver", F.lit(2))
-    )
-    v3 = (
-        d.where(F.col("doc_id") % 17 != 0)
-        .select(
-            "doc_id",
-            F.when(
-                F.col("doc_id") % 7 == 0,
-                F.concat(F.lit("V3 "), F.col("text")),
-            ).otherwise(F.col("text")).alias("text"),
-        )
-        .withColumn("snap_ver", F.lit(3))
-    )
-    return scd2_intervals(v1.unionByName(v2).unionByName(v3))
+    snaps = [
+        s.withColumn("snap_ver", F.lit(v))
+        for v, s in enumerate(_scd2_snapshots(spark, sf_dir), start=1)
+    ]
+    stack = snaps[0]
+    for s in snaps[1:]:
+        stack = stack.unionByName(s)
+    return scd2_intervals(stack)
 
 
 CRAWL_SCD2_SQL = """
@@ -5169,6 +5152,20 @@ def q_crawl_scd2_incremental(spark, sf_dir) -> DataFrame:
     equivalence on real data."""
     from ..operators.curation import scd2_apply_snapshot, scd2_intervals
 
+    v1, v2, v3 = _scd2_snapshots(spark, sf_dir)
+    # checkpoint between folds: in production the history is a STORED
+    # table each crawl reads back (the operator scans it twice for the
+    # open/closed split — see its docstring)
+    hist = scd2_intervals(
+        v1.withColumn("snap_ver", F.lit(1))
+    ).localCheckpoint(eager=False)
+    hist = scd2_apply_snapshot(hist, v2, 2).localCheckpoint(eager=False)
+    return scd2_apply_snapshot(hist, v3, 3)
+
+
+def _scd2_snapshots(spark, sf_dir) -> list:
+    """The three synthetic crawl snapshots shared by every scd2 query
+    (v2 drops %13 / rewrites %11; v3 drops %17 / rewrites %7)."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     v2 = d.where(F.col("doc_id") % 13 != 0).select(
         "doc_id",
@@ -5182,14 +5179,72 @@ def q_crawl_scd2_incremental(spark, sf_dir) -> DataFrame:
             F.col("doc_id") % 7 == 0, F.concat(F.lit("V3 "), F.col("text"))
         ).otherwise(F.col("text")).alias("text"),
     )
-    # checkpoint between folds: in production the history is a STORED
-    # table each crawl reads back (the operator scans it twice for the
-    # open/closed split — see its docstring)
-    hist = scd2_intervals(
-        d.withColumn("snap_ver", F.lit(1))
-    ).localCheckpoint(eager=False)
-    hist = scd2_apply_snapshot(hist, v2, 2).localCheckpoint(eager=False)
-    return scd2_apply_snapshot(hist, v3, 3)
+    return [d, v2, v3]
+
+
+def _staged_scd2_dir(spark, sf_dir: str) -> str:
+    """Stage the three scd2 snapshots as one parquet file per crawl,
+    mtimes ascending so the file stream delivers them in version order
+    (Spark's file source plans batches oldest-file-first)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    path = f"{sf_dir}/documents.parquet"
+    st = os.stat(path)
+    key = hashlib.md5(
+        f"scd2:{path}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    stage = os.path.join(tempfile.gettempdir(), f"scd2_stream_src_{key}")
+    marker = os.path.join(stage, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage, exist_ok=True)
+        tmp = os.path.join(tempfile.gettempdir(), f"scd2_stream_tmp_{key}")
+        for ver, snap in enumerate(_scd2_snapshots(spark, sf_dir), start=1):
+            snap.withColumn("snap_ver", F.lit(ver)).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            dst = os.path.join(stage, f"snap_{ver}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1700000000 + ver, 1700000000 + ver))
+        shutil.rmtree(tmp, ignore_errors=True)
+        open(marker, "w").write("ok")
+    return stage
+
+
+def q_crawl_stream_scd2(spark, sf_dir) -> DataFrame:
+    """Streaming SCD2 history maintenance
+    (streaming/incremental.py stream_scd2_history): the three crawl
+    snapshots delivered as three micro-batches (maxFilesPerTrigger=1),
+    each folded into the stored history with per-batch retry fencing.
+    The final state equals batch scd2_intervals over all snapshots —
+    its oracle is literally the batch CRAWL_SCD2_SQL."""
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental import stream_scd2_history
+
+    stage = _staged_scd2_dir(spark, sf_dir)
+    schema = spark.read.parquet(
+        os.path.join(stage, "snap_1.parquet")
+    ).schema
+    _STREAM_SEQ[0] += 1
+    wd = os.path.join(
+        tempfile.gettempdir(), f"scd2_stream_wd_{_STREAM_SEQ[0]}_{os.getpid()}"
+    )
+    shutil.rmtree(wd, ignore_errors=True)
+    state_root = stream_scd2_history(
+        spark, stage, wd, schema, max_files_per_trigger=1
+    )
+    latest = max(
+        int(d.split("_")[1]) for d in os.listdir(state_root)
+        if d.startswith("batch_")
+    )
+    return spark.read.parquet(
+        os.path.join(state_root, f"batch_{latest:09d}")
+    )
 
 
 LP_ITER = 3
@@ -5465,6 +5520,7 @@ QUERIES = {
     "docs_phrase_search": q_docs_phrase_search,
     "graph_triangles": q_graph_triangles,
     "crawl_scd2_incremental": q_crawl_scd2_incremental,
+    "crawl_stream_scd2": q_crawl_stream_scd2,
 }
 
 ORACLES = {
@@ -5576,6 +5632,7 @@ ORACLES = {
     "docs_phrase_search": DOCS_PHRASE_SQL,
     "graph_triangles": GRAPH_TRIANGLES_SQL,
     "crawl_scd2_incremental": CRAWL_SCD2_SQL,
+    "crawl_stream_scd2": CRAWL_SCD2_SQL,
 }
 
 

@@ -471,6 +471,92 @@ def incremental_link_pages(
     return links_path
 
 
+def stream_scd2_history(
+    spark: SparkSession,
+    snaps_dir: str,
+    workdir: str,
+    snaps_schema: StructType,
+    id_col: str = "doc_id",
+    version_col: str = "snap_ver",
+    text_col: str = "text",
+    max_files_per_trigger: int | None = None,
+) -> str:
+    """Streaming SCD2 crawl-history maintenance: snapshot files stream
+    in version order; each micro-batch folds its versions (ascending)
+    into the stored history via ``curation.scd2_apply_snapshot`` — the
+    incremental path whose per-crawl cost is the open slice, never the
+    closed history.
+
+    Retry fencing (scd2 folding is NOT idempotent, unlike CC): history
+    snapshots land per batch id, and a batch ALWAYS folds onto the
+    newest complete state strictly BELOW its own id — replaying a
+    killed batch reproduces the identical snapshot and overwrites only
+    its own directory (same contract as
+    ``incremental_cluster_maintenance``). The streaming checkpoint
+    pins the file→batch assignment.
+
+    Precondition: snapshot files arrive in crawl (version) order —
+    the natural delivery order of a crawl pipeline; folding v3 before
+    v2 would be a time-travel write, which SCD2 rejects by design.
+
+    Returns the state root; the latest ``batch_*`` directory is the
+    queryable history (equal to batch ``scd2_intervals`` over all
+    delivered snapshots — the equivalence the property test and the
+    crawl_scd2_incremental oracle pin)."""
+    from ..operators.curation import scd2_apply_snapshot, scd2_intervals
+
+    state_root = os.path.join(workdir, "scd2_state")
+    ckpt = os.path.join(workdir, "_scd2_checkpoint")
+    reader = spark.readStream.schema(snaps_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    snaps = reader.parquet(snaps_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        vers = [
+            r[0]
+            for r in batch_df.select(version_col)
+            .distinct()
+            .orderBy(version_col)
+            .collect()
+        ]  # O(#crawls) driver rows
+        if not vers:
+            return
+        prev_id = _latest_state_id(state_root, below=batch_id)
+        if prev_id is None:
+            hist = scd2_intervals(
+                batch_df.where(F.col(version_col) == vers[0]),
+                id_col, version_col, text_col,
+            )
+            rest = vers[1:]
+        else:
+            hist = spark.read.parquet(
+                os.path.join(state_root, f"batch_{prev_id:09d}")
+            )
+            rest = vers
+        for v in rest:
+            hist = scd2_apply_snapshot(
+                hist,
+                batch_df.where(F.col(version_col) == v),
+                v,
+                id_col,
+                text_col,
+            ).localCheckpoint(eager=False)
+        hist.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"batch_{batch_id:09d}")
+        )
+
+    q = (
+        snaps.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return state_root
+
+
 def stream_hll_registers(
     spark: SparkSession,
     path: str,
