@@ -184,12 +184,16 @@ def main() -> None:
     out["df_cut"] = {k: int(v) if v is not None else None
                      for k, v in stats.items()}
 
+    # timing uses the same count() action as the ngram/simhash rows
+    # below (comparable within the family and across rounds); the
+    # skew-metric pass re-executes UNTIMED via _exec_final, because a
+    # full-row RDD materialization costs more than the count-only plan
+    # and would bias the family comparison (code-review r04)
     t0 = time.perf_counter()
     pairs = near_duplicates_minhash(big, threshold=0.8)
-    n_mh, mh_skew = _exec_final(pairs)
+    out["dedup_minhash_pairs"] = pairs.count()
     out["dedup_minhash_secs"] = round(time.perf_counter() - t0, 2)
-    out["dedup_minhash_pairs"] = n_mh
-    out["aqe_skew_splits_minhash"] = mh_skew
+    _, out["aqe_skew_splits_minhash"] = _exec_final(pairs)
 
     t0 = time.perf_counter()
     ng = near_duplicates_ngram(big, threshold=0.8)

@@ -269,6 +269,32 @@ def test_scd2_incremental_fold_equals_batch(spark, rows):
     )
 
 
+def test_scd2_apply_rejects_late_version_and_ignores_empty_snap(spark):
+    """Two batch-equivalence edge cases (code-review r04): a late
+    (time-travel) fold raises instead of silently marking the newest
+    content stale, and an empty snapshot is a no-op (batch semantics
+    cannot observe a rowless version) rather than a close-all."""
+    import pytest
+
+    from type_filtered_entity_linker_spark.operators.curation import (
+        scd2_apply_snapshot,
+    )
+
+    hist = scd2_intervals(
+        _snaps(spark, [(1, 1, "x"), (2, 1, "p")])
+    )
+    snap = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="late/time-travel"):
+        scd2_apply_snapshot(hist, snap, 1)
+    empty = snap.where("doc_id < 0")
+    out = scd2_apply_snapshot(hist, empty, 2).collect()
+    got = {
+        (r["doc_id"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in out
+    }
+    assert got == {(1, 1, 1, True), (2, 1, 1, True)}
+
+
 def test_stream_scd2_equals_batch_and_retry_is_exact(spark, tmp_path):
     """Three snapshot files streamed as three micro-batches produce
     the batch scd2_intervals result, and replaying the LAST batch onto
@@ -286,24 +312,29 @@ def test_stream_scd2_equals_batch_and_retry_is_exact(spark, tmp_path):
         stream_scd2_history,
     )
 
+    from type_filtered_entity_linker_spark.plans.driver_queries import (
+        stage_snapshot_files,
+    )
+
     snaps = [
         (1, [(1, "x"), (2, "p"), (4, "s")]),
         (2, [(1, "x"), (4, "s")]),
         (3, [(1, "y"), (2, "p"), (4, "s")]),
     ]
     src = str(tmp_path / "snaps")
-    os.makedirs(src)
-    for ver, rows in snaps:
-        df = spark.createDataFrame(
-            [(k, t, ver) for k, t in rows],
-            "doc_id long, text string, snap_ver int",
-        )
-        tmp = str(tmp_path / f"tmp_{ver}")
-        df.coalesce(1).write.parquet(tmp)
-        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-        dst = os.path.join(src, f"snap_{ver}.parquet")
-        os.rename(os.path.join(tmp, part), dst)
-        os.utime(dst, (1700000000 + ver, 1700000000 + ver))
+    stage_snapshot_files(
+        src,
+        [
+            (
+                ver,
+                spark.createDataFrame(
+                    [(k, t, ver) for k, t in rows],
+                    "doc_id long, text string, snap_ver int",
+                ),
+            )
+            for ver, rows in snaps
+        ],
+    )
 
     schema = spark.read.parquet(os.path.join(src, "snap_1.parquet")).schema
     wd = str(tmp_path / "wd")

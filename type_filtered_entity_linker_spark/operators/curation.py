@@ -559,6 +559,7 @@ def scd2_apply_snapshot(
     new_ver: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    validate: bool = True,
 ) -> DataFrame:
     """Incrementally fold ONE arriving crawl snapshot (version
     ``new_ver``) into an existing SCD2 history table (the output shape
@@ -589,10 +590,33 @@ def scd2_apply_snapshot(
     history between crawls — parquet/Iceberg in production,
     checkpoint in tests): the operator scans it twice (open/closed
     split), so chaining many folds over one unmaterialized lineage
-    re-executes the whole chain per scan."""
+    re-executes the whole chain per scan.
+
+    Two batch-equivalence edge cases (code-review r04, both
+    reproduced before the fix):
+    - ``validate=True`` (default) runs a 1-row aggregate asserting
+      ``new_ver > max(valid_to)`` — folding a LATE crawl (time-travel
+      write) would otherwise silently mark the newest content stale
+      forever; SCD2 rejects it loud instead. The check is one tiny
+      driver-side job per crawl; pass ``validate=False`` only when the
+      caller already fences ordering (the streaming wrapper does not —
+      late file delivery must fail there too).
+    - an EMPTY snapshot returns the history UNCHANGED: batch
+      ``scd2_intervals`` can never observe a version with no rows, so
+      a crawl that found nothing must be a no-op (not a close-all)."""
     h = history.select(
         id_col, "digest", "valid_from", "valid_to", "is_current"
     )
+    if validate:
+        prior_max = h.agg(F.max("valid_to")).first()[0]
+        if prior_max is not None and new_ver <= prior_max:
+            raise ValueError(
+                f"scd2_apply_snapshot: new_ver={new_ver} is not newer "
+                f"than the stored history (max valid_to={prior_max}); "
+                "late/time-travel snapshots are rejected"
+            )
+    if snap.isEmpty():
+        return h
     s = snap.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("h_new"),
         F.lit(1).alias("in_snap"),

@@ -5182,10 +5182,41 @@ def _scd2_snapshots(spark, sf_dir) -> list:
     return [d, v2, v3]
 
 
+def stage_snapshot_files(out_dir: str, snaps: list) -> None:
+    """Stage versioned snapshot DataFrames as ONE parquet file per
+    crawl with ASCENDING mtimes — the delivery-order contract the
+    streaming SCD2 source relies on (Spark's file source plans batches
+    oldest-file-first). ``snaps`` = [(ver, df_with_snap_ver_col), …].
+    Shared by the driver query and tests so the ordering convention
+    has exactly one definition (code-review r04)."""
+    import shutil
+    import tempfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix="scd2_stage_")
+    try:
+        for ver, snap in snaps:
+            snap.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            dst = os.path.join(out_dir, f"snap_{ver}.parquet")
+            shutil.copy(os.path.join(tmp, part), dst)
+            os.utime(dst, (1700000000 + ver, 1700000000 + ver))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# bump when _scd2_snapshots' generation rules change: it is part of the
+# staged-dir cache key (a stale /tmp stage would otherwise keep feeding
+# OLD snapshot files while the SQL oracle recomputes fresh ones)
+_SCD2_GEN = "v1"
+
+
 def _staged_scd2_dir(spark, sf_dir: str) -> str:
-    """Stage the three scd2 snapshots as one parquet file per crawl,
-    mtimes ascending so the file stream delivers them in version order
-    (Spark's file source plans batches oldest-file-first)."""
+    """Stage the three scd2 snapshots via stage_snapshot_files into a
+    content-keyed /tmp dir. Concurrency-safe: staging happens in a
+    private temp dir finished by an ATOMIC rename — two racing
+    processes each build a complete stage and one rename wins; the
+    loser discards its copy (no half-staged dir is ever visible)."""
     import hashlib
     import shutil
     import tempfile
@@ -5193,24 +5224,24 @@ def _staged_scd2_dir(spark, sf_dir: str) -> str:
     path = f"{sf_dir}/documents.parquet"
     st = os.stat(path)
     key = hashlib.md5(
-        f"scd2:{path}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"scd2:{_SCD2_GEN}:{path}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:10]
     stage = os.path.join(tempfile.gettempdir(), f"scd2_stream_src_{key}")
-    marker = os.path.join(stage, "_STAGED")
-    if not os.path.exists(marker):
-        shutil.rmtree(stage, ignore_errors=True)
-        os.makedirs(stage, exist_ok=True)
-        tmp = os.path.join(tempfile.gettempdir(), f"scd2_stream_tmp_{key}")
-        for ver, snap in enumerate(_scd2_snapshots(spark, sf_dir), start=1):
-            snap.withColumn("snap_ver", F.lit(ver)).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-            dst = os.path.join(stage, f"snap_{ver}.parquet")
-            shutil.copy(os.path.join(tmp, part), dst)
-            os.utime(dst, (1700000000 + ver, 1700000000 + ver))
-        shutil.rmtree(tmp, ignore_errors=True)
-        open(marker, "w").write("ok")
+    if not os.path.isdir(stage):
+        build = tempfile.mkdtemp(prefix=f"scd2_build_{key}_")
+        stage_snapshot_files(
+            build,
+            [
+                (ver, snap.withColumn("snap_ver", F.lit(ver)))
+                for ver, snap in enumerate(
+                    _scd2_snapshots(spark, sf_dir), start=1
+                )
+            ],
+        )
+        try:
+            os.rename(build, stage)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # lost the race
     return stage
 
 
@@ -5235,16 +5266,22 @@ def q_crawl_stream_scd2(spark, sf_dir) -> DataFrame:
         tempfile.gettempdir(), f"scd2_stream_wd_{_STREAM_SEQ[0]}_{os.getpid()}"
     )
     shutil.rmtree(wd, ignore_errors=True)
-    state_root = stream_scd2_history(
-        spark, stage, wd, schema, max_files_per_trigger=1
-    )
-    latest = max(
-        int(d.split("_")[1]) for d in os.listdir(state_root)
-        if d.startswith("batch_")
-    )
-    return spark.read.parquet(
-        os.path.join(state_root, f"batch_{latest:09d}")
-    )
+    try:
+        state_root = stream_scd2_history(
+            spark, stage, wd, schema, max_files_per_trigger=1
+        )
+        latest = max(
+            int(d.split("_")[1]) for d in os.listdir(state_root)
+            if d.startswith("batch_")
+        )
+        # materialize off the state files so the workdir (state
+        # snapshots + streaming checkpoint) can be removed — repeated
+        # bench/gate runs must not accumulate /tmp garbage
+        return spark.read.parquet(
+            os.path.join(state_root, f"batch_{latest:09d}")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
 
 
 LP_ITER = 3

@@ -496,8 +496,11 @@ def stream_scd2_history(
     pins the file→batch assignment.
 
     Precondition: snapshot files arrive in crawl (version) order —
-    the natural delivery order of a crawl pipeline; folding v3 before
-    v2 would be a time-travel write, which SCD2 rejects by design.
+    the natural delivery order of a crawl pipeline. A late (lower-
+    version) snapshot is a time-travel write: the fold's validate
+    guard raises and the query FAILS LOUD instead of silently marking
+    the newest content stale (code-review r04 reproduced that
+    corruption before the guard existed).
 
     Returns the state root; the latest ``batch_*`` directory is the
     queryable history (equal to batch ``scd2_intervals`` over all
