@@ -152,6 +152,8 @@ HEADLINE = [
     "graph_triangles",
     "docs_pmi_bigrams",
     "docs_phrase_search",
+    # ExactSubstr-style repeated-span detection (Lee et al. 2022 shape)
+    "docs_repeated_spans",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

@@ -547,3 +547,104 @@ def dedup_clusters(
         F.col("cluster_id"),
         (F.row_number().over(w) == 1).cast("int").alias("keep"),
     )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_occurrences: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: "str | None" = "xxhash64",
+) -> DataFrame:
+    """Intra-corpus repeated-substring detection at k-token-window
+    granularity — the distributed shape of Lee et al. 2022's
+    ExactSubstr dedup ("Deduplicating Training Data Makes Language
+    Models Better"): any token run whose every k-window occurs >=
+    ``min_occurrences`` times ANYWHERE in the corpus (other docs or
+    the same doc — templated boilerplate repeats both ways) is a
+    duplicated span a training-data pipeline cuts out, even when the
+    containing documents are nowhere near whole-doc duplicates (so
+    MinHash/SimHash never pair them).
+
+    Returns one row per MAXIMAL duplicated span: (doc_id, span_start,
+    span_end, span_tokens, n_windows) with token indices 0-based and
+    span_end exclusive. Overlapping and exactly-adjacent duplicated
+    windows merge into one span (adjacency means the two runs abut in
+    the text, so the cut is contiguous).
+
+    Plan, and why it survives 100 TB:
+    - windows are built per-row with higher-order functions (sequence
+      -> transform -> slice), a map-side k-times expansion with no
+      shuffle and no Python;
+    - the ONE corpus-wide shuffle is the occurrence count, grouped on
+      a 64-bit window signature (``hash_fn``: xxhash64 for
+      production, md5_60 for cross-engine oracles, None groups the
+      raw window string — exact but shuffles full text). Partial
+      aggregation collapses boilerplate map-side, so a window
+      repeated 10^9 times ships one partial per task, not 10^9 rows;
+    - the window->duplicated-window join is a semi join on the same
+      signature (co-partitioned with the count's shuffle output);
+    - the interval merge is a per-doc window function — state bounded
+      by document length, never by corpus size.
+
+    Granularity caveat (documented, inherent): a run must cover >= k
+    consecutive tokens to produce a window, so repeats shorter than k
+    tokens are invisible; Lee et al. use 50-token thresholds at web
+    scale for the same reason.
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
+    wins = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", F.slice(toks, i + 1, k)).alias("win"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,win:string>>"))
+    w = (
+        docs.select(F.col(id_col), F.explode(wins).alias("w"))
+        .select(F.col(id_col), F.col("w.pos").alias("pos"), F.col("w.win").alias("win"))
+    )
+    sig = shingle_hash("win", hash_fn) if hash_fn else F.col("win")
+    w = w.withColumn("sig", sig).drop("win")
+    dup_sigs = (
+        w.groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_occurrences)
+        .select("sig")
+    )
+    hits = w.join(dup_sigs, "sig", "left_semi")
+    ord_w = W.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        ord_w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end), 1
+    ).otherwise(0)
+    segs = hits.withColumn("brk", brk).withColumn(
+        "seg", F.sum("brk").over(ord_w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        segs.groupBy(id_col, "seg")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            (F.col("span_end") - F.col("span_start"))
+            .cast("int")
+            .alias("span_tokens"),
+            F.col("n_windows").cast("int").alias("n_windows"),
+        )
+    )

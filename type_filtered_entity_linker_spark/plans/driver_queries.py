@@ -5446,6 +5446,92 @@ def _phrase_sql(phrase: str) -> str:
 DOCS_PHRASE_SQL = _phrase_sql(PHRASE)
 
 
+# Repeated-span fixture plants: a syndicated disclaimer appended to
+# every 7th doc and a wire-service header prepended to every 50th —
+# cross-doc repeated runs inside documents that are NOT whole-doc
+# near-duplicates (Jaccard over the full texts stays far below any
+# dedup threshold), the case whole-doc MinHash/SimHash cannot catch.
+SPAN_K = 8
+SPAN_DISCLAIMER = (
+    "copyright notice all rights reserved contact the site admin "
+    "team for removal"
+)
+SPAN_HEADER = (
+    "breaking news update from our syndicated wire partner network"
+)
+
+
+def q_docs_repeated_spans(spark, sf_dir) -> DataFrame:
+    """Lee-et-al-style ExactSubstr dedup at k-token-window granularity
+    (operators/dedup.py repeated_spans): every 8-token window counted
+    corpus-wide on its md5-60 signature (the cross-engine hash family;
+    xxhash64 is the production path), windows occurring >= 2x marked,
+    per-doc maximal spans merged. The planted disclaimer/header spans
+    AND the word-soup's organic repeated 8-grams both count — the
+    oracle recomputes all of it exactly."""
+    from ..operators.dedup import repeated_spans
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 50 == 0, F.lit(SPAN_HEADER + " ")
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit(" " + SPAN_DISCLAIMER)
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return repeated_spans(
+        planted, k=SPAN_K, min_occurrences=2, hash_fn="md5_60"
+    )
+
+
+DOCS_REPEATED_SPANS_SQL = f"""
+    WITH corpus AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 50 = 0
+                    THEN '{SPAN_HEADER} ' ELSE '' END
+               || text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' {SPAN_DISCLAIMER}' ELSE '' END AS text
+        FROM documents),
+    toks AS (SELECT doc_id,
+                    list_filter(
+                        regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+                        x -> x <> '') AS l
+             FROM corpus),
+    wins AS (SELECT doc_id, i - 1 AS pos,
+                    array_to_string(l[i:i+{SPAN_K - 1}], ' ') AS win
+             FROM (SELECT doc_id, l,
+                          unnest(generate_series(1, len(l) - {SPAN_K - 1})) AS i
+                   FROM toks WHERE len(l) >= {SPAN_K})),
+    sigs AS (SELECT doc_id, pos,
+                    {_MD5INT.format(x='win')}::BIGINT AS sig
+             FROM wins),
+    dup AS (SELECT sig FROM sigs GROUP BY sig HAVING count(*) >= 2),
+    hits AS (SELECT s.doc_id, s.pos FROM sigs s JOIN dup USING (sig)),
+    lagd AS (SELECT doc_id, pos,
+                    max(pos + {SPAN_K}) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        AS prev_end
+             FROM hits),
+    brks AS (SELECT *, CASE WHEN prev_end IS NULL OR pos > prev_end
+                            THEN 1 ELSE 0 END AS brk FROM lagd),
+    segd AS (SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos)
+                 AS seg FROM brks)
+    SELECT doc_id,
+           min(pos)::INT AS span_start,
+           (max(pos) + {SPAN_K})::INT AS span_end,
+           ((max(pos) + {SPAN_K}) - min(pos))::INT AS span_tokens,
+           count(*)::INT AS n_windows
+    FROM segd GROUP BY doc_id, seg
+"""
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -5558,6 +5644,7 @@ QUERIES = {
     "graph_triangles": q_graph_triangles,
     "crawl_scd2_incremental": q_crawl_scd2_incremental,
     "crawl_stream_scd2": q_crawl_stream_scd2,
+    "docs_repeated_spans": q_docs_repeated_spans,
 }
 
 ORACLES = {
@@ -5670,6 +5757,7 @@ ORACLES = {
     "graph_triangles": GRAPH_TRIANGLES_SQL,
     "crawl_scd2_incremental": CRAWL_SCD2_SQL,
     "crawl_stream_scd2": CRAWL_SCD2_SQL,
+    "docs_repeated_spans": DOCS_REPEATED_SPANS_SQL,
 }
 
 
