@@ -154,6 +154,8 @@ HEADLINE = [
     "docs_phrase_search",
     # ExactSubstr-style repeated-span detection (Lee et al. 2022 shape)
     "docs_repeated_spans",
+    # exact greedy 1-1 matching via iterated locally-dominant rounds
+    "er_greedy_matching",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

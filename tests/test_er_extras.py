@@ -259,3 +259,88 @@ def test_monge_elkan_hand_example(spark):
     )
     # reordered shared tokens score high; unrelated pair scores low
     assert rows[(1, 2)].monge_elkan > 0.8 > rows[(1, 3)].monge_elkan
+
+
+# ------------------------------------------------------- greedy matching
+
+
+def _ref_greedy(pairs):
+    """Sequential greedy matching under the strict total order
+    (score DESC, id_a ASC, id_b ASC) — the single-threaded pass the
+    distributed locally-dominant iteration must reproduce exactly."""
+    la, rb, out = set(), set(), set()
+    for a, b, s in sorted(pairs, key=lambda p: (-p[2], p[0], p[1])):
+        if a not in la and b not in rb:
+            la.add(a)
+            rb.add(b)
+            out.add((a, b, s))
+    return out
+
+
+def _pairs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "id_a long, id_b long, score double"
+    )
+
+
+def test_greedy_matching_chain_rescues_round_one_loser(spark):
+    from type_filtered_entity_linker_spark.operators.matching import (
+        greedy_matching,
+    )
+
+    # a2 loses b1 to a1 in round 1, then gets its next-best b2 in
+    # round 2 — the recall single-round reciprocal-best leaves behind
+    rows = [(1, 11, 0.9), (2, 11, 0.8), (2, 12, 0.7)]
+    got = {
+        (r.id_a, r.id_b, r.match_round)
+        for r in greedy_matching(_pairs_df(spark, rows)).collect()
+    }
+    assert got == {(1, 11, 1), (2, 12, 2)}
+    single = {
+        (r.id_a, r.id_b)
+        for r in mutual_best_match(_pairs_df(spark, rows)).collect()
+    }
+    assert single == {(1, 11)}  # strictly fewer matches
+
+
+def test_greedy_matching_raises_rather_than_truncates(spark):
+    from type_filtered_entity_linker_spark.operators.matching import (
+        greedy_matching,
+    )
+
+    rows = [(1, 11, 0.9), (2, 11, 0.8), (2, 12, 0.7)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        greedy_matching(_pairs_df(spark, rows), max_rounds=1)
+
+
+def test_greedy_matching_empty_input(spark):
+    from type_filtered_entity_linker_spark.operators.matching import (
+        greedy_matching,
+    )
+
+    out = greedy_matching(_pairs_df(spark, []))
+    assert out.columns == ["id_a", "id_b", "score", "match_round"]
+    assert out.count() == 0
+
+
+def test_greedy_matching_equals_sequential_greedy_random(spark):
+    from type_filtered_entity_linker_spark.operators.matching import (
+        greedy_matching,
+    )
+
+    rng = random.Random(4242)
+    # dense-ish bipartite graph with DELIBERATE score ties (scores
+    # drawn from a small grid) so the tie-break order is load-bearing
+    rows = sorted(
+        {
+            (rng.randrange(20), 100 + rng.randrange(20))
+            for _ in range(150)
+        }
+    )
+    pairs = [(a, b, rng.randrange(6) / 4.0) for a, b in rows]
+    out = greedy_matching(_pairs_df(spark, pairs)).collect()
+    got = {(r.id_a, r.id_b, r.score) for r in out}
+    assert got == _ref_greedy(pairs)
+    # one-to-one in both columns
+    assert len({r.id_a for r in out}) == len(out)
+    assert len({r.id_b for r in out}) == len(out)

@@ -146,3 +146,93 @@ def monge_elkan_scores(
             "monge_elkan"
         ),
     )
+
+
+def greedy_matching(
+    pairs: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    score_col: str = "score",
+    max_rounds: int = 20,
+    stats: "list | None" = None,
+) -> DataFrame:
+    """EXACT greedy (globally score-ordered) one-to-one matching,
+    computed distributively as iterated locally-dominant edges
+    (Preis '99; Manne & Bisseling '07): an edge that is the best at
+    BOTH its endpoints under the strict total order (score DESC,
+    left id ASC, right id ASC) is necessarily in the sequential
+    greedy matching — accept every such edge at once, drop all edges
+    touching a matched vertex, repeat until no edges remain. Because
+    the per-side tie-breaks of mutual_best_match are exactly the
+    restrictions of that one global order, each round's reciprocal-
+    best set IS the locally-dominant set, so the fixpoint equals what
+    a single-threaded pass over the globally sorted pair list would
+    produce — without ever materializing a global sort. Each round
+    matches at least the globally best remaining edge, and in
+    practice the remaining graph shrinks geometrically (expected
+    O(log n) rounds).
+
+    Versus single-round reciprocal-best: vertices whose best partner
+    preferred someone else get their next-best partner in a later
+    round instead of staying unmatched — higher recall, same
+    one-to-one guarantee, and the output is the canonical greedy
+    matching the ER literature evaluates against.
+
+    Input is treated as BIPARTITE (clean-clean ER): ``left_col`` ids
+    and ``right_col`` ids are separate vertex namespaces (ids may
+    numerically collide across columns without interacting).
+
+    Scale: each round is two row_number windows + two anti joins, all
+    keyed by per-side record ids (bounded fanout after blocking); the
+    shrinking remainder is localCheckpoint'ed per round so lineage
+    stays flat. The per-round convergence check doubles as the row
+    count, so each round costs exactly one job. ``stats`` (optional)
+    collects {round, matched, remaining} — the north rule's
+    per-stage-metrics contract.
+
+    Returns (left_col, right_col, score_col, match_round). Raises
+    RuntimeError if ``max_rounds`` rounds leave edges unmatched, so a
+    truncated matching can never silently masquerade as the greedy
+    fixpoint (the driver oracle unrolls the same number of rounds).
+    """
+    remaining = pairs.select(left_col, right_col, score_col).localCheckpoint(
+        eager=True
+    )
+    matched: "DataFrame | None" = None
+    n_remaining = remaining.count()
+    for r in range(1, max_rounds + 1):
+        if n_remaining == 0:
+            break
+        mb = mutual_best_match(
+            remaining, left_col, right_col, score_col
+        ).withColumn("match_round", F.lit(r))
+        mb = mb.localCheckpoint(eager=True)
+        matched = mb if matched is None else matched.unionByName(mb)
+        # edges touching vertices matched in EARLIER rounds are already
+        # gone from `remaining`, so anti-joining this round's matches
+        # alone suffices — per-round cost tracks the new matches, not
+        # the accumulated matching
+        remaining = (
+            remaining.join(mb.select(left_col), left_col, "left_anti")
+            .join(mb.select(right_col), right_col, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n_remaining = remaining.count()
+        if stats is not None:
+            stats.append(
+                {
+                    "round": r,
+                    "matched": matched.count(),
+                    "remaining": n_remaining,
+                }
+            )
+    if n_remaining > 0:
+        raise RuntimeError(
+            f"greedy_matching did not converge in {max_rounds} rounds "
+            f"({n_remaining} edges remain); raise max_rounds"
+        )
+    if matched is None:
+        return pairs.select(
+            left_col, right_col, score_col
+        ).withColumn("match_round", F.lit(1)).limit(0)
+    return matched.select(left_col, right_col, score_col, "match_round")

@@ -2873,11 +2873,12 @@ def q_er_mutual_best(spark, sf_dir) -> DataFrame:
     return mutual_best_match(bip)
 
 
-def _er_mutual_best_oracle_sql() -> str:
-    """Replica: pipeline CTEs up to the scored pairs, bipartite
-    restriction, then two row_number argmaxes joined on rank-1 both
-    ways — reciprocal best with the same (score DESC, partner ASC)
-    tie-break."""
+def _fs_bipartite_ctes() -> str:
+    """The shared oracle WITH-body: corrupt-customer records, blocked
+    pairs (phone equi ∪ name SNM), FS scoring, bipartite clean→dirty
+    restriction — everything up to the `dec` CTE that er_mutual_best
+    and er_greedy_matching both resolve from (one definition, two
+    resolvers)."""
     from ..operators.fellegi_sunter import fs_weights
 
     terms = []
@@ -2932,7 +2933,15 @@ def _er_mutual_best_oracle_sql() -> str:
                         WHEN score < {FS_LOWER!r} THEN 'non_link'
                         ELSE 'possible' END AS decision
             FROM sc
-            WHERE id_a < 1000000 AND id_b >= 1000000),
+            WHERE id_a < 1000000 AND id_b >= 1000000)"""
+
+
+def _er_mutual_best_oracle_sql() -> str:
+    """Replica: pipeline CTEs up to the scored pairs, bipartite
+    restriction, then two row_number argmaxes joined on rank-1 both
+    ways — reciprocal best with the same (score DESC, partner ASC)
+    tie-break."""
+    return f"""{_fs_bipartite_ctes()},
     ba AS (SELECT *, row_number() OVER (PARTITION BY id_a
                                         ORDER BY score DESC, id_b) AS rn
            FROM dec),
@@ -2948,6 +2957,83 @@ def _er_mutual_best_oracle_sql() -> str:
 
 
 ER_MUTUAL_BEST_SQL = _er_mutual_best_oracle_sql()
+
+
+# Unrolled rounds for the greedy-matching oracle: the driver corpus
+# converges in 3 rounds at sf0.01 (and sf0.1); the Spark operator gets
+# the SAME bound as max_rounds and RAISES if it fails to converge, so
+# a too-small unroll shows up as a loud ERR, never a silent mismatch.
+GREEDY_ROUNDS = 8
+
+
+def q_er_greedy_matching(spark, sf_dir) -> DataFrame:
+    """EXACT greedy one-to-one matching (operators/matching.py
+    greedy_matching) over the SAME FS-scored bipartite pairs as
+    er_mutual_best: iterated locally-dominant (reciprocal-best) rounds
+    under the strict order (score DESC, id_a, id_b) — equal to the
+    sequential globally-sorted greedy pass, computed without a global
+    sort. Unmatched-best losers of round 1 pick up their next-best in
+    later rounds, so this strictly extends er_mutual_best's matching;
+    match_round records which round accepted each edge."""
+    from ..operators.fellegi_sunter import fellegi_sunter_scores
+    from ..operators.matching import greedy_matching
+    from ..operators.sorted_neighborhood import sorted_neighborhood_pairs
+
+    records, _, _ = _fs_customers(spark, sf_dir, corrupt="city")
+    ph = records.select("rec_id", "phone")
+    phone_pairs = (
+        ph.alias("a")
+        .join(ph.alias("b"), "phone")
+        .where(F.col("a.rec_id") < F.col("b.rec_id"))
+        .select(
+            F.col("a.rec_id").alias("id_a"), F.col("b.rec_id").alias("id_b")
+        )
+    )
+    snm_pairs = sorted_neighborhood_pairs(
+        records, ["name"], window=ER_PIPE_SNM_W
+    ).select("id_a", "id_b")
+    pairs = phone_pairs.unionByName(snm_pairs).distinct()
+    scored = fellegi_sunter_scores(
+        records, pairs, FS_PARAMS, near=FS_NEAR, upper=FS_UPPER, lower=FS_LOWER
+    )
+    bip = scored.where(
+        (F.col("id_a") < 1000000) & (F.col("id_b") >= 1000000)
+    )
+    return greedy_matching(bip, max_rounds=GREEDY_ROUNDS)
+
+
+def _er_greedy_oracle_sql(rounds: int) -> str:
+    """The greedy fixpoint unrolled: each stage selects the locally-
+    dominant (reciprocal-best) edges of the remaining graph and
+    removes their endpoints — `rounds` copies of the identical stage,
+    matching the operator's max_rounds bound."""
+    # every stage CTE is MATERIALIZED: each round references the
+    # previous one three times, so default CTE inlining would expand
+    # the plan (and the base-table opens) 3^rounds-fold
+    stages = []
+    for r in range(1, rounds + 1):
+        prev = "r0" if r == 1 else f"r{r - 1}"
+        stages.append(f"""
+    m{r} AS MATERIALIZED (SELECT id_a, id_b, score, {r} AS match_round FROM (
+        SELECT id_a, id_b, score,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY score DESC, id_b) AS ra,
+               row_number() OVER (PARTITION BY id_b
+                                  ORDER BY score DESC, id_a) AS rb
+        FROM {prev}) WHERE ra = 1 AND rb = 1),
+    r{r} AS MATERIALIZED (SELECT * FROM {prev}
+             WHERE id_a NOT IN (SELECT id_a FROM m{r})
+               AND id_b NOT IN (SELECT id_b FROM m{r}))""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM m{r}" for r in range(1, rounds + 1)
+    )
+    return f"""{_fs_bipartite_ctes()},
+    r0 AS MATERIALIZED (SELECT id_a, id_b, score FROM dec),{','.join(stages)}
+    {union}
+"""
+
+
+ER_GREEDY_SQL = _er_greedy_oracle_sql(GREEDY_ROUNDS)
 
 
 def q_er_monge_elkan(spark, sf_dir) -> DataFrame:
@@ -5645,6 +5731,7 @@ QUERIES = {
     "crawl_scd2_incremental": q_crawl_scd2_incremental,
     "crawl_stream_scd2": q_crawl_stream_scd2,
     "docs_repeated_spans": q_docs_repeated_spans,
+    "er_greedy_matching": q_er_greedy_matching,
 }
 
 ORACLES = {
@@ -5758,6 +5845,7 @@ ORACLES = {
     "crawl_scd2_incremental": CRAWL_SCD2_SQL,
     "crawl_stream_scd2": CRAWL_SCD2_SQL,
     "docs_repeated_spans": DOCS_REPEATED_SPANS_SQL,
+    "er_greedy_matching": ER_GREEDY_SQL,
 }
 
 
