@@ -156,6 +156,8 @@ HEADLINE = [
     "docs_repeated_spans",
     # exact greedy 1-1 matching via iterated locally-dominant rounds
     "er_greedy_matching",
+    # canopy pre-blocking: lex-first-MIS centers + rtime membership
+    "er_canopy",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

@@ -5618,6 +5618,93 @@ DOCS_REPEATED_SPANS_SQL = f"""
 """
 
 
+# Canopy thresholds over exact shingle-Jaccard on the decayed-copy
+# corpus: the decayed pairs sit at J ≈ 2/3 — tight-similar at 0.65
+# (pool removal), while organic word-soup pairs land in the loose
+# [0.5, 0.65) band and produce the OVERLAPPING memberships canopies
+# exist for. 6 unrolled MIS rounds ≫ the 2 the corpus needs; the
+# operator gets the same bound and raises rather than truncates.
+CANOPY_S1, CANOPY_S2, CANOPY_ROUNDS = 0.5, 0.65, 6
+
+
+def q_er_canopy(spark, sf_dir) -> DataFrame:
+    """Canopy clustering (operators/canopy.py) — McCallum/Nigam/Ungar
+    cheap-metric pre-blocking with the deterministic lowest-id pick
+    order, computed as lex-first-MIS center election rounds plus the
+    removal-time membership formula; exactly equal to the sequential
+    textbook pass (pinned by tests/test_canopy.py). Cheap metric here:
+    exact 3-token-shingle Jaccard pairs at the loose threshold."""
+    from ..operators.canopy import canopy_clusters
+
+    corpus = _minhash_recall_corpus(spark, sf_dir)
+    pairs = near_duplicates_ngram(
+        corpus, threshold=CANOPY_S1, max_doc_freq=None
+    )
+    return canopy_clusters(
+        corpus.select("doc_id"),
+        pairs,
+        s1=CANOPY_S1,
+        s2=CANOPY_S2,
+        max_rounds=CANOPY_ROUNDS,
+    )
+
+
+def _er_canopy_oracle_sql(rounds: int, s1: float, s2: float) -> str:
+    """Unrolled replica: jaccard pairs CTE, tight/loose symmetric edge
+    tables, `rounds` lex-first-MIS stages (every stage MATERIALIZED —
+    each references its predecessor three times, so default inlining
+    would blow up 3^rounds), then rtime + membership."""
+    stages = []
+    for r in range(1, rounds + 1):
+        prev = f"rem{r - 1}"
+        stages.append(f"""
+    mn{r} AS MATERIALIZED (
+        SELECT e.u AS id, min(e.v) AS mn FROM e2 e
+        WHERE e.u IN (SELECT id FROM {prev})
+          AND e.v IN (SELECT id FROM {prev})
+        GROUP BY e.u),
+    c{r} AS MATERIALIZED (
+        SELECT p.id FROM {prev} p LEFT JOIN mn{r} ON mn{r}.id = p.id
+        WHERE mn{r}.mn IS NULL OR p.id < mn{r}.mn),
+    rem{r} AS MATERIALIZED (
+        SELECT id FROM {prev}
+        WHERE id NOT IN (SELECT id FROM c{r})
+          AND id NOT IN (SELECT e.v FROM e2 e
+                         WHERE e.u IN (SELECT id FROM c{r})))""")
+    centers_union = "\n        UNION ALL ".join(
+        f"SELECT id FROM c{r}" for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED ({_jaccard_oracle_sql(MINHASH_RECALL_CORPUS_SQL, s1)}),
+    e2 AS MATERIALIZED (
+        SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jaccard >= {s2}
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs WHERE jaccard >= {s2}),
+    e1 AS MATERIALIZED (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs),
+    rem0 AS MATERIALIZED (
+        SELECT doc_id AS id FROM ({MINHASH_RECALL_CORPUS_SQL})),{','.join(stages)},
+    centers AS MATERIALIZED (
+        {centers_union}),
+    rt AS MATERIALIZED (
+        SELECT id, min(c) AS rtime FROM (
+            SELECT e.v AS id, e.u AS c FROM e2 e
+            WHERE e.u IN (SELECT id FROM centers)
+            UNION ALL SELECT id, id AS c FROM centers)
+        GROUP BY id)
+    SELECT e.u AS center, e.v AS member FROM e1 e
+    JOIN rt ON rt.id = e.v
+    WHERE e.u IN (SELECT id FROM centers) AND e.u <= rt.rtime
+    UNION ALL
+    SELECT id AS center, id AS member FROM centers
+"""
+
+
+ER_CANOPY_SQL = _er_canopy_oracle_sql(CANOPY_ROUNDS, CANOPY_S1, CANOPY_S2)
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -5732,6 +5819,7 @@ QUERIES = {
     "crawl_stream_scd2": q_crawl_stream_scd2,
     "docs_repeated_spans": q_docs_repeated_spans,
     "er_greedy_matching": q_er_greedy_matching,
+    "er_canopy": q_er_canopy,
 }
 
 ORACLES = {
@@ -5846,6 +5934,7 @@ ORACLES = {
     "crawl_stream_scd2": CRAWL_SCD2_SQL,
     "docs_repeated_spans": DOCS_REPEATED_SPANS_SQL,
     "er_greedy_matching": ER_GREEDY_SQL,
+    "er_canopy": ER_CANOPY_SQL,
 }
 
 
