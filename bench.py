@@ -158,6 +158,8 @@ HEADLINE = [
     "er_greedy_matching",
     # canopy pre-blocking: lex-first-MIS centers + rtime membership
     "er_canopy",
+    # PassJoin lossless edit-distance self-join (segment pigeonhole)
+    "er_edit_join",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

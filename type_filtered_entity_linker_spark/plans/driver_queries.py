@@ -5705,6 +5705,66 @@ def _er_canopy_oracle_sql(rounds: int, s1: float, s2: float) -> str:
 ER_CANOPY_SQL = _er_canopy_oracle_sql(CANOPY_ROUNDS, CANOPY_S1, CANOPY_S2)
 
 
+# Edit-join fixture: md5-hex pseudo-names (real entropy — segment
+# blocking degenerates on templated fields like TPC-H's shared
+# 'Customer#' prefix, so the fixture exercises the scheme as designed)
+# plus a 1-char deletion variant of every 10th record at a rotating
+# position. d=2 catches the deletions (ed 1) and any organic hex
+# near-collisions; the oracle is the literal brute-force definition.
+EDIT_JOIN_D = 2
+
+
+def _edit_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _spread(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    base = cust.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.substring(
+            F.md5(F.col("c_custkey").cast("string")), 1, 12
+        ).alias("name"),
+    )
+    pos = (F.col("rec_id") % 12) + 1
+    dirty = base.where(F.col("rec_id") % 10 == 0).select(
+        (F.col("rec_id") + 1000000).alias("rec_id"),
+        F.concat(
+            F.col("name").substr(F.lit(1), pos - 1),
+            F.col("name").substr(pos + 1, F.lit(12)),
+        ).alias("name"),
+    )
+    return base.unionByName(dirty)
+
+
+def q_er_edit_join(spark, sf_dir) -> DataFrame:
+    """PassJoin edit-distance self-join (operators/edit_join.py):
+    segment-pigeonhole candidates + built-in levenshtein verify —
+    lossless, equals the brute-force cross join the oracle runs."""
+    from ..operators.edit_join import edit_distance_join
+
+    return edit_distance_join(
+        _edit_corpus(spark, sf_dir), "name", d=EDIT_JOIN_D
+    )
+
+
+ER_EDIT_JOIN_SQL = f"""
+    WITH corpus AS (
+        SELECT c_custkey AS rec_id,
+               substr(md5(c_custkey::VARCHAR), 1, 12) AS name
+        FROM customer
+        UNION ALL
+        SELECT rec_id + 1000000,
+               substr(name, 1, pos - 1) || substr(name, pos + 1) AS name
+        FROM (SELECT c_custkey AS rec_id,
+                     substr(md5(c_custkey::VARCHAR), 1, 12) AS name,
+                     (c_custkey % 12) + 1 AS pos
+              FROM customer WHERE c_custkey % 10 = 0))
+    SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+           levenshtein(a.name, b.name)::INT AS edist
+    FROM corpus a JOIN corpus b
+      ON a.rec_id < b.rec_id
+     AND abs(length(a.name) - length(b.name)) <= {EDIT_JOIN_D}
+    WHERE levenshtein(a.name, b.name) <= {EDIT_JOIN_D}
+"""
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -5820,6 +5880,7 @@ QUERIES = {
     "docs_repeated_spans": q_docs_repeated_spans,
     "er_greedy_matching": q_er_greedy_matching,
     "er_canopy": q_er_canopy,
+    "er_edit_join": q_er_edit_join,
 }
 
 ORACLES = {
@@ -5935,6 +5996,7 @@ ORACLES = {
     "docs_repeated_spans": DOCS_REPEATED_SPANS_SQL,
     "er_greedy_matching": ER_GREEDY_SQL,
     "er_canopy": ER_CANOPY_SQL,
+    "er_edit_join": ER_EDIT_JOIN_SQL,
 }
 
 
