@@ -160,6 +160,8 @@ HEADLINE = [
     "er_canopy",
     # PassJoin lossless edit-distance self-join (segment pigeonhole)
     "er_edit_join",
+    # accent-insensitive blocking keys (lower+translate, no UDF)
+    "er_unicode_keys",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

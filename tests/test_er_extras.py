@@ -344,3 +344,27 @@ def test_greedy_matching_equals_sequential_greedy_random(spark):
     # one-to-one in both columns
     assert len({r.id_a for r in out}) == len(out)
     assert len({r.id_b for r in out}) == len(out)
+
+
+# ---------------------------------------------------------- accent fold
+
+
+def test_accent_fold_nfc_nfd_case_all_collapse(spark):
+    import unicodedata
+
+    from type_filtered_entity_linker_spark.operators.blocking import (
+        accent_fold,
+    )
+
+    nfc = "José Ångström-Çelik"
+    nfd = unicodedata.normalize("NFD", nfc)
+    rows = [(1, nfc), (2, nfd), (3, "JOSE ANGSTROM-CELIK"),
+            (4, "jose angstrom-celik"), (5, "Łódź")]
+    df = spark.createDataFrame(rows, "rec_id long, name string")
+    got = {r.rec_id: r.key for r in df.select(
+        "rec_id", accent_fold("name").alias("key")).collect()}
+    # NFC, NFD, upper, and plain spellings all share one key
+    assert got[1] == got[2] == got[3] == got[4] == "jose angstrom-celik"
+    # 'ó' is in the table (folds), 'ł'/'ź' are outside it: untouched
+    # except lowercase (the documented scope boundary)
+    assert got[5] == "łodź"

@@ -255,3 +255,35 @@ def tfidf_pair_scores(
             ).alias("cosine_tfidf"),
         )
     )
+
+
+# Latin accent-fold table: precomposed accented letters -> base
+# letters. Paired with the COMBINING-mark deletion below it folds both
+# NFC ("é") and NFD ("e" + U+0301) spellings of these letters to the
+# same key. This is an EXPLICIT table, not full Unicode normalization
+# — deliberately: the fold stays a single JVM translate() (and the
+# identical translate() in DuckDB), never a per-row Python UDF in the
+# blocking hot path. Scripts outside the table pass through unchanged;
+# full NFC/NFKC belongs in a slow-path UDF a user opts into.
+_ACCENT_FROM = "áàâäãåéèêëíìîïóòôöõøúùûüýñçšžć"
+_ACCENT_TO = "aaaaaaeeeeiiiioooooouuuuyncszc"
+# combining marks deleted outright (translate removes chars of `from`
+# beyond len(`to`)): grave, acute, circumflex, tilde, macron,
+# diaeresis, ring, cedilla
+_COMBINING = (
+    "\u0300\u0301\u0302\u0303\u0304\u0308\u030a\u0327"
+)
+
+
+def accent_fold(col: "str | F.Column") -> F.Column:
+    """Accent-insensitive blocking key: lowercase, fold the Latin
+    accent table, delete combining marks. 'Łódź'-class letters outside
+    the table survive untouched (documented scope); the point is that
+    'José', 'JOSE' and 'Jose\\u0301' all block together with zero
+    Python and an exactly-replicable SQL twin
+    (``lower`` + ``translate`` exist with identical semantics in
+    DuckDB — including translate's delete-when-unmapped behavior)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(
+        F.lower(c), _ACCENT_FROM + _COMBINING, _ACCENT_TO
+    )

@@ -5765,6 +5765,73 @@ ER_EDIT_JOIN_SQL = f"""
 """
 
 
+def q_er_unicode_keys(spark, sf_dir) -> DataFrame:
+    """Accent-insensitive blocking (operators/blocking.py accent_fold):
+    dirty copies of every 5th customer get NFC accents ('e'→'é',
+    'o'→'ò') plus a trailing COMBINING acute; raw-key equality finds
+    none of these duplicate pairs, the folded key recovers all of
+    them. Output = the recovered (clean, dirty) pairs with the shared
+    folded key. The fold is one lower+translate in both engines — the
+    oracle replays it with DuckDB's identical translate semantics
+    (delete-when-unmapped included)."""
+    from ..operators.blocking import accent_fold
+
+    cust = _spread(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    base = cust.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.lower(F.col("c_name")).alias("name"),
+    )
+    dirty = base.where(F.col("rec_id") % 5 == 0).select(
+        (F.col("rec_id") + 1000000).alias("rec_id"),
+        F.concat(
+            F.regexp_replace(
+                F.regexp_replace(F.col("name"), "e", "é"), "o", "ò"
+            ),
+            F.lit("\u0301"),
+        ).alias("name"),
+    )
+    corpus = base.unionByName(dirty).withColumn(
+        "key", accent_fold("name")
+    )
+    a = corpus.where(F.col("rec_id") < 1000000).select(
+        F.col("rec_id").alias("id_a"),
+        F.col("name").alias("name_a"),
+        "key",
+    )
+    b = corpus.where(F.col("rec_id") >= 1000000).select(
+        F.col("rec_id").alias("id_b"),
+        F.col("name").alias("name_b"),
+        "key",
+    )
+    return a.join(b, "key").where(
+        F.col("name_a") != F.col("name_b")  # raw keys would miss these
+    ).select("id_a", "id_b", "key")
+
+
+ER_UNICODE_KEYS_SQL = """
+    WITH base AS (
+        SELECT c_custkey AS rec_id, lower(c_name) AS name FROM customer),
+    dirty AS (
+        SELECT rec_id + 1000000 AS rec_id,
+               replace(replace(name, 'e', 'é'), 'o', 'ò')
+                   || chr(769) AS name
+        FROM base WHERE rec_id % 5 = 0),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM dirty),
+    keyed AS (
+        SELECT rec_id, name,
+               translate(lower(name),
+                         'áàâäãåéèêëíìîïóòôöõøúùûüýñçšžć'
+                         || chr(768) || chr(769) || chr(770) || chr(771)
+                         || chr(772) || chr(776) || chr(778) || chr(807),
+                         'aaaaaaeeeeiiiioooooouuuuyncszc') AS key
+        FROM corpus)
+    SELECT a.rec_id AS id_a, b.rec_id AS id_b, a.key
+    FROM keyed a JOIN keyed b ON a.key = b.key
+    WHERE a.rec_id < 1000000 AND b.rec_id >= 1000000
+      AND a.name <> b.name
+"""
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -5881,6 +5948,7 @@ QUERIES = {
     "er_greedy_matching": q_er_greedy_matching,
     "er_canopy": q_er_canopy,
     "er_edit_join": q_er_edit_join,
+    "er_unicode_keys": q_er_unicode_keys,
 }
 
 ORACLES = {
@@ -5997,6 +6065,7 @@ ORACLES = {
     "er_greedy_matching": ER_GREEDY_SQL,
     "er_canopy": ER_CANOPY_SQL,
     "er_edit_join": ER_EDIT_JOIN_SQL,
+    "er_unicode_keys": ER_UNICODE_KEYS_SQL,
 }
 
 
