@@ -74,6 +74,16 @@ def canopy_clusters(
     """
     if s2 < s1:
         raise ValueError(f"tight threshold s2={s2} < loose s1={s1}")
+    # the cheap-similarity pair stream is usually itself a join (e.g.
+    # a shingle posting-list self-join); every MIS round semi-joins
+    # e2, so without a barrier that upstream join re-executes per
+    # round. The pair table is the SMALLEST table in the job — the
+    # barrier is cheap here and a reliable-storage checkpoint at
+    # cluster scale (same rationale as the LSH signature barrier in
+    # operators/dedup.py, BENCH/R4_NOTES.md).
+    pairs = pairs.select(left_col, right_col, sim_col).localCheckpoint(
+        eager=True
+    )
     e2 = _sym(pairs.where(F.col(sim_col) >= s2), left_col, right_col)
     e1 = _sym(pairs.where(F.col(sim_col) >= s1), left_col, right_col)
     remaining = nodes.select(F.col(id_col).alias("id")).localCheckpoint(
