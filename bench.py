@@ -162,6 +162,8 @@ HEADLINE = [
     "er_edit_join",
     # accent-insensitive blocking keys (lower+translate, no UDF)
     "er_unicode_keys",
+    # DSIR importance-resampling data selection (Xie et al. 2023)
+    "docs_dsir_select",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

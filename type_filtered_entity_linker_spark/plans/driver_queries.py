@@ -5832,6 +5832,83 @@ ER_UNICODE_KEYS_SQL = """
 """
 
 
+DSIR_K, DSIR_BUCKETS = 50, 1024
+
+
+def q_docs_dsir_select(spark, sf_dir) -> DataFrame:
+    """DSIR data selection (operators/dsir.py — Xie et al. 2023):
+    pick the 50 docs from the full pool whose hashed unigram+bigram
+    distribution best matches the ENGLISH subcorpus, by Gumbel-top-k
+    over Laplace-smoothed log importance weights. md5_60 bucket hash
+    here (the oracle replays every bucket count, both smoothed models
+    and the Gumbel keys); xxhash64 is the production hash path."""
+    from ..operators.dsir import dsir_select
+
+    docs = _docs(spark, sf_dir)
+    return dsir_select(
+        docs.select("doc_id", "text"),
+        docs.where(F.col("lang") == "en").select("doc_id", "text"),
+        k=DSIR_K,
+        n_buckets=DSIR_BUCKETS,
+        hash_fn="md5_60",
+    )
+
+
+DSIR_SQL = f"""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(
+                             regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+                             x -> x <> '') AS l
+                  FROM documents),
+    grams AS (
+        SELECT doc_id, g FROM (
+            SELECT doc_id, unnest(l) AS g FROM toks
+            UNION ALL
+            SELECT doc_id,
+                   unnest([array_to_string(l[i:i+1], ' ')
+                           for i in generate_series(1, len(l) - 1)]) AS g
+            FROM toks)),
+    ball AS (SELECT doc_id,
+                    ({_MD5INT.format(x='g')}::BIGINT % {DSIR_BUCKETS})
+                        AS bucket,
+                    count(*) AS n
+             FROM grams GROUP BY 1, 2),
+    btgt AS (SELECT b.* FROM ball b
+             JOIN documents d ON d.doc_id = b.doc_id
+             WHERE d.lang = 'en'),
+    buckets AS (SELECT unnest(generate_series(0, {DSIR_BUCKETS - 1}))
+                    AS bucket),
+    ltgt AS (SELECT bk.bucket,
+                    ln((coalesce(c.cnt, 0) + 1.0)
+                       / (t.total + {DSIR_BUCKETS}.0)) AS lp_tgt
+             FROM buckets bk
+             LEFT JOIN (SELECT bucket, sum(n) AS cnt FROM btgt
+                        GROUP BY 1) c ON c.bucket = bk.bucket
+             CROSS JOIN (SELECT sum(n) AS total FROM btgt) t),
+    lsrc AS (SELECT bk.bucket,
+                    ln((coalesce(c.cnt, 0) + 1.0)
+                       / (t.total + {DSIR_BUCKETS}.0)) AS lp_src
+             FROM buckets bk
+             LEFT JOIN (SELECT bucket, sum(n) AS cnt FROM ball
+                        GROUP BY 1) c ON c.bucket = bk.bucket
+             CROSS JOIN (SELECT sum(n) AS total FROM ball) t),
+    lw AS (SELECT s.doc_id,
+                  sum(s.n * (lp_tgt - lp_src)) AS logw
+           FROM ball s
+           JOIN ltgt ON ltgt.bucket = s.bucket
+           JOIN lsrc ON lsrc.bucket = s.bucket
+           GROUP BY 1),
+    keyed AS (SELECT doc_id, logw,
+                     logw + (-ln(-ln(
+                         ({_hex_fold("'dsir:' || doc_id::VARCHAR", 1, 15)}
+                          + 1)::DOUBLE / 1152921504606846976.0))) AS k
+              FROM lw)
+    SELECT doc_id, {_spark_round('logw')} AS logw,
+           {_spark_round('k')} AS sample_key
+    FROM keyed ORDER BY k DESC, doc_id ASC LIMIT {DSIR_K}
+"""
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -5949,6 +6026,7 @@ QUERIES = {
     "er_canopy": q_er_canopy,
     "er_edit_join": q_er_edit_join,
     "er_unicode_keys": q_er_unicode_keys,
+    "docs_dsir_select": q_docs_dsir_select,
 }
 
 ORACLES = {
@@ -6066,6 +6144,7 @@ ORACLES = {
     "er_canopy": ER_CANOPY_SQL,
     "er_edit_join": ER_EDIT_JOIN_SQL,
     "er_unicode_keys": ER_UNICODE_KEYS_SQL,
+    "docs_dsir_select": DSIR_SQL,
 }
 
 
