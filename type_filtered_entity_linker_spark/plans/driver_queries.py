@@ -6156,6 +6156,10 @@ ORACLES = {
 # front; dict-merge keeps their new position while every other entry
 # retains its relative order behind them.
 _NEVER_DRIVER_CHECKED = [
+    # the six late-round-4 additions have never been driver-stamped
+    # either — they lead the window
+    "docs_repeated_spans", "er_greedy_matching", "er_canopy",
+    "er_edit_join", "er_unicode_keys", "docs_dsir_select",
     "typerec_train_eval", "docs_split", "docs_stratified_sample",
     "docs_domain_cap", "docs_pii_redact", "docs_decontaminate",
     "docs_paragraph_dedup", "docs_paragraph_boilerplate",
