@@ -90,6 +90,7 @@ def canopy_clusters(
         eager=True
     )
     centers: "DataFrame | None" = None
+    n_centers = 0
     n_remaining = remaining.count()
     for r in range(1, max_rounds + 1):
         if n_remaining == 0:
@@ -118,10 +119,14 @@ def canopy_clusters(
         )
         n_remaining = remaining.count()
         if stats is not None:
+            # count this round's (checkpointed) elections, keep a
+            # running total — recounting the accumulated union would
+            # rescan every earlier round's frame each time
+            n_centers += elected.count()
             stats.append(
                 {
                     "round": r,
-                    "centers": centers.count(),
+                    "centers": n_centers,
                     "remaining": n_remaining,
                 }
             )
@@ -131,9 +136,12 @@ def canopy_clusters(
             f"rounds ({n_remaining} nodes remain); raise max_rounds"
         )
     if centers is None:
-        return nodes.sparkSession.createDataFrame(
-            [], "center long, member long"
-        )
+        # derive the empty schema from the input's id type (a
+        # hardcoded long would break unions over per-batch outputs
+        # with string ids exactly and only on the empty batch)
+        return nodes.select(
+            F.col(id_col).alias("center"), F.col(id_col).alias("member")
+        ).limit(0)
     centers = centers.localCheckpoint(eager=True)
     # rtime(x) = the id of the center whose election removed x from
     # the pool: min over tight-similar centers, and x itself when x is

@@ -108,6 +108,16 @@ def dsir_select(
     production (identical selection absent 64-bit collisions)."""
     src = _bucketed(source_docs, id_col, text_col, n_buckets, hash_fn)
     tgt = _bucketed(target_docs, id_col, text_col, n_buckets, hash_fn)
+    # an empty (or all-whitespace) corpus would make its model's total
+    # NULL, silently NULLing every weight and turning the top-k into
+    # an arbitrary doc_id slice — a mis-filtered target (wrong lang
+    # value, say) must fail loudly instead
+    for name, side in (("target", tgt), ("source", src)):
+        if side.limit(1).count() == 0:
+            raise ValueError(
+                f"dsir_select: {name} corpus has no tokens — "
+                "check the corpus filter"
+            )
     model = _bucket_logprobs(tgt, n_buckets, alpha, "lp_tgt").join(
         _bucket_logprobs(src, n_buckets, alpha, "lp_src"), "bucket"
     )

@@ -11,8 +11,10 @@ of its position in a. Candidate generation is therefore an EQUI-join:
 the index side emits its d+1 (length, segment_idx, segment) keys; the
 probe side emits, for every plausible partner length l2 in
 [l-d, l+d] and every segment slot, the substrings of itself at the
-O(d) permitted start positions. ~(2d+1)*(d+1)*(2d+1) keys per record
-(45 at d=2) — constant fanout, no Zipf head by construction when the
+O(d) permitted start positions. At most (2d+1)*(d+1)*(2d+1) keys per
+record (75 worst-case at d=2; the +-d start window is clipped to the
+string's bounds, so typical strings emit fewer) — constant fanout, no
+Zipf head by construction when the
 field has real entropy (a templated shared prefix degrades segment 0
 to a hot bucket, the documented failure mode of all segment blocking;
 salt or pre-hash such fields upstream).
@@ -30,7 +32,8 @@ usual.
 
 Scale: one shuffle for the candidate equi-join (keyed by the segment
 key), one for the pair dedup, verification map-side. Probe fanout is
-a constant ~45x row multiplier — the same order as MinHash's k=64
+a constant <=75x row multiplier at d=2 — the same order as MinHash's
+k=64
 signature explode — and candidate counts track true near-pair counts,
 not corpus^2.
 """

@@ -199,6 +199,7 @@ def greedy_matching(
         eager=True
     )
     matched: "DataFrame | None" = None
+    n_matched = 0
     n_remaining = remaining.count()
     for r in range(1, max_rounds + 1):
         if n_remaining == 0:
@@ -219,10 +220,14 @@ def greedy_matching(
         )
         n_remaining = remaining.count()
         if stats is not None:
+            # count only THIS round's (checkpointed) matches and keep a
+            # running total — recounting the accumulated union would be
+            # O(rounds^2) scan work and an extra full-history job/round
+            n_matched += mb.count()
             stats.append(
                 {
                     "round": r,
-                    "matched": matched.count(),
+                    "matched": n_matched,
                     "remaining": n_remaining,
                 }
             )

@@ -2837,17 +2837,14 @@ ER_BCUBED_SQL = f"""
 """
 
 
-def q_er_mutual_best(spark, sf_dir) -> DataFrame:
-    """Clean-clean ER assignment: the pipeline's blocked pairs (phone
-    equi ∪ name sorted-neighborhood), FS-scored, restricted to the
-    bipartite clean→dirty direction, then resolved to a ONE-TO-ONE
-    matching by reciprocal best (operators/matching.py) — the
-    resolution a duplicate-free-sources linkage needs instead of
-    transitive clustering. Ties (FS scores are sums of a few weight
-    literals, so equal scores are common) break on the lower partner
-    id in both engines."""
+def _fs_bipartite_pairs(spark, sf_dir) -> DataFrame:
+    """The shared Spark-side pipeline mirroring _fs_bipartite_ctes:
+    corrupt-customer records, blocked pairs (phone equi ∪ name SNM),
+    FS scoring, bipartite clean→dirty restriction. er_mutual_best and
+    er_greedy_matching both resolve from this one definition — edits
+    to the blocking (window size, corrupt mode, thresholds) land in
+    both queries AND stay in lockstep with the shared oracle body."""
     from ..operators.fellegi_sunter import fellegi_sunter_scores
-    from ..operators.matching import mutual_best_match
     from ..operators.sorted_neighborhood import sorted_neighborhood_pairs
 
     records, _, _ = _fs_customers(spark, sf_dir, corrupt="city")
@@ -2867,10 +2864,23 @@ def q_er_mutual_best(spark, sf_dir) -> DataFrame:
     scored = fellegi_sunter_scores(
         records, pairs, FS_PARAMS, near=FS_NEAR, upper=FS_UPPER, lower=FS_LOWER
     )
-    bip = scored.where(
+    return scored.where(
         (F.col("id_a") < 1000000) & (F.col("id_b") >= 1000000)
     )
-    return mutual_best_match(bip)
+
+
+def q_er_mutual_best(spark, sf_dir) -> DataFrame:
+    """Clean-clean ER assignment: the pipeline's blocked pairs (phone
+    equi ∪ name sorted-neighborhood), FS-scored, restricted to the
+    bipartite clean→dirty direction, then resolved to a ONE-TO-ONE
+    matching by reciprocal best (operators/matching.py) — the
+    resolution a duplicate-free-sources linkage needs instead of
+    transitive clustering. Ties (FS scores are sums of a few weight
+    literals, so equal scores are common) break on the lower partner
+    id in both engines."""
+    from ..operators.matching import mutual_best_match
+
+    return mutual_best_match(_fs_bipartite_pairs(spark, sf_dir))
 
 
 def _fs_bipartite_ctes() -> str:
@@ -2975,31 +2985,11 @@ def q_er_greedy_matching(spark, sf_dir) -> DataFrame:
     sort. Unmatched-best losers of round 1 pick up their next-best in
     later rounds, so this strictly extends er_mutual_best's matching;
     match_round records which round accepted each edge."""
-    from ..operators.fellegi_sunter import fellegi_sunter_scores
     from ..operators.matching import greedy_matching
-    from ..operators.sorted_neighborhood import sorted_neighborhood_pairs
 
-    records, _, _ = _fs_customers(spark, sf_dir, corrupt="city")
-    ph = records.select("rec_id", "phone")
-    phone_pairs = (
-        ph.alias("a")
-        .join(ph.alias("b"), "phone")
-        .where(F.col("a.rec_id") < F.col("b.rec_id"))
-        .select(
-            F.col("a.rec_id").alias("id_a"), F.col("b.rec_id").alias("id_b")
-        )
+    return greedy_matching(
+        _fs_bipartite_pairs(spark, sf_dir), max_rounds=GREEDY_ROUNDS
     )
-    snm_pairs = sorted_neighborhood_pairs(
-        records, ["name"], window=ER_PIPE_SNM_W
-    ).select("id_a", "id_b")
-    pairs = phone_pairs.unionByName(snm_pairs).distinct()
-    scored = fellegi_sunter_scores(
-        records, pairs, FS_PARAMS, near=FS_NEAR, upper=FS_UPPER, lower=FS_LOWER
-    )
-    bip = scored.where(
-        (F.col("id_a") < 1000000) & (F.col("id_b") >= 1000000)
-    )
-    return greedy_matching(bip, max_rounds=GREEDY_ROUNDS)
 
 
 def _er_greedy_oracle_sql(rounds: int) -> str:
