@@ -368,3 +368,37 @@ def test_accent_fold_nfc_nfd_case_all_collapse(spark):
     # 'ó' is in the table (folds), 'ł'/'ź' are outside it: untouched
     # except lowercase (the documented scope boundary)
     assert got[5] == "łodź"
+
+
+def test_blocking_rules_cumulative(spark):
+    """First-rule attribution, zero-pair rule rows, null-key exclusion,
+    and cumulative monotonicity, checked against a hand-computed corpus:
+    records 1/2 share key A under rule one AND rule two (attributed to
+    rule one), records 3/4 pair only under rule two, rule three is all
+    nulls + singletons and must still emit a row with zero pairs."""
+    from type_filtered_entity_linker_spark.operators.blocking import (
+        blocking_rules_cumulative,
+    )
+
+    def blocks(rows):
+        return spark.createDataFrame(rows, "rec_id long, block_key string")
+
+    r1 = blocks([(1, "A"), (2, "A"), (3, "B"), (4, "C"), (5, None)])
+    r2 = blocks([(1, "X"), (2, "X"), (3, "Y"), (4, "Y"), (5, "Z")])
+    r3 = blocks([(1, None), (2, None), (3, "Q"), (4, "R"), (5, "S")])
+    truth = spark.createDataFrame([(1, 2), (3, 4), (4, 5)], "id_a long, id_b long")
+    out = blocking_rules_cumulative(
+        [("one", r1), ("two", r2), ("three", r3)], truth
+    ).orderBy("rule_idx")
+    rows = [r.asDict() for r in out.collect()]
+    assert [r["rule"] for r in rows] == ["one", "two", "three"]
+    # rule one: pair (1,2) only (5's null key never joins)
+    assert rows[0]["n_pairs"] == 1 and rows[0]["n_new_pairs"] == 1
+    # rule two regenerates (1,2) — attributed to rule one — plus (3,4)
+    assert rows[1]["n_pairs"] == 2 and rows[1]["n_new_pairs"] == 1
+    # rule three: a row exists even with zero pairs
+    assert rows[2]["n_pairs"] == 0 and rows[2]["n_new_pairs"] == 0
+    assert [r["cum_pairs"] for r in rows] == [1, 2, 2]
+    assert [r["cum_true_pairs"] for r in rows] == [1, 2, 2]
+    # truth pair (4,5) is never generated: pc plateaus below 1
+    assert [r["pc_cum"] for r in rows] == pytest.approx([1 / 3, 2 / 3, 2 / 3])

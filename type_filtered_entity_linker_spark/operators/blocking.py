@@ -257,6 +257,105 @@ def tfidf_pair_scores(
     )
 
 
+def blocking_rules_cumulative(
+    rules: "list[tuple[str, DataFrame]]", truth: DataFrame
+) -> DataFrame:
+    """Splink-style cumulative blocking-rule attribution: given an
+    ORDERED list of blocking rules (name, DataFrame[rec_id, block_key]),
+    report per rule how many candidate pairs it generates, how many are
+    NEW (not produced by any earlier rule), and the cumulative pair
+    count + pairs-completeness against the labeled truth — the chart an
+    ER engineer reads to decide which rules earn their pair budget and
+    in which order (cf. Splink's cumulative_comparisons chart; the
+    reference repo blocks on a single surface-form key,
+    el/candidate_generator.py:14-21 — this is the multi-rule analysis
+    layer on top of that idea).
+
+    Semantics: a pair is attributed to the FIRST rule (lowest index)
+    that generates it, so n_new_pairs sums to the deduplicated union
+    size and the cumulative columns are monotone. Rules that generate
+    zero pairs still get a row (left join against the rule list).
+
+    Scale shape: each rule's pair generation is a self-equi-join on its
+    block key (bounded by that rule's block sizes — the caller owns key
+    choice, same contract as ``rarest_token_blocks``); attribution is
+    ONE shuffle of the tagged pair union on (id_a, id_b) with a min()
+    combine; the chart itself is k rows, so the cumulative window over
+    rule_idx is a k-row single-partition window — data-sized windows
+    stay banned, this one is rule-count-sized. Truth never joins the
+    raw pair stream, only the deduplicated attribution table.
+
+    Returns (rule_idx, rule, n_pairs, n_new_pairs, cum_pairs,
+    cum_true_pairs, pc_cum), one row per rule, ordered by rule_idx.
+    """
+    from pyspark.sql.window import Window
+
+    spark = rules[0][1].sparkSession
+    tagged = None
+    for i, (_, blocks) in enumerate(rules, start=1):
+        b = blocks.where(F.col("block_key").isNotNull())
+        p = (
+            b.alias("a")
+            .join(b.alias("b"), "block_key")
+            .where(F.col("a.rec_id") < F.col("b.rec_id"))
+            .select(
+                F.col("a.rec_id").alias("id_a"),
+                F.col("b.rec_id").alias("id_b"),
+            )
+            .distinct()
+            .select(F.lit(i).alias("rule_idx"), "id_a", "id_b")
+        )
+        tagged = p if tagged is None else tagged.unionByName(p)
+    per_rule = tagged.groupBy("rule_idx").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    attributed = tagged.groupBy("id_a", "id_b").agg(
+        F.min("rule_idx").alias("rule_idx")
+    )
+    flagged = attributed.join(
+        truth.select("id_a", "id_b").withColumn("_t", F.lit(1)),
+        ["id_a", "id_b"],
+        "left",
+    )
+    new_counts = flagged.groupBy("rule_idx").agg(
+        F.count("*").cast("long").alias("n_new_pairs"),
+        F.sum(F.coalesce("_t", F.lit(0))).cast("long").alias("n_new_true"),
+    )
+    names = spark.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(rules, start=1)],
+        "rule_idx int, rule string",
+    )
+    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+    cum = Window.orderBy("rule_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        names.join(per_rule, "rule_idx", "left")
+        .join(new_counts, "rule_idx", "left")
+        .select(
+            "rule_idx",
+            "rule",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_new_pairs", F.lit(0)).alias("n_new_pairs"),
+            F.coalesce("n_new_true", F.lit(0)).alias("n_new_true"),
+        )
+        .withColumn("cum_pairs", F.sum("n_new_pairs").over(cum))
+        .withColumn("cum_true_pairs", F.sum("n_new_true").over(cum))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "rule_idx",
+            "rule",
+            "n_pairs",
+            "n_new_pairs",
+            "cum_pairs",
+            "cum_true_pairs",
+            F.round(F.col("cum_true_pairs") / F.col("n_true"), 6).alias(
+                "pc_cum"
+            ),
+        )
+    )
+
+
 # Latin accent-fold table: precomposed accented letters -> base
 # letters. Paired with the COMBINING-mark deletion below it folds both
 # NFC ("é") and NFD ("e" + U+0301) spellings of these letters to the

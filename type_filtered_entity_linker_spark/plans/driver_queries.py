@@ -2440,6 +2440,101 @@ ER_BLOCK_QUALITY_SQL = """
 """
 
 
+def q_er_blocking_rules(spark, sf_dir) -> DataFrame:
+    """Cumulative blocking-rule attribution (the Splink-style chart)
+    over the dirty-customer corpus: three ordered rules — exact phone,
+    17-char name prefix, 4-digit phone suffix — each pair attributed to
+    the FIRST rule that generates it. The corpus is built so every rule
+    has a distinct signature: phone_exact catches only the planted
+    pairs whose phone survived (2/3 — every 30th copy's prefix was
+    rewritten), name_prefix17 recovers ALL planted pairs (a truncated
+    copy's 17-char name IS the original's 17-char prefix) at the cost
+    of decade-neighbor chance pairs, and phone_suffix4 re-finds the
+    corrupted-phone pairs (the corruption rewrote only the prefix) but
+    contributes ZERO new ones — the redundant-rule case the chart
+    exists to expose. pc_cum hits 1.0 at rule 2 and stays there."""
+    from ..operators.blocking import blocking_rules_cumulative
+
+    records, truth, _ = _fs_customers(spark, sf_dir, corrupt="phone")
+    rules = [
+        (
+            "phone_exact",
+            records.select("rec_id", F.col("phone").alias("block_key")),
+        ),
+        (
+            "name_prefix17",
+            records.select(
+                "rec_id", F.substring("name", 1, 17).alias("block_key")
+            ),
+        ),
+        (
+            "phone_suffix4",
+            records.select(
+                "rec_id", F.expr("substring(phone, 4)").alias("block_key")
+            ),
+        ),
+    ]
+    return blocking_rules_cumulative(rules, truth)
+
+
+ER_BLOCKING_RULES_SQL = """
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT rec_id, name, phone FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               CASE WHEN rec_id % 30 = 0 THEN '99' || substr(phone, 3)
+                    ELSE phone END
+        FROM clean WHERE rec_id % 10 = 0),
+    truth AS (SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+              FROM clean WHERE rec_id % 10 = 0),
+    r1 AS (SELECT DISTINCT 1 AS rule_idx, a.rec_id AS id_a, b.rec_id AS id_b
+           FROM records a JOIN records b
+             ON a.phone = b.phone AND a.rec_id < b.rec_id),
+    r2 AS (SELECT DISTINCT 2 AS rule_idx, a.rec_id AS id_a, b.rec_id AS id_b
+           FROM records a JOIN records b
+             ON substr(a.name, 1, 17) = substr(b.name, 1, 17)
+            AND a.rec_id < b.rec_id),
+    r3 AS (SELECT DISTINCT 3 AS rule_idx, a.rec_id AS id_a, b.rec_id AS id_b
+           FROM records a JOIN records b
+             ON substr(a.phone, 4) = substr(b.phone, 4)
+            AND a.rec_id < b.rec_id),
+    tagged AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+               UNION ALL SELECT * FROM r3),
+    per_rule AS (SELECT rule_idx, count(*)::BIGINT AS n_pairs
+                 FROM tagged GROUP BY rule_idx),
+    attr AS (SELECT id_a, id_b, min(rule_idx) AS rule_idx
+             FROM tagged GROUP BY id_a, id_b),
+    flag AS (SELECT a.rule_idx,
+                    CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+             FROM attr a LEFT JOIN truth t USING (id_a, id_b)),
+    newc AS (SELECT rule_idx, count(*)::BIGINT AS n_new_pairs,
+                    sum(is_true)::BIGINT AS n_new_true
+             FROM flag GROUP BY rule_idx),
+    names(rule_idx, rule) AS (VALUES (1, 'phone_exact'),
+                                     (2, 'name_prefix17'),
+                                     (3, 'phone_suffix4')),
+    nt AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+    chart AS (SELECT n.rule_idx, n.rule,
+                     coalesce(p.n_pairs, 0) AS n_pairs,
+                     coalesce(c.n_new_pairs, 0) AS n_new_pairs,
+                     coalesce(c.n_new_true, 0) AS n_new_true
+              FROM names n
+              LEFT JOIN per_rule p USING (rule_idx)
+              LEFT JOIN newc c USING (rule_idx))
+    SELECT rule_idx, rule, n_pairs, n_new_pairs,
+           (sum(n_new_pairs) OVER (ORDER BY rule_idx))::BIGINT AS cum_pairs,
+           (sum(n_new_true) OVER (ORDER BY rule_idx))::BIGINT
+               AS cum_true_pairs,
+           round((sum(n_new_true) OVER (ORDER BY rule_idx))::DOUBLE / n_true,
+                 6) AS pc_cum
+    FROM chart, nt
+"""
+
+
 def _meta_blocks(records: DataFrame) -> DataFrame:
     """Redundancy-positive 3-scheme blocking: phone prefix + phone
     suffix + city, one namespaced key per scheme per record."""
@@ -5973,6 +6068,7 @@ QUERIES = {
     "er_fellegi_sunter": q_er_fellegi_sunter,
     "er_em_weights": q_er_em_weights,
     "er_blocking_quality": q_er_blocking_quality,
+    "er_blocking_rules": q_er_blocking_rules,
     "er_meta_blocking": q_er_meta_blocking,
     "er_tf_adjusted": q_er_tf_adjusted,
     "er_meta_blocking_quality": q_er_meta_blocking_quality,
@@ -6091,6 +6187,7 @@ ORACLES = {
     "er_fellegi_sunter": ER_FS_SQL,
     "er_em_weights": ER_EM_SQL,
     "er_blocking_quality": ER_BLOCK_QUALITY_SQL,
+    "er_blocking_rules": ER_BLOCKING_RULES_SQL,
     "er_meta_blocking": ER_META_BLOCK_SQL,
     "er_tf_adjusted": ER_TF_SQL,
     "er_meta_blocking_quality": ER_META_BLOCK_QUALITY_SQL,
@@ -6146,8 +6243,9 @@ ORACLES = {
 # front; dict-merge keeps their new position while every other entry
 # retains its relative order behind them.
 _NEVER_DRIVER_CHECKED = [
-    # the six late-round-4 additions have never been driver-stamped
+    # the late-round-4 additions have never been driver-stamped
     # either — they lead the window
+    "er_blocking_rules",
     "docs_repeated_spans", "er_greedy_matching", "er_canopy",
     "er_edit_join", "er_unicode_keys", "docs_dsir_select",
     "typerec_train_eval", "docs_split", "docs_stratified_sample",
