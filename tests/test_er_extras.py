@@ -402,3 +402,41 @@ def test_blocking_rules_cumulative(spark):
     assert [r["cum_true_pairs"] for r in rows] == [1, 2, 2]
     # truth pair (4,5) is never generated: pc plateaus below 1
     assert [r["pc_cum"] for r in rows] == pytest.approx([1 / 3, 2 / 3, 2 / 3])
+
+
+def test_cluster_conflicts_audit(spark):
+    """Hand-built audit: cluster {1,2,3} has one confident link, one
+    weak pair, one never-scored pair; {4,5}'s single pair sits exactly
+    ON the link threshold (>= is inclusive); {7,8} was never scored at
+    all (min_score NULL); singleton 6 is excluded."""
+    from type_filtered_entity_linker_spark.operators.clustering import (
+        cluster_conflicts,
+    )
+
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6), (7, 7), (8, 7)],
+        "rec_id long, cluster_id long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 2, 5.0), (2, 3, 2.0), (4, 5, 3.0)],
+        "id_a long, id_b long, score double",
+    )
+    out = {
+        r["cluster_id"]: r.asDict()
+        for r in cluster_conflicts(assign, scored, 3.0).collect()
+    }
+    assert set(out) == {1, 4, 7}
+    c1 = out[1]
+    assert (
+        c1["n_members"],
+        c1["n_intra_pairs"],
+        c1["n_links"],
+        c1["n_weak"],
+        c1["n_unscored"],
+    ) == (3, 3, 1, 1, 1)
+    assert c1["min_score"] == 2.0
+    c4 = out[4]
+    assert (c4["n_links"], c4["n_weak"], c4["n_unscored"]) == (1, 0, 0)
+    c7 = out[7]
+    assert (c7["n_intra_pairs"], c7["n_unscored"]) == (1, 1)
+    assert c7["min_score"] is None

@@ -132,3 +132,86 @@ def cluster_mentions(
         mention_assign.unionByName(singles)
         .select("mention_key", F.col("cid").alias("cluster_id"))
     )
+
+
+def cluster_conflicts(
+    assign: DataFrame,
+    scored: DataFrame,
+    link_threshold: float,
+    id_col: str = "rec_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Transitive-closure audit: for every multi-member cluster, break
+    its membership back into record pairs and check each against the
+    DIRECT pairwise evidence. Connected-components clustering links a
+    pair the moment a path of confident edges connects it — this
+    report shows what that transitivity committed you to: per cluster,
+    how many intra-cluster pairs are backed by a confident link
+    (score >= link_threshold), how many were scored but fell short
+    ("weak" — linked only through intermediaries), and how many were
+    never compared at all (blocking never generated them). A cluster
+    with many weak/unscored pairs is the over-merge candidate a
+    reviewer should open first; the reference repo's clustering
+    (postprocessing in el/entity_linker.py) has no such audit — this
+    is the production-QA layer on top.
+
+    ``assign`` is (id_col, cluster_id) for EVERY record (singletons
+    self-assigned — they are skipped here); ``scored`` holds canonical
+    id_a < id_b pairs with ``score_col`` (the Fellegi–Sunter scorer's
+    output shape). NULL-score semantics: an unscored pair counts in
+    n_unscored only; min_score ignores it (NULL when nothing scored).
+
+    Scale shape: the only non-linear step is intra-pair enumeration, a
+    self-equi-join on cluster_id costing sum over clusters of
+    |c|^2/2 — bounded by the largest cluster, which is exactly the
+    pathology this audit exists to surface; run it AFTER clustering
+    where component sizes are already known (filter `sizes` first if a
+    viral component must be excluded). Everything else is hash
+    aggregates and one pair-key join against the scored table.
+
+    Returns (cluster_id, n_members, n_intra_pairs, n_links, n_weak,
+    n_unscored, min_score), one row per cluster with >= 2 members.
+    """
+    sizes = (
+        assign.groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .where(F.col("n_members") >= 2)
+    )
+    members = assign.join(sizes.select("cluster_id"), "cluster_id")
+    intra = (
+        members.alias("a")
+        .join(members.alias("b"), "cluster_id")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            "cluster_id",
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    j = intra.join(
+        scored.select("id_a", "id_b", F.col(score_col).alias("_s")),
+        ["id_a", "id_b"],
+        "left",
+    )
+    per = j.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_intra_pairs"),
+        F.sum(
+            F.when(F.col("_s") >= link_threshold, 1).otherwise(0)
+        ).cast("long").alias("n_links"),
+        F.sum(
+            F.when(F.col("_s") < link_threshold, 1).otherwise(0)
+        ).cast("long").alias("n_weak"),
+        F.sum(F.col("_s").isNull().cast("int")).cast("long").alias(
+            "n_unscored"
+        ),
+        F.round(F.min("_s"), 6).alias("min_score"),
+    )
+    return sizes.join(per, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "n_intra_pairs",
+        "n_links",
+        "n_weak",
+        "n_unscored",
+        "min_score",
+    )

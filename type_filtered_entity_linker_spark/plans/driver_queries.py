@@ -2895,6 +2895,186 @@ def _er_pipeline_oracle_sql() -> str:
 ER_PIPELINE_SQL = _er_pipeline_oracle_sql()
 
 
+# review threshold for the conflict-audit clustering: links at the
+# Fellegi-Sunter "possible" band so transitivity genuinely over-commits
+ER_CONFLICT_REVIEW = 4.0
+
+
+def q_er_transitive_conflicts(spark, sf_dir) -> DataFrame:
+    """Transitive-closure audit of review-threshold clustering: every
+    10th customer gets TWO dirty copies — A (name minus 1 char) and B
+    (name minus 2 chars, city blanked, phone prefix rewritten on every
+    30th) — so the FS scores split three ways by construction:
+    orig–A 16.21 (confident link), A–B 11.71 and orig–B 4.29 (the
+    possible band). Clustering at the review threshold (4.0) merges
+    {orig, A, B}; auditing those clusters at the LINK threshold (12.0)
+    then shows each is held together by ONE confident edge plus two
+    weak ones — the exact over-merge signature ``cluster_conflicts``
+    exists to expose. Corrupted-phone B copies fall out of the phone
+    block entirely, leaving {orig, A} clusters whose single intra pair
+    is a confident link (the clean-audit control rows). The oracle
+    replays corpus, FS scoring, the CC fixpoint (recursive CTE) and
+    the audit in SQL — hash parity pins all four stages."""
+    from ..operators.clustering import (
+        cluster_conflicts,
+        connected_components,
+    )
+    from ..operators.fellegi_sunter import fellegi_sunter_scores
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    phone = F.lpad(
+        ((F.col("c_custkey") * 7919) % 10000000).cast("string"), 7, "0"
+    )
+    clean = c.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.concat(F.lit("city_"), F.col("c_nationkey").cast("string")).alias(
+            "city"
+        ),
+        phone.alias("phone"),
+    )
+    tenth = clean.where(F.col("rec_id") % 10 == 0)
+    copy_a = tenth.select(
+        (F.col("rec_id") + 1000000).alias("rec_id"),
+        F.expr("substring(name, 1, length(name) - 1)").alias("name"),
+        "city",
+        "phone",
+    )
+    copy_b = tenth.select(
+        (F.col("rec_id") + 2000000).alias("rec_id"),
+        F.expr("substring(name, 1, length(name) - 2)").alias("name"),
+        F.lit("unknown").alias("city"),
+        F.when(
+            F.col("rec_id") % 30 == 0,
+            F.concat(F.lit("99"), F.expr("substring(phone, 3)")),
+        )
+        .otherwise(F.col("phone"))
+        .alias("phone"),
+    )
+    records = clean.unionByName(copy_a).unionByName(copy_b)
+    ph = records.select("rec_id", "phone")
+    pairs = (
+        ph.alias("a")
+        .join(ph.alias("b"), "phone")
+        .where(F.col("a.rec_id") < F.col("b.rec_id"))
+        .select(
+            F.col("a.rec_id").alias("id_a"), F.col("b.rec_id").alias("id_b")
+        )
+    )
+    scored = fellegi_sunter_scores(
+        records, pairs, FS_PARAMS, near=FS_NEAR, upper=FS_UPPER, lower=FS_LOWER
+    )
+    edges = scored.where(F.col("score") >= ER_CONFLICT_REVIEW).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    assign = connected_components(edges).withColumnRenamed("node", "rec_id")
+    full = (
+        records.select("rec_id")
+        .join(assign, "rec_id", "left")
+        .select(
+            F.col("rec_id").cast("long").alias("rec_id"),
+            F.coalesce("cluster_id", F.col("rec_id"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+    return cluster_conflicts(full, scored, FS_UPPER)
+
+
+def _er_conflicts_oracle_sql() -> str:
+    """DuckDB replica of the conflict audit: two-copy corpus, the same
+    agreement CASEs + python-log2 weight literals in FS_PARAMS field
+    order, CC as the label-propagation recursive CTE, then the
+    per-cluster pair audit. NULL-score CASEs fall to ELSE 0 in SQL
+    exactly as F.when().otherwise(0) does in Spark."""
+    from ..operators.fellegi_sunter import fs_weights
+
+    terms = []
+    agrees = []
+    for f, (m, u) in FS_PARAMS.items():
+        t = FS_NEAR.get(f, 0)
+        agrees.append(
+            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
+            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
+            f"AS agree_{f}"
+        )
+        wa, wd = fs_weights(m, u)
+        terms.append(
+            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
+            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
+        )
+    score = " + ".join(["0.0"] + terms)
+    return f"""
+    WITH RECURSIVE clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               city, phone
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id + 2000000, substr(name, 1, length(name) - 2),
+               'unknown',
+               CASE WHEN rec_id % 30 = 0 THEN '99' || substr(phone, 3)
+                    ELSE phone END
+        FROM clean WHERE rec_id % 10 = 0),
+    pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM records a JOIN records b
+          ON a.phone = b.phone AND a.rec_id < b.rec_id),
+    ag AS (
+        SELECT p.id_a, p.id_b, {', '.join(agrees)}
+        FROM pairs p
+        JOIN records a ON p.id_a = a.rec_id
+        JOIN records b ON p.id_b = b.rec_id),
+    sc AS (SELECT id_a, id_b, round({score}, 6) AS score FROM ag),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM sc
+        WHERE score >= {ER_CONFLICT_REVIEW!r}
+        UNION
+        SELECT id_b, id_a FROM sc WHERE score >= {ER_CONFLICT_REVIEW!r}),
+    walk(node, lbl) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+    assign AS (
+        SELECT r.rec_id::BIGINT AS rec_id,
+               coalesce(c.cluster_id, r.rec_id)::BIGINT AS cluster_id
+        FROM records r LEFT JOIN comp c ON r.rec_id = c.node),
+    sizes AS (SELECT cluster_id, count(*)::BIGINT AS n_members
+              FROM assign GROUP BY cluster_id HAVING count(*) >= 2),
+    intra AS (
+        SELECT a.cluster_id, a.rec_id AS id_a, b.rec_id AS id_b
+        FROM assign a
+        JOIN assign b ON a.cluster_id = b.cluster_id
+                     AND a.rec_id < b.rec_id
+        JOIN sizes s ON s.cluster_id = a.cluster_id),
+    j AS (SELECT i.cluster_id, sc.score
+          FROM intra i
+          LEFT JOIN sc ON sc.id_a = i.id_a AND sc.id_b = i.id_b),
+    per AS (SELECT cluster_id, count(*)::BIGINT AS n_intra_pairs,
+                   sum(CASE WHEN score >= {FS_UPPER!r} THEN 1 ELSE 0
+                       END)::BIGINT AS n_links,
+                   sum(CASE WHEN score < {FS_UPPER!r} THEN 1 ELSE 0
+                       END)::BIGINT AS n_weak,
+                   sum(CASE WHEN score IS NULL THEN 1 ELSE 0
+                       END)::BIGINT AS n_unscored,
+                   round(min(score), 6) AS min_score
+            FROM j GROUP BY cluster_id)
+    SELECT s.cluster_id, s.n_members, p.n_intra_pairs, p.n_links,
+           p.n_weak, p.n_unscored, p.min_score
+    FROM sizes s JOIN per p USING (cluster_id)
+"""
+
+
+ER_CONFLICTS_SQL = _er_conflicts_oracle_sql()
+
+
 def q_er_bcubed(spark, sf_dir) -> DataFrame:
     """B-cubed P/R/F1 of the composite ER pipeline's clusters against
     the planted ground truth (a dirty copy's gold class is its clean
@@ -6069,6 +6249,7 @@ QUERIES = {
     "er_em_weights": q_er_em_weights,
     "er_blocking_quality": q_er_blocking_quality,
     "er_blocking_rules": q_er_blocking_rules,
+    "er_transitive_conflicts": q_er_transitive_conflicts,
     "er_meta_blocking": q_er_meta_blocking,
     "er_tf_adjusted": q_er_tf_adjusted,
     "er_meta_blocking_quality": q_er_meta_blocking_quality,
@@ -6188,6 +6369,7 @@ ORACLES = {
     "er_em_weights": ER_EM_SQL,
     "er_blocking_quality": ER_BLOCK_QUALITY_SQL,
     "er_blocking_rules": ER_BLOCKING_RULES_SQL,
+    "er_transitive_conflicts": ER_CONFLICTS_SQL,
     "er_meta_blocking": ER_META_BLOCK_SQL,
     "er_tf_adjusted": ER_TF_SQL,
     "er_meta_blocking_quality": ER_META_BLOCK_QUALITY_SQL,
@@ -6245,7 +6427,7 @@ ORACLES = {
 _NEVER_DRIVER_CHECKED = [
     # the late-round-4 additions have never been driver-stamped
     # either — they lead the window
-    "er_blocking_rules",
+    "er_blocking_rules", "er_transitive_conflicts",
     "docs_repeated_spans", "er_greedy_matching", "er_canopy",
     "er_edit_join", "er_unicode_keys", "docs_dsir_select",
     "typerec_train_eval", "docs_split", "docs_stratified_sample",
@@ -6263,10 +6445,10 @@ _NEVER_DRIVER_CHECKED = [
     "warc_roundtrip",
     # the SCD2/graph/phrase block landed after the first rotation and
     # would otherwise sit just past the 50-query window while ten
-    # r1-stamped el_* rows occupied its slots — with these eight in,
-    # all 48 never-stamped entries fit the window (48 + el_mentions +
-    # el_entities = 50) and cumulative r1∪..∪r4 driver coverage is
-    # exactly the full inventory
+    # r1-stamped el_* rows occupied its slots — with these eight in
+    # (plus the two blocking-rules/conflict-audit additions above),
+    # all 50 never-stamped entries exactly fill the window and
+    # cumulative r1∪..∪r4 driver coverage is the full inventory
     "dedup_containment", "crawl_scd2", "graph_label_prop",
     "docs_pmi_bigrams", "docs_phrase_search", "graph_triangles",
     "crawl_scd2_incremental", "crawl_stream_scd2",
