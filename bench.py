@@ -164,6 +164,10 @@ HEADLINE = [
     "er_unicode_keys",
     # DSIR importance-resampling data selection (Xie et al. 2023)
     "docs_dsir_select",
+    # Splink-style cumulative blocking-rule attribution chart
+    "er_blocking_rules",
+    # transitive-closure audit of review-threshold clusters
+    "er_transitive_conflicts",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
