@@ -168,6 +168,8 @@ HEADLINE = [
     "er_blocking_rules",
     # transitive-closure audit of review-threshold clusters
     "er_transitive_conflicts",
+    # Rand/ARI/NMI partition agreement of the pipeline clusters
+    "er_cluster_agreement",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

@@ -440,3 +440,32 @@ def test_cluster_conflicts_audit(spark):
     c7 = out[7]
     assert (c7["n_intra_pairs"], c7["n_unscored"]) == (1, 1)
     assert c7["min_score"] is None
+
+
+def test_cluster_agreement_metrics(spark):
+    """Pinned to the textbook example pred=[0,0,1,1,1] vs
+    gold=[0,0,0,1,1]: RI 0.6, ARI 1/6, NMI (sqrt normalization)
+    0.432538 — the same numbers scikit-learn's adjusted_rand_score /
+    normalized_mutual_info_score return. Degenerate single-cluster
+    partitions emit NULL ARI/NMI (zero chance-denominator / entropy),
+    never a fabricated constant."""
+    from type_filtered_entity_linker_spark.operators.evaluation import (
+        cluster_agreement_metrics,
+    )
+
+    assign = spark.createDataFrame(
+        [(0, 0), (0, 0), (1, 0), (1, 1), (1, 1)],
+        "cluster_id long, class_id long",
+    )
+    r = cluster_agreement_metrics(assign).collect()[0]
+    assert r["n_records"] == 5
+    assert r["rand_index"] == pytest.approx(0.6)
+    assert r["adjusted_rand"] == pytest.approx(1 / 6, abs=1e-6)
+    assert r["nmi"] == pytest.approx(0.432538, abs=1e-6)
+
+    trivial = spark.createDataFrame(
+        [(9, 7)] * 5, "cluster_id long, class_id long"
+    )
+    t = cluster_agreement_metrics(trivial).collect()[0]
+    assert t["rand_index"] == pytest.approx(1.0)
+    assert t["adjusted_rand"] is None and t["nmi"] is None

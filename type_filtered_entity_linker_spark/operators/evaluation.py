@@ -205,3 +205,98 @@ def score_pr_curve(
             2 * F.col("cum_true") / (F.col("cum_pairs") + F.col("tot_true")), 6
         ).alias("f1"),
     )
+
+
+def cluster_agreement_metrics(assignments: DataFrame) -> DataFrame:
+    """Rand index, adjusted Rand index, and normalized mutual
+    information of predicted clusters vs gold classes — the
+    partition-agreement axis alongside pairwise F1 (quadratic in
+    cluster size) and B-cubed (per-record). ARI corrects Rand for
+    chance agreement (Hubert & Arabie '85); NMI is MI over the sqrt
+    entropy normalization (the scikit-learn default).
+
+    ``assignments``: one row per record with (cluster_id, class_id),
+    same contract as ``bcubed_metrics``.
+
+    Everything reduces to the contingency cells, so the plan is three
+    hash aggregations + one join of the cell table against the two
+    size tables — no pair materialization. Pair-count components
+    C(x,2) are summed in INTEGER space (bigint multiply + `div` —
+    the exact-arithmetic convention from the selfjoin_pairs advice);
+    only the final ratios go through doubles. Degenerate partitions
+    (one giant cluster / all singletons on both sides) have zero
+    entropy or a zero ARI denominator: both emit NULL rather than a
+    fabricated 0-or-1 (documented; the DuckDB twin's CASE guards
+    return NULL identically).
+
+    Returns one row: (n_records, rand_index, adjusted_rand, nmi),
+    floats rounded to 6.
+    """
+
+    def comb2(col: str) -> F.Column:
+        return F.expr(
+            f"(cast({col} as bigint) * (cast({col} as bigint) - 1)) div 2"
+        )
+
+    cells = assignments.groupBy("cluster_id", "class_id").agg(
+        F.count("*").alias("m")
+    )
+    csize = assignments.groupBy("cluster_id").agg(F.count("*").alias("a"))
+    tsize = assignments.groupBy("class_id").agg(F.count("*").alias("b"))
+    n_row = assignments.agg(F.count("*").cast("long").alias("n"))
+    cell_stats = (
+        cells.join(csize, "cluster_id")
+        .join(tsize, "class_id")
+        .crossJoin(F.broadcast(n_row))
+        .agg(
+            F.sum(comb2("m")).alias("s_cells"),
+            F.sum(
+                F.col("m")
+                * F.log(
+                    F.col("m").cast("double")
+                    * F.col("n").cast("double")
+                    / (F.col("a").cast("double") * F.col("b").cast("double"))
+                )
+            ).alias("mi_num"),
+            F.max("n").alias("n"),
+        )
+    )
+    a_stats = csize.agg(
+        F.sum(comb2("a")).alias("s_a"),
+        F.sum(F.col("a") * F.log(F.col("a").cast("double"))).alias("e_a"),
+    )
+    b_stats = tsize.agg(
+        F.sum(comb2("b")).alias("s_b"),
+        F.sum(F.col("b") * F.log(F.col("b").cast("double"))).alias("e_b"),
+    )
+    s = cell_stats.crossJoin(a_stats).crossJoin(b_stats)
+    n_d = F.col("n").cast("double")
+    c_n2 = (F.col("n") * (F.col("n") - 1)).cast("double") / 2
+    ri = (
+        c_n2
+        + 2 * F.col("s_cells").cast("double")
+        - F.col("s_a").cast("double")
+        - F.col("s_b").cast("double")
+    ) / c_n2
+    expected = (
+        F.col("s_a").cast("double") * F.col("s_b").cast("double") / c_n2
+    )
+    ari_den = (
+        (F.col("s_a").cast("double") + F.col("s_b").cast("double")) / 2
+        - expected
+    )
+    ari = F.when(
+        ari_den != 0, (F.col("s_cells").cast("double") - expected) / ari_den
+    )
+    mi = F.col("mi_num") / n_d
+    h_c = F.log(n_d) - F.col("e_a") / n_d
+    h_k = F.log(n_d) - F.col("e_b") / n_d
+    nmi = F.when(
+        (h_c > 0) & (h_k > 0), mi / F.sqrt(h_c * h_k)
+    )
+    return s.select(
+        F.col("n").alias("n_records"),
+        F.round(ri, 6).alias("rand_index"),
+        F.round(ari, 6).alias("adjusted_rand"),
+        F.round(nmi, 6).alias("nmi"),
+    )

@@ -3112,6 +3112,68 @@ ER_BCUBED_SQL = f"""
 """
 
 
+def q_er_cluster_agreement(spark, sf_dir) -> DataFrame:
+    """Rand / adjusted-Rand / NMI of the composite ER pipeline's
+    clusters against the planted gold classes — the third grading axis
+    next to pairwise F1 and B-cubed (chance-corrected pair agreement
+    and information-theoretic overlap; reviewers expect all three on
+    an ER eval sheet). Same assignment table as er_bcubed, so the
+    oracle replays the full pipeline CTE then the contingency-cell
+    formulas in SQL — the float terms (ln cells, entropies) differ
+    only by summation order between engines, absorbed by round(6)."""
+    from ..operators.evaluation import cluster_agreement_metrics
+
+    assign = q_er_pipeline_clusters(spark, sf_dir).select(
+        "cluster_id",
+        (F.col("rec_id") % 1000000).alias("class_id"),
+    )
+    return cluster_agreement_metrics(assign)
+
+
+ER_AGREEMENT_SQL = f"""
+    WITH asn AS (
+        SELECT rec_id, cluster_id, rec_id % 1000000 AS class_id
+        FROM ({ER_PIPELINE_SQL})),
+    cells AS (SELECT cluster_id, class_id, count(*) AS m
+              FROM asn GROUP BY 1, 2),
+    cs AS (SELECT cluster_id, count(*) AS a FROM asn GROUP BY 1),
+    ts AS (SELECT class_id, count(*) AS b FROM asn GROUP BY 1),
+    nn AS (SELECT count(*)::BIGINT AS n FROM asn),
+    cell_stats AS (
+        SELECT sum((m::BIGINT * (m::BIGINT - 1)) // 2)::BIGINT AS s_cells,
+               sum(m * ln(m::DOUBLE * n::DOUBLE /
+                          (a::DOUBLE * b::DOUBLE))) AS mi_num,
+               max(n) AS n
+        FROM cells JOIN cs USING (cluster_id) JOIN ts USING (class_id), nn),
+    a_stats AS (SELECT sum((a::BIGINT * (a::BIGINT - 1)) // 2)::BIGINT AS s_a,
+                       sum(a * ln(a::DOUBLE)) AS e_a
+                FROM cs),
+    b_stats AS (SELECT sum((b::BIGINT * (b::BIGINT - 1)) // 2)::BIGINT AS s_b,
+                       sum(b * ln(b::DOUBLE)) AS e_b
+                FROM ts),
+    fin AS (SELECT n, s_cells, mi_num, s_a, e_a, s_b, e_b,
+                   (n * (n - 1))::DOUBLE / 2 AS cn2
+            FROM cell_stats, a_stats, b_stats)
+    SELECT n AS n_records,
+           round((cn2 + 2 * s_cells::DOUBLE - s_a::DOUBLE - s_b::DOUBLE)
+                 / cn2, 6) AS rand_index,
+           round(CASE WHEN ((s_a::DOUBLE + s_b::DOUBLE) / 2
+                            - s_a::DOUBLE * s_b::DOUBLE / cn2) <> 0
+                      THEN (s_cells::DOUBLE
+                            - s_a::DOUBLE * s_b::DOUBLE / cn2)
+                           / ((s_a::DOUBLE + s_b::DOUBLE) / 2
+                              - s_a::DOUBLE * s_b::DOUBLE / cn2)
+                 END, 6) AS adjusted_rand,
+           round(CASE WHEN (ln(n::DOUBLE) - e_a / n::DOUBLE) > 0
+                       AND (ln(n::DOUBLE) - e_b / n::DOUBLE) > 0
+                      THEN (mi_num / n::DOUBLE)
+                           / sqrt((ln(n::DOUBLE) - e_a / n::DOUBLE)
+                                  * (ln(n::DOUBLE) - e_b / n::DOUBLE))
+                 END, 6) AS nmi
+    FROM fin
+"""
+
+
 def _fs_bipartite_pairs(spark, sf_dir) -> DataFrame:
     """The shared Spark-side pipeline mirroring _fs_bipartite_ctes:
     corrupt-customer records, blocked pairs (phone equi ∪ name SNM),
@@ -6250,6 +6312,7 @@ QUERIES = {
     "er_blocking_quality": q_er_blocking_quality,
     "er_blocking_rules": q_er_blocking_rules,
     "er_transitive_conflicts": q_er_transitive_conflicts,
+    "er_cluster_agreement": q_er_cluster_agreement,
     "er_meta_blocking": q_er_meta_blocking,
     "er_tf_adjusted": q_er_tf_adjusted,
     "er_meta_blocking_quality": q_er_meta_blocking_quality,
@@ -6370,6 +6433,7 @@ ORACLES = {
     "er_blocking_quality": ER_BLOCK_QUALITY_SQL,
     "er_blocking_rules": ER_BLOCKING_RULES_SQL,
     "er_transitive_conflicts": ER_CONFLICTS_SQL,
+    "er_cluster_agreement": ER_AGREEMENT_SQL,
     "er_meta_blocking": ER_META_BLOCK_SQL,
     "er_tf_adjusted": ER_TF_SQL,
     "er_meta_blocking_quality": ER_META_BLOCK_QUALITY_SQL,
@@ -6428,6 +6492,7 @@ _NEVER_DRIVER_CHECKED = [
     # the late-round-4 additions have never been driver-stamped
     # either — they lead the window
     "er_blocking_rules", "er_transitive_conflicts",
+    "er_cluster_agreement",
     "docs_repeated_spans", "er_greedy_matching", "er_canopy",
     "er_edit_join", "er_unicode_keys", "docs_dsir_select",
     "typerec_train_eval", "docs_split", "docs_stratified_sample",
@@ -6446,9 +6511,10 @@ _NEVER_DRIVER_CHECKED = [
     # the SCD2/graph/phrase block landed after the first rotation and
     # would otherwise sit just past the 50-query window while ten
     # r1-stamped el_* rows occupied its slots — with these eight in
-    # (plus the two blocking-rules/conflict-audit additions above),
-    # all 50 never-stamped entries exactly fill the window and
-    # cumulative r1∪..∪r4 driver coverage is the full inventory
+    # (plus the three ER-analytics additions above), the head holds 51
+    # never-stamped entries: the 50-query window covers all but the
+    # LAST one (crawl_stream_scd2 slips to the next round's window;
+    # the builder gate check_oracles.py verifies it exactly meanwhile)
     "dedup_containment", "crawl_scd2", "graph_label_prop",
     "docs_pmi_bigrams", "docs_phrase_search", "graph_triangles",
     "crawl_scd2_incremental", "crawl_stream_scd2",
