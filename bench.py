@@ -170,6 +170,8 @@ HEADLINE = [
     "er_transitive_conflicts",
     # Rand/ARI/NMI partition agreement of the pipeline clusters
     "er_cluster_agreement",
+    # SemDeDup: k-means cells -> within-cell cosine -> CC survivors
+    "dedup_semantic",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

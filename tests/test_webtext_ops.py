@@ -325,3 +325,21 @@ def test_vocab_topk_counts_cut_and_order(spark):
     got = [tuple(r) for r in vocab_topk(docs, k=10, min_df=2).collect()]
     # aa: tf 4 df 3; bb: tf 2 df 2; cc/dd/zz/'!': df 1 -> cut
     assert got == [("aa", 4, 3, 1), ("bb", 2, 2, 2)]
+
+
+def test_dedup_semantic_drops_planted_copies(spark):
+    """SemDeDup composition: every planted exact copy (vec_id+10000)
+    lands in its original's k-means cell, crosses tau, and is dropped
+    with group_id pointing at the surviving original; no original is
+    dropped in favor of its copy (min-id survivorship)."""
+    from type_filtered_entity_linker_spark.plans.driver_queries import (
+        q_dedup_semantic,
+    )
+
+    rows = q_dedup_semantic(spark, "/root/testdata/sf0.001").collect()
+    drops = [r for r in rows if not r.keep]
+    assert drops, "planted copies must produce dropped rows"
+    assert all(r.vec_id >= 10000 for r in drops)
+    assert all(r.group_id == r.vec_id - 10000 for r in drops)
+    keeps = {r.vec_id for r in rows if r.keep}
+    assert all(r.group_id in keeps for r in drops)

@@ -4580,13 +4580,20 @@ def _spark_round(expr: str, places: int = 6) -> str:
     return f"round(({expr})::VARCHAR::DECIMAL(38,25), {places})::DOUBLE"
 
 
-def _kmeans_sql(k: int, dim: int, n_iter: int) -> str:
+def _kmeans_sql(
+    k: int,
+    dim: int,
+    n_iter: int,
+    corpus_sql: str = "SELECT vec_id, embedding FROM embeddings",
+) -> str:
     """Unrolled fixed-iteration Lloyd's in ANSI SQL (DuckDB): one
     (distance, argmin, centroid-update) CTE triple per iteration.
     All rounds use the Spark-parity :func:`_spark_round` hop — the
     per-iteration centroid quantization makes later rounds operate on
     decimal-quantized inputs, the exact class where DuckDB's native
-    double round diverges from Spark at midpoints."""
+    double round diverges from Spark at midpoints. ``corpus_sql``
+    swaps the input table (dedup_semantic clusters an augmented
+    corpus)."""
 
     def d2(e_emb: str, c_emb: str) -> str:
         return (
@@ -4595,7 +4602,7 @@ def _kmeans_sql(k: int, dim: int, n_iter: int) -> str:
         )
 
     parts = [
-        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        f"e AS ({corpus_sql})",
         f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, "
         f"embedding AS c_emb "
         f"FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k}))",
@@ -4645,6 +4652,118 @@ EMBED_KMEANS_STATS_SQL = f"""
     SELECT cluster_id, count(*) AS n_vecs,
            {_spark_round('avg(dist2)')} AS mean_dist2
     FROM a GROUP BY cluster_id
+"""
+
+
+SEMDEDUP_TAU = 0.999
+_SEMDEDUP_CORPUS_SQL = """SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 10000, embedding FROM embeddings
+        WHERE vec_id % 10 = 0"""
+
+
+def q_dedup_semantic(spark, sf_dir) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023): k-means
+    cells act as the coarse quantizer / blocking stage, cosine is
+    computed only WITHIN a cell, pairs above tau form duplicate groups
+    by connected components, and the lowest id per group survives.
+    This is the third embedding-dedup blocking scheme in the family —
+    sign-LSH buckets (dedup_embedding) and MinHash shingles find
+    near-dups by random projection / lexical overlap; the k-means cell
+    is the IVF-style learned partition the SemDeDup paper uses, with
+    the paper's known recall caveat (a near-dup pair split across a
+    cell boundary is missed — exact copies never split, since an
+    identical vector gets an identical argmin cell). Corpus = the
+    embeddings table plus exact copies of every 10th vector; the
+    oracle replays the full unrolled k-means, the within-cell cosine
+    join, and the CC fixpoint (recursive CTE) — one hash gate pins
+    quantizer, blocking, scoring, and grouping together.
+
+    Scale shape: the cell self-join is bounded by cell size (k scales
+    with corpus at real scale: n/k vectors per cell); cosine stays a
+    JVM zip_with/aggregate expression; CC input is only the above-tau
+    edge set."""
+    from ..operators.clustering import connected_components
+    from ..operators.kmeans import kmeans_topics
+    from ..operators.similarity import cosine
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    copies = e.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = e.unionByName(copies)
+    # one eager barrier before the self-join: the assignment table
+    # feeds BOTH sides of the cell join plus the final projection, and
+    # its lineage holds the whole Lloyd's loop — without the barrier
+    # the loop re-executes once per consumer (the r4 rule written into
+    # the MinHash/canopy fixes; same shape here)
+    assigned = (
+        kmeans_topics(corpus, k=KMEANS_K, n_iter=KMEANS_ITER)
+        .select("vec_id", F.col("cluster_id").alias("cell"))
+        .localCheckpoint(eager=True)
+    )
+    v = assigned.join(corpus, "vec_id")
+    pairs = (
+        v.alias("a")
+        .join(v.alias("b"), "cell")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= SEMDEDUP_TAU)
+    )
+    comp = (
+        connected_components(
+            pairs.select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            )
+        )
+        .withColumnRenamed("node", "vec_id")
+        .withColumnRenamed("cluster_id", "group_id")
+    )
+    return assigned.join(comp, "vec_id", "left").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell").cast("int").alias("cell"),
+        F.coalesce("group_id", F.col("vec_id")).cast("long").alias(
+            "group_id"
+        ),
+        (F.coalesce("group_id", F.col("vec_id")) == F.col("vec_id")).alias(
+            "keep"
+        ),
+    )
+
+
+DEDUP_SEMANTIC_SQL = f"""
+    WITH RECURSIVE asn AS (
+        SELECT * FROM (
+            {_kmeans_sql(KMEANS_K, KMEANS_DIM, KMEANS_ITER,
+                         corpus_sql=_SEMDEDUP_CORPUS_SQL)}
+        )),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e
+          FROM ({_SEMDEDUP_CORPUS_SQL})),
+    v AS (SELECT a.vec_id, a.cluster_id AS cell, c.e
+          FROM asn a JOIN c USING (vec_id)),
+    p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.e, b.e) /
+                      (sqrt(list_dot_product(a.e, a.e)) *
+                       sqrt(list_dot_product(b.e, b.e))), 6)
+                >= {SEMDEDUP_TAU!r}),
+    e2 AS (SELECT id_a AS src, id_b AS dst FROM p
+           UNION SELECT id_b, id_a FROM p),
+    walk(node, lbl) AS (
+        SELECT src, src FROM e2
+        UNION
+        SELECT e2.dst, w.lbl FROM walk w JOIN e2 ON e2.src = w.node),
+    comp AS (SELECT node, min(lbl) AS group_id FROM walk GROUP BY node)
+    SELECT a.vec_id::BIGINT AS vec_id, a.cluster_id::INT AS cell,
+           coalesce(cm.group_id, a.vec_id)::BIGINT AS group_id,
+           (coalesce(cm.group_id, a.vec_id) = a.vec_id) AS keep
+    FROM asn a LEFT JOIN comp cm ON a.vec_id = cm.node
 """
 
 # ----------------------------------------------------------- sequence packing
@@ -6261,6 +6380,7 @@ QUERIES = {
     "dedup_ngram_df_stats": q_ngram_df_stats,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
+    "dedup_semantic": q_dedup_semantic,
     "dedup_cluster_keep": q_dedup_clusters,
     "embed_kmeans": q_embed_kmeans,
     "embed_kmeans_stats": q_embed_kmeans_stats,
@@ -6382,6 +6502,7 @@ ORACLES = {
     "dedup_ngram_df_stats": NGRAM_DF_STATS_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_embedding": DEDUP_EMBEDDING_SQL,
+    "dedup_semantic": DEDUP_SEMANTIC_SQL,
     "dedup_cluster_keep": DEDUP_CLUSTERS_SQL,
     "embed_kmeans": EMBED_KMEANS_SQL,
     "embed_kmeans_stats": EMBED_KMEANS_STATS_SQL,
@@ -6492,7 +6613,7 @@ _NEVER_DRIVER_CHECKED = [
     # the late-round-4 additions have never been driver-stamped
     # either — they lead the window
     "er_blocking_rules", "er_transitive_conflicts",
-    "er_cluster_agreement",
+    "er_cluster_agreement", "dedup_semantic",
     "docs_repeated_spans", "er_greedy_matching", "er_canopy",
     "er_edit_join", "er_unicode_keys", "docs_dsir_select",
     "typerec_train_eval", "docs_split", "docs_stratified_sample",
@@ -6511,10 +6632,11 @@ _NEVER_DRIVER_CHECKED = [
     # the SCD2/graph/phrase block landed after the first rotation and
     # would otherwise sit just past the 50-query window while ten
     # r1-stamped el_* rows occupied its slots — with these eight in
-    # (plus the three ER-analytics additions above), the head holds 51
+    # (plus the four late additions above), the head holds 52
     # never-stamped entries: the 50-query window covers all but the
-    # LAST one (crawl_stream_scd2 slips to the next round's window;
-    # the builder gate check_oracles.py verifies it exactly meanwhile)
+    # LAST two (crawl_scd2_incremental, crawl_stream_scd2 slip to the
+    # next round's window; the builder gate check_oracles.py verifies
+    # them exactly meanwhile)
     "dedup_containment", "crawl_scd2", "graph_label_prop",
     "docs_pmi_bigrams", "docs_phrase_search", "graph_triangles",
     "crawl_scd2_incremental", "crawl_stream_scd2",
