@@ -172,6 +172,8 @@ HEADLINE = [
     "er_cluster_agreement",
     # SemDeDup: k-means cells -> within-cell cosine -> CC survivors
     "dedup_semantic",
+    # Newman modularity of the LPA communities (detector + quality)
+    "graph_modularity",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

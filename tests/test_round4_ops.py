@@ -512,3 +512,33 @@ def test_phrase_search_counts_overlapping_matches(spark):
         for r in phrase_search(corpus, "a a").collect()
     }
     assert out == {1: 3, 2: 1}
+
+
+def test_modularity_barbell(spark):
+    """Two triangles joined by a bridge (the textbook barbell): with
+    the triangles as communities, m=7, each community has 3 intra
+    edges and degree sum 7, so Q = 2*(3/7 - (7/14)^2) = 0.357143.
+    Duplicate/reversed/self-loop input edges must not change the
+    answer (the operator canonicalizes exactly like LPA)."""
+    from type_filtered_entity_linker_spark.operators.graph import (
+        modularity,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 1),
+            (4, 5), (5, 6), (6, 4),
+            (3, 4),
+            # noise the canonicalization must absorb:
+            (2, 1), (1, 1), (3, 1),
+        ],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)],
+        "node long, label long",
+    )
+    r = modularity(edges, labels).collect()[0]
+    assert r["n_edges"] == 7
+    assert r["n_communities"] == 2
+    assert abs(r["modularity"] - 0.357143) < 1e-6

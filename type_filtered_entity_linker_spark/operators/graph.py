@@ -244,3 +244,67 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", F.round("r", 6).alias("rank"))
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a community assignment over edges(src,
+    dst) — the standard scalar for judging a community detector's
+    output (LPA here): Q = sum over communities of
+    [intra_edges/m - (degree_sum/2m)^2], computed on the same
+    canonicalized undirected graph ``label_propagation`` uses
+    (self-loops dropped, multi-edges collapsed, symmetrized), so the
+    two operators always talk about the same m. With S = |sym| = 2m
+    the per-community term is intra_sym/S - (degsum/S)^2.
+
+    Scale shape: hash aggregates only — intra counts from one
+    edge-to-label join, degree sums from the src side, one final
+    k-row aggregate; no windows, hub-safe for the same reason LPA is
+    (a hub's edges collapse map-side in the counts).
+
+    Returns one row: (n_edges, n_communities, modularity) with Q
+    rounded to 6.
+    """
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    sym = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    s_row = sym.agg(F.count("*").cast("long").alias("s"))
+    la = labels.select(
+        F.col("node").alias("src"), F.col("label").alias("la")
+    )
+    lb = labels.select(
+        F.col("node").alias("dst"), F.col("label").alias("lb")
+    )
+    intra = (
+        sym.join(la, "src")
+        .join(lb, "dst")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").cast("long").alias("intra"))
+    )
+    deg = (
+        sym.join(la, "src")
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").cast("long").alias("degsum"))
+    )
+    per = deg.join(intra, "label", "left").select(
+        "label",
+        F.coalesce("intra", F.lit(0)).alias("intra"),
+        "degsum",
+    )
+    s_d = F.col("s").cast("double")
+    term = F.col("intra").cast("double") / s_d - (
+        F.col("degsum").cast("double") / s_d
+    ) * (F.col("degsum").cast("double") / s_d)
+    return (
+        per.crossJoin(F.broadcast(s_row))
+        .agg(
+            F.expr("max(s) div 2").alias("n_edges"),
+            F.count("*").cast("long").alias("n_communities"),
+            F.round(F.sum(term), 6).alias("modularity"),
+        )
+    )

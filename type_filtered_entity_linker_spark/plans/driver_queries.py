@@ -5830,15 +5830,21 @@ def q_graph_label_prop(spark, sf_dir) -> DataFrame:
     return label_propagation(_doc_graph(spark, sf_dir), n_iter=LP_ITER)
 
 
+# doc link graph + symmetric closure as SQL CTEs — shared verbatim by
+# the LPA and modularity oracles so the two can never drift apart
+_GRAPH_SYM_CTES = [
+    "nd AS (SELECT count(*) AS n FROM documents)",
+    "e0 AS (SELECT DISTINCT doc_id AS src, "
+    "(doc_id*31 + j) % (SELECT n FROM nd) AS dst "
+    "FROM documents CROSS JOIN range(1, 4) t(j) "
+    "WHERE doc_id <> (doc_id*31 + j) % (SELECT n FROM nd))",
+    "sym AS (SELECT src, dst FROM e0 "
+    "UNION SELECT dst AS src, src AS dst FROM e0)",
+]
+
+
 def _label_prop_sql(n_iter: int) -> str:
-    parts = [
-        "nd AS (SELECT count(*) AS n FROM documents)",
-        "e0 AS (SELECT DISTINCT doc_id AS src, "
-        "(doc_id*31 + j) % (SELECT n FROM nd) AS dst "
-        "FROM documents CROSS JOIN range(1, 4) t(j) "
-        "WHERE doc_id <> (doc_id*31 + j) % (SELECT n FROM nd))",
-        "sym AS (SELECT src, dst FROM e0 "
-        "UNION SELECT dst AS src, src AS dst FROM e0)",
+    parts = _GRAPH_SYM_CTES + [
         "lp0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)",
     ]
     prev = "lp0"
@@ -5859,6 +5865,50 @@ def _label_prop_sql(n_iter: int) -> str:
 
 
 GRAPH_LABEL_PROP_SQL = _label_prop_sql(LP_ITER)
+
+
+def q_graph_modularity(spark, sf_dir) -> DataFrame:
+    """Newman modularity of the LPA communities over the doc link
+    graph — the scalar that says whether the detected communities are
+    denser inside than chance expects (Q > 0), i.e. whether
+    graph_label_prop's output is worth using as a grouping signal.
+    Operator and LPA canonicalize the graph identically, and the
+    oracle reuses the LPA oracle's own sym CTEs, so one hash pins the
+    detector AND its quality number together."""
+    from ..operators.graph import label_propagation, modularity
+
+    g = _doc_graph(spark, sf_dir)
+    return modularity(g, label_propagation(g, n_iter=LP_ITER))
+
+
+GRAPH_MODULARITY_SQL = (
+    "WITH "
+    + ",\n    ".join(
+        _GRAPH_SYM_CTES
+        + [
+            f"lp AS ({GRAPH_LABEL_PROP_SQL})",
+            "s AS (SELECT count(*)::BIGINT AS s FROM sym)",
+            "tagged AS (SELECT a.label AS la, b.label AS lb "
+            "FROM sym e JOIN lp a ON a.node = e.src "
+            "JOIN lp b ON b.node = e.dst)",
+            "intra AS (SELECT la AS label, count(*)::BIGINT AS intra "
+            "FROM tagged WHERE la = lb GROUP BY la)",
+            "deg AS (SELECT p.label, count(*)::BIGINT AS degsum "
+            "FROM sym e JOIN lp p ON p.node = e.src GROUP BY p.label)",
+            "per AS (SELECT d.label, coalesce(i.intra, 0) AS intra, "
+            "d.degsum FROM deg d LEFT JOIN intra i USING (label))",
+        ]
+    )
+    + """
+    SELECT (max(s.s) // 2)::BIGINT AS n_edges,
+           count(*)::BIGINT AS n_communities,
+           round(sum(intra::DOUBLE / s.s
+                     - (degsum::DOUBLE / s.s) * (degsum::DOUBLE / s.s)),
+                 6) AS modularity
+    FROM per, s
+"""
+)
+
 
 def q_graph_triangles(spark, sf_dir) -> DataFrame:
     """Degree-ordered triangle counting + local clustering coefficient
@@ -6466,6 +6516,7 @@ QUERIES = {
     "dedup_containment": q_dedup_containment,
     "crawl_scd2": q_crawl_scd2,
     "graph_label_prop": q_graph_label_prop,
+    "graph_modularity": q_graph_modularity,
     "docs_pmi_bigrams": q_docs_pmi_bigrams,
     "docs_phrase_search": q_docs_phrase_search,
     "graph_triangles": q_graph_triangles,
@@ -6588,6 +6639,7 @@ ORACLES = {
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "crawl_scd2": CRAWL_SCD2_SQL,
     "graph_label_prop": GRAPH_LABEL_PROP_SQL,
+    "graph_modularity": GRAPH_MODULARITY_SQL,
     "docs_pmi_bigrams": DOCS_PMI_SQL,
     "docs_phrase_search": DOCS_PHRASE_SQL,
     "graph_triangles": GRAPH_TRIANGLES_SQL,
@@ -6613,7 +6665,7 @@ _NEVER_DRIVER_CHECKED = [
     # the late-round-4 additions have never been driver-stamped
     # either — they lead the window
     "er_blocking_rules", "er_transitive_conflicts",
-    "er_cluster_agreement", "dedup_semantic",
+    "er_cluster_agreement", "dedup_semantic", "graph_modularity",
     "docs_repeated_spans", "er_greedy_matching", "er_canopy",
     "er_edit_join", "er_unicode_keys", "docs_dsir_select",
     "typerec_train_eval", "docs_split", "docs_stratified_sample",
