@@ -174,6 +174,8 @@ HEADLINE = [
     "dedup_semantic",
     # Newman modularity of the LPA communities (detector + quality)
     "graph_modularity",
+    # duplicate-leakage audit: naive vs group-aware split policies
+    "docs_split_leakage",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

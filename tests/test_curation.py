@@ -353,3 +353,22 @@ def test_weighted_sample_fractional_and_nonpositive_weights(spark):
     df2 = spark.createDataFrame(rows2, "doc_id long, w double")
     got2 = {r["doc_id"] for r in weighted_sample(df2, k=3, weight_col="w").collect()}
     assert 99 in got2
+
+
+def test_split_leakage_policies(spark):
+    """Group-aware splitting has zero duplicate leakage by
+    construction; the naive per-doc split leaks some groups (copies
+    straddle splits); both policies partition the whole corpus."""
+    from type_filtered_entity_linker_spark.plans.driver_queries import (
+        q_docs_split_leakage,
+    )
+
+    rows = {
+        r["policy"]: r
+        for r in q_docs_split_leakage(spark, "/root/testdata/sf0.001").collect()
+    }
+    ga, nd = rows["group_aware"], rows["naive_doc"]
+    assert ga["leaked_groups"] == 0 and ga["leaked_pairs"] == 0
+    assert nd["leaked_groups"] > 0 and nd["leaked_pairs"] > 0
+    total = lambda r: r["n_train"] + r["n_val"] + r["n_test"]
+    assert total(ga) == total(nd)

@@ -3559,6 +3559,106 @@ DOCS_SPLIT_SQL = f"""
 """
 
 
+def q_docs_split_leakage(spark, sf_dir) -> DataFrame:
+    """Duplicate-leakage audit of train/val/test splitting — the
+    eval-contamination failure mode INSIDE one corpus: a near-dup pair
+    straddling train and test inflates eval scores exactly like
+    external benchmark contamination. Two policies over the
+    exact-copy corpus (true duplicate group = doc_id % 100000), both
+    the same md5 bucket split, differing only in the hash KEY:
+    'naive_doc' keys on doc_id (a copy can land in a different split
+    than its original — the default everyone ships first), and
+    'group_aware' keys on the duplicate-group id (whole groups move
+    together, leakage ZERO by construction — the grouped-split rule
+    from the Lee et al. dedup line of work). Reports per policy the
+    split sizes, groups straddling >1 split, and cross-split
+    intra-group pairs (the leaked eval pairs), pair counts in integer
+    space. One hash pins the split function and both leakage
+    numbers."""
+    from ..operators.curation import deterministic_split
+
+    corpus = _dup_corpus(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") % 100000).alias("group_id")
+    )
+
+    def c2(col: str) -> F.Column:
+        return F.expr(
+            f"(cast({col} as bigint) * (cast({col} as bigint) - 1)) div 2"
+        )
+
+    outs = []
+    for policy, key in (("naive_doc", "doc_id"), ("group_aware", "group_id")):
+        s = deterministic_split(corpus, key, SPLIT_WEIGHTS)
+        g = s.groupBy("group_id").agg(
+            F.count("*").alias("sz"),
+            F.countDistinct("split").alias("nsplits"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+                "tr"
+            ),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0)).alias(
+                "va"
+            ),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias(
+                "te"
+            ),
+        )
+        outs.append(
+            g.agg(
+                F.sum("tr").cast("long").alias("n_train"),
+                F.sum("va").cast("long").alias("n_val"),
+                F.sum("te").cast("long").alias("n_test"),
+                F.sum(F.when(F.col("nsplits") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("leaked_groups"),
+                F.sum(c2("sz") - c2("tr") - c2("va") - c2("te"))
+                .cast("long")
+                .alias("leaked_pairs"),
+            ).select(F.lit(policy).alias("policy"), "*")
+        )
+    return outs[0].unionByName(outs[1])
+
+
+def _leakage_split_case(key_expr: str) -> str:
+    h = _MD5INT.format(x=f"concat('split:', {key_expr}::VARCHAR)")
+    return (
+        f"CASE WHEN {h} % 10000 < 8000 THEN 'train' "
+        f"WHEN {h} % 10000 < 9000 THEN 'val' ELSE 'test' END"
+    )
+
+
+DOCS_SPLIT_LEAKAGE_SQL = f"""
+    WITH corpus AS (
+        SELECT doc_id, doc_id % 100000 AS group_id FROM (
+            SELECT doc_id FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 FROM documents WHERE doc_id % 10 = 0)),
+    s AS (
+        SELECT 'naive_doc' AS policy, group_id,
+               {_leakage_split_case('doc_id')} AS split
+        FROM corpus
+        UNION ALL
+        SELECT 'group_aware', group_id,
+               {_leakage_split_case('group_id')} AS split
+        FROM corpus),
+    g AS (SELECT policy, group_id, count(*) AS sz,
+                 count(DISTINCT split) AS nsplits,
+                 sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+                 sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS va,
+                 sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
+          FROM s GROUP BY policy, group_id)
+    SELECT policy,
+           sum(tr)::BIGINT AS n_train,
+           sum(va)::BIGINT AS n_val,
+           sum(te)::BIGINT AS n_test,
+           sum(CASE WHEN nsplits > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS leaked_groups,
+           sum((sz * (sz - 1)) // 2 - (tr * (tr - 1)) // 2
+               - (va * (va - 1)) // 2 - (te * (te - 1)) // 2)::BIGINT
+               AS leaked_pairs
+    FROM g GROUP BY policy
+"""
+
+
 def q_docs_stratified_sample(spark, sf_dir) -> DataFrame:
     """Per-language sampling mix (sampleBy semantics, hash-stable):
     keep 50% of en, 25% of de, 10% of es, drop other strata."""
@@ -6517,6 +6617,7 @@ QUERIES = {
     "crawl_scd2": q_crawl_scd2,
     "graph_label_prop": q_graph_label_prop,
     "graph_modularity": q_graph_modularity,
+    "docs_split_leakage": q_docs_split_leakage,
     "docs_pmi_bigrams": q_docs_pmi_bigrams,
     "docs_phrase_search": q_docs_phrase_search,
     "graph_triangles": q_graph_triangles,
@@ -6640,6 +6741,7 @@ ORACLES = {
     "crawl_scd2": CRAWL_SCD2_SQL,
     "graph_label_prop": GRAPH_LABEL_PROP_SQL,
     "graph_modularity": GRAPH_MODULARITY_SQL,
+    "docs_split_leakage": DOCS_SPLIT_LEAKAGE_SQL,
     "docs_pmi_bigrams": DOCS_PMI_SQL,
     "docs_phrase_search": DOCS_PHRASE_SQL,
     "graph_triangles": GRAPH_TRIANGLES_SQL,
@@ -6666,6 +6768,7 @@ _NEVER_DRIVER_CHECKED = [
     # either — they lead the window
     "er_blocking_rules", "er_transitive_conflicts",
     "er_cluster_agreement", "dedup_semantic", "graph_modularity",
+    "docs_split_leakage",
     "docs_repeated_spans", "er_greedy_matching", "er_canopy",
     "er_edit_join", "er_unicode_keys", "docs_dsir_select",
     "typerec_train_eval", "docs_split", "docs_stratified_sample",
@@ -6684,11 +6787,12 @@ _NEVER_DRIVER_CHECKED = [
     # the SCD2/graph/phrase block landed after the first rotation and
     # would otherwise sit just past the 50-query window while ten
     # r1-stamped el_* rows occupied its slots — with these eight in
-    # (plus the four late additions above), the head holds 52
+    # (plus the six late additions above), the head holds 54
     # never-stamped entries: the 50-query window covers all but the
-    # LAST two (crawl_scd2_incremental, crawl_stream_scd2 slip to the
-    # next round's window; the builder gate check_oracles.py verifies
-    # them exactly meanwhile)
+    # LAST four (docs_phrase_search, graph_triangles,
+    # crawl_scd2_incremental, crawl_stream_scd2 slip to the next
+    # round's window; the builder gate check_oracles.py verifies them
+    # exactly meanwhile)
     "dedup_containment", "crawl_scd2", "graph_label_prop",
     "docs_pmi_bigrams", "docs_phrase_search", "graph_triangles",
     "crawl_scd2_incremental", "crawl_stream_scd2",
