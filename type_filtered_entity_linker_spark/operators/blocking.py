@@ -290,6 +290,10 @@ def blocking_rules_cumulative(
     """
     from pyspark.sql.window import Window
 
+    if not rules:
+        raise ValueError(
+            "blocking_rules_cumulative needs at least one (name, blocks) rule"
+        )
     spark = rules[0][1].sparkSession
     tagged = None
     for i, (_, blocks) in enumerate(rules, start=1):
@@ -312,8 +316,18 @@ def blocking_rules_cumulative(
     attributed = tagged.groupBy("id_a", "id_b").agg(
         F.min("rule_idx").alias("rule_idx")
     )
+    # canonicalize + dedupe truth: a duplicated or (id_b, id_a)-ordered
+    # row would otherwise fan out the left join (inflating n_new_pairs
+    # past the dedup invariant) or silently never match
+    canon_truth = (
+        truth.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
     flagged = attributed.join(
-        truth.select("id_a", "id_b").withColumn("_t", F.lit(1)),
+        canon_truth.withColumn("_t", F.lit(1)),
         ["id_a", "id_b"],
         "left",
     )
@@ -325,7 +339,7 @@ def blocking_rules_cumulative(
         [(i, name) for i, (name, _) in enumerate(rules, start=1)],
         "rule_idx int, rule string",
     )
-    n_true = truth.agg(F.count("*").cast("long").alias("n_true"))
+    n_true = canon_truth.agg(F.count("*").cast("long").alias("n_true"))
     cum = Window.orderBy("rule_idx").rowsBetween(
         Window.unboundedPreceding, 0
     )

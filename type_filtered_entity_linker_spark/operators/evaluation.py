@@ -207,6 +207,17 @@ def score_pr_curve(
     )
 
 
+def comb2(col: str) -> F.Column:
+    """Exact C(x, 2) in integer space — bigint multiply then integer
+    `div`, never double division (the exact-arithmetic convention from
+    the selfjoin_pairs advice: a double-divided pair count silently
+    loses exactness past 2^53). The ONE canonical implementation;
+    SQL oracles spell the same idiom as (x*(x-1))//2."""
+    return F.expr(
+        f"(cast({col} as bigint) * (cast({col} as bigint) - 1)) div 2"
+    )
+
+
 def cluster_agreement_metrics(assignments: DataFrame) -> DataFrame:
     """Rand index, adjusted Rand index, and normalized mutual
     information of predicted clusters vs gold classes — the
@@ -232,12 +243,6 @@ def cluster_agreement_metrics(assignments: DataFrame) -> DataFrame:
     Returns one row: (n_records, rand_index, adjusted_rand, nmi),
     floats rounded to 6.
     """
-
-    def comb2(col: str) -> F.Column:
-        return F.expr(
-            f"(cast({col} as bigint) * (cast({col} as bigint) - 1)) div 2"
-        )
-
     cells = assignments.groupBy("cluster_id", "class_id").agg(
         F.count("*").alias("m")
     )
@@ -291,8 +296,13 @@ def cluster_agreement_metrics(assignments: DataFrame) -> DataFrame:
     mi = F.col("mi_num") / n_d
     h_c = F.log(n_d) - F.col("e_a") / n_d
     h_k = F.log(n_d) - F.col("e_b") / n_d
+    # epsilon, not 0: a degenerate partition's entropy is ln(n) minus
+    # n*ln(n)/n — zero in exact math but a libm-dependent float
+    # residual in practice; a bare > 0 could emit NULL in one engine
+    # and a garbage near-0 division in the other. The +,*,/ in the ARI
+    # guard are IEEE-identical cross-engine, so it needs no epsilon.
     nmi = F.when(
-        (h_c > 0) & (h_k > 0), mi / F.sqrt(h_c * h_k)
+        (h_c > 1e-12) & (h_k > 1e-12), mi / F.sqrt(h_c * h_k)
     )
     return s.select(
         F.col("n").alias("n_records"),

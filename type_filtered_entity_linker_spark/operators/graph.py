@@ -254,7 +254,11 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     canonicalized undirected graph ``label_propagation`` uses
     (self-loops dropped, multi-edges collapsed, symmetrized), so the
     two operators always talk about the same m. With S = |sym| = 2m
-    the per-community term is intra_sym/S - (degsum/S)^2.
+    the per-community term is intra_sym/S - (degsum/S)^2. All counts
+    are taken over edges with BOTH endpoints labeled: a
+    partially-labeled input yields the (consistently normalized)
+    modularity of the labeled subgraph rather than a silently skewed
+    mix of full-graph m and partial sums.
 
     Scale shape: hash aggregates only — intra counts from one
     edge-to-label join, degree sums from the src side, one final
@@ -272,24 +276,27 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     sym = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    s_row = sym.agg(F.count("*").cast("long").alias("s"))
     la = labels.select(
         F.col("node").alias("src"), F.col("label").alias("la")
     )
     lb = labels.select(
         F.col("node").alias("dst"), F.col("label").alias("lb")
     )
+    # every count (S, intra, degree sums) comes from the SAME
+    # both-endpoints-labeled edge table: a partially-labeled input
+    # yields the modularity of the labeled subgraph, consistently
+    # normalized, instead of mixing full-graph m with partial sums
+    # (symmetry survives the filter — if one direction drops, so does
+    # the reverse edge)
+    tagged = sym.join(la, "src").join(lb, "dst")
+    s_row = tagged.agg(F.count("*").cast("long").alias("s"))
     intra = (
-        sym.join(la, "src")
-        .join(lb, "dst")
-        .where(F.col("la") == F.col("lb"))
+        tagged.where(F.col("la") == F.col("lb"))
         .groupBy(F.col("la").alias("label"))
         .agg(F.count("*").cast("long").alias("intra"))
     )
-    deg = (
-        sym.join(la, "src")
-        .groupBy(F.col("la").alias("label"))
-        .agg(F.count("*").cast("long").alias("degsum"))
+    deg = tagged.groupBy(F.col("la").alias("label")).agg(
+        F.count("*").cast("long").alias("degsum")
     )
     per = deg.join(intra, "label", "left").select(
         "label",

@@ -3164,8 +3164,8 @@ ER_AGREEMENT_SQL = f"""
                            / ((s_a::DOUBLE + s_b::DOUBLE) / 2
                               - s_a::DOUBLE * s_b::DOUBLE / cn2)
                  END, 6) AS adjusted_rand,
-           round(CASE WHEN (ln(n::DOUBLE) - e_a / n::DOUBLE) > 0
-                       AND (ln(n::DOUBLE) - e_b / n::DOUBLE) > 0
+           round(CASE WHEN (ln(n::DOUBLE) - e_a / n::DOUBLE) > 1e-12
+                       AND (ln(n::DOUBLE) - e_b / n::DOUBLE) > 1e-12
                       THEN (mi_num / n::DOUBLE)
                            / sqrt((ln(n::DOUBLE) - e_a / n::DOUBLE)
                                   * (ln(n::DOUBLE) - e_b / n::DOUBLE))
@@ -3576,16 +3576,11 @@ def q_docs_split_leakage(spark, sf_dir) -> DataFrame:
     space. One hash pins the split function and both leakage
     numbers."""
     from ..operators.curation import deterministic_split
+    from ..operators.evaluation import comb2 as c2
 
     corpus = _dup_corpus(spark, sf_dir).select(
         "doc_id", (F.col("doc_id") % 100000).alias("group_id")
     )
-
-    def c2(col: str) -> F.Column:
-        return F.expr(
-            f"(cast({col} as bigint) * (cast({col} as bigint) - 1)) div 2"
-        )
-
     outs = []
     for policy, key in (("naive_doc", "doc_id"), ("group_aware", "group_id")):
         s = deterministic_split(corpus, key, SPLIT_WEIGHTS)
@@ -5987,14 +5982,17 @@ GRAPH_MODULARITY_SQL = (
         _GRAPH_SYM_CTES
         + [
             f"lp AS ({GRAPH_LABEL_PROP_SQL})",
-            "s AS (SELECT count(*)::BIGINT AS s FROM sym)",
+            # S, intra and degree sums all from the both-endpoints-
+            # labeled edge table — mirrors the operator's labeled-
+            # subgraph normalization
             "tagged AS (SELECT a.label AS la, b.label AS lb "
             "FROM sym e JOIN lp a ON a.node = e.src "
             "JOIN lp b ON b.node = e.dst)",
+            "s AS (SELECT count(*)::BIGINT AS s FROM tagged)",
             "intra AS (SELECT la AS label, count(*)::BIGINT AS intra "
             "FROM tagged WHERE la = lb GROUP BY la)",
-            "deg AS (SELECT p.label, count(*)::BIGINT AS degsum "
-            "FROM sym e JOIN lp p ON p.node = e.src GROUP BY p.label)",
+            "deg AS (SELECT la AS label, count(*)::BIGINT AS degsum "
+            "FROM tagged GROUP BY la)",
             "per AS (SELECT d.label, coalesce(i.intra, 0) AS intra, "
             "d.degsum FROM deg d LEFT JOIN intra i USING (label))",
         ]
