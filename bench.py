@@ -176,6 +176,8 @@ HEADLINE = [
     "graph_modularity",
     # duplicate-leakage audit: naive vs group-aware split policies
     "docs_split_leakage",
+    # incremental ER: attach a new batch to existing entities
+    "er_incremental_attach",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

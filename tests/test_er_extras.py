@@ -469,3 +469,100 @@ def test_cluster_agreement_metrics(spark):
     t = cluster_agreement_metrics(trivial).collect()[0]
     assert t["rand_index"] == pytest.approx(1.0)
     assert t["adjusted_rand"] is None and t["nmi"] is None
+
+
+def test_attach_best_semantics(spark):
+    """Incremental attach: best candidate wins with lowest-existing-id
+    tie-break, the threshold is inclusive, a sub-threshold best spawns
+    (attached=False, score kept for the review queue), and a record
+    with no candidates spawns with NULL best_score."""
+    from type_filtered_entity_linker_spark.operators.matching import (
+        attach_best,
+    )
+
+    scored = spark.createDataFrame(
+        [
+            # new 101: tie at 5.0 between existing 3 and 2 -> 2 wins
+            (3, 101, 5.0),
+            (2, 101, 5.0),
+            (9, 101, 1.0),
+            # new 102: best is exactly ON the threshold -> attaches
+            (7, 102, 3.0),
+            # new 103: compared but rejected
+            (4, 103, 2.9),
+        ],
+        "id_a long, id_b long, score double",
+    )
+    new_records = spark.createDataFrame(
+        [(101,), (102,), (103,), (104,)], "rec_id long"
+    )
+    out = {
+        r["rec_id"]: r.asDict()
+        for r in attach_best(scored, new_records, 3.0).collect()
+    }
+    assert out[101]["cluster_id"] == 2 and out[101]["attached"]
+    assert out[102]["cluster_id"] == 7 and out[102]["attached"]
+    assert out[103]["cluster_id"] == 103 and not out[103]["attached"]
+    assert out[103]["best_score"] == 2.9
+    assert out[104]["cluster_id"] == 104 and not out[104]["attached"]
+    assert out[104]["best_score"] is None
+
+
+def test_blocking_rules_invariants_random(spark):
+    """Property check on random rule sets: n_new_pairs sums to the
+    deduplicated union size, cumulative columns are monotone, the
+    final cum_pairs equals the distinct union of all rules' pairs,
+    and pc_cum never exceeds 1."""
+    import random
+
+    from type_filtered_entity_linker_spark.operators.blocking import (
+        blocking_rules_cumulative,
+    )
+
+    rng = random.Random(77)
+    for trial in range(2):
+        n_recs = 40
+        rules = []
+        for r in range(3):
+            rows = [
+                (i, f"k{rng.randint(0, 12)}" if rng.random() < 0.9 else None)
+                for i in range(n_recs)
+            ]
+            rules.append(
+                (
+                    f"rule{r}",
+                    spark.createDataFrame(
+                        rows, "rec_id long, block_key string"
+                    ),
+                )
+            )
+        truth = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, n_recs - 1, 7)],
+            "id_a long, id_b long",
+        )
+        out = blocking_rules_cumulative(rules, truth).orderBy("rule_idx")
+        rows = [r.asDict() for r in out.collect()]
+        # expected distinct union, computed independently
+        union = set()
+        per_rule_expected = []
+        for _, blocks in rules:
+            by_key = {}
+            for rec in blocks.collect():
+                if rec.block_key is not None:
+                    by_key.setdefault(rec.block_key, []).append(rec.rec_id)
+            rp = set()
+            for ids in by_key.values():
+                ids = sorted(ids)
+                for x in range(len(ids)):
+                    for y in range(x + 1, len(ids)):
+                        rp.add((ids[x], ids[y]))
+            per_rule_expected.append(rp)
+            union |= rp
+        assert sum(r["n_new_pairs"] for r in rows) == len(union)
+        assert rows[-1]["cum_pairs"] == len(union)
+        for i, r in enumerate(rows):
+            assert r["n_pairs"] == len(per_rule_expected[i])
+            assert r["pc_cum"] is None or r["pc_cum"] <= 1.0
+        for a, b in zip(rows, rows[1:]):
+            assert b["cum_pairs"] >= a["cum_pairs"]
+            assert b["cum_true_pairs"] >= a["cum_true_pairs"]

@@ -241,3 +241,53 @@ def greedy_matching(
             left_col, right_col, score_col
         ).withColumn("match_round", F.lit(1)).limit(0)
     return matched.select(left_col, right_col, score_col, "match_round")
+
+
+def attach_best(
+    scored: DataFrame,
+    new_records: DataFrame,
+    link_threshold: float,
+    id_col: str = "rec_id",
+) -> DataFrame:
+    """Incremental ER: attach a NEW batch of records to EXISTING
+    entities without re-clustering the world. ``scored`` holds
+    candidate pairs (id_a = existing entity id, id_b = new record id,
+    score); each new record takes its best-scoring existing candidate
+    (ties broken by LOWEST existing id) and attaches iff that best
+    score clears the link threshold — otherwise it spawns a new
+    entity under its own id. Records that drew no candidates at all
+    spawn too (left join), with a NULL best_score that distinguishes
+    "never compared" from "compared and rejected" — the same
+    tri-state the transitive-conflict audit reports.
+
+    The per-record argmax is max(struct(score, -id_a)) — an ordinary
+    partial-aggregating hash aggregate, NOT a window sort, so a viral
+    new record with millions of candidates collapses map-side (the
+    LPA/pagerank hub argument). One shuffle on the new-record id.
+
+    Returns one row per new record: (rec_id, cluster_id, attached,
+    best_score)."""
+    best = scored.groupBy(F.col("id_b").alias(id_col)).agg(
+        F.max(
+            F.struct(
+                F.col("score").alias("s"), (-F.col("id_a")).alias("neg")
+            )
+        ).alias("b")
+    )
+    return (
+        new_records.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("b.s") >= link_threshold, -F.col("b.neg")
+            )
+            .otherwise(F.col(id_col))
+            .cast("long")
+            .alias("cluster_id"),
+            F.coalesce(
+                F.col("b.s") >= link_threshold, F.lit(False)
+            ).alias("attached"),
+            F.col("b.s").alias("best_score"),
+        )
+    )
