@@ -178,6 +178,8 @@ HEADLINE = [
     "docs_split_leakage",
     # incremental ER: attach a new batch to existing entities
     "er_incremental_attach",
+    # FS score-band reliability table (calibration check)
+    "er_calibration",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

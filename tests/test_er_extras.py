@@ -566,3 +566,34 @@ def test_blocking_rules_invariants_random(spark):
         for a, b in zip(rows, rows[1:]):
             assert b["cum_pairs"] >= a["cum_pairs"]
             assert b["cum_true_pairs"] >= a["cum_true_pairs"]
+
+
+def test_calibration_table(spark):
+    """Hand-computed reliability rows: posterior from the empirical
+    prior (1/3 here), score banding, and canonicalization — the true
+    pair arrives with REVERSED ids in the scored table and must still
+    match the truth row."""
+    from type_filtered_entity_linker_spark.operators.evaluation import (
+        calibration_table,
+    )
+
+    scored = spark.createDataFrame(
+        [(2, 1, 10.0), (3, 4, 10.0), (5, 6, -10.0)],
+        "id_a long, id_b long, score double",
+    )
+    truth = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    rows = {
+        r["band"]: r.asDict()
+        for r in calibration_table(scored, truth).collect()
+    }
+    prior_odds = (1 / 3) / (2 / 3)
+    p_hi = (2**10 * prior_odds) / (1 + 2**10 * prior_odds)
+    p_lo = (2**-10 * prior_odds) / (1 + 2**-10 * prior_odds)
+    hi = rows["5:[10.0,15.0)"]
+    assert (hi["n_pairs"], hi["n_true"]) == (2, 1)
+    assert hi["empirical_rate"] == 0.5
+    assert abs(hi["mean_posterior"] - p_hi) < 1e-6
+    assert abs(hi["calibration_gap"] - abs(p_hi - 0.5)) < 1e-6
+    lo = rows["1:<-5.0"]
+    assert (lo["n_pairs"], lo["n_true"]) == (1, 0)
+    assert abs(lo["mean_posterior"] - p_lo) < 1e-6

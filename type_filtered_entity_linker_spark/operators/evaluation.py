@@ -310,3 +310,89 @@ def cluster_agreement_metrics(assignments: DataFrame) -> DataFrame:
         F.round(ari, 6).alias("adjusted_rand"),
         F.round(nmi, 6).alias("nmi"),
     )
+
+
+CALIBRATION_BANDS = [-5.0, 0.0, 5.0, 10.0, 15.0]
+
+
+def calibration_table(
+    scored: DataFrame,
+    truth: DataFrame,
+    bands: "list[float]" = CALIBRATION_BANDS,
+) -> DataFrame:
+    """Reliability table for the Fellegi-Sunter scorer: band the
+    scored pairs by log2-odds score, and per band compare the
+    EMPIRICAL match rate against the MEAN POSTERIOR probability the
+    model claims — the calibration check a reviewer runs before
+    trusting thresholds picked off the score axis. The posterior uses
+    the blocked population's own empirical prior:
+    odds = 2^score * prior/(1-prior), p = odds/(1+odds).
+
+    Banding is on the score (a rounded sum of identical weight
+    literals in both engines — exactly reproducible), NOT on p:
+    pow() is libm-dependent at the last ulp, so banding on p could
+    flip a boundary row between engines; p only ever enters
+    aggregated means, where round(6) absorbs ulp and sum-order noise.
+
+    Scale: one pair-key join against truth, one k-band hash
+    aggregate. Returns per band: (band, n_pairs, n_true,
+    empirical_rate, mean_posterior, calibration_gap), floats rounded
+    to 6, ordered by band lower edge.
+    """
+    canon_truth = (
+        truth.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+        .withColumn("_t", F.lit(1))
+    )
+    # scored keys canonicalized too: rank-ordered pair generators
+    # (sorted neighborhood) emit (earlier-rank, later-rank), not
+    # (smaller-id, larger-id). FS scores are symmetric in the pair, so
+    # reordering is safe; the caller owns one-row-per-unordered-pair.
+    canon_scored = scored.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        "score",
+    )
+    j = canon_scored.join(canon_truth, ["id_a", "id_b"], "left")
+    tot = j.agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum(F.coalesce("_t", F.lit(0))).cast("long").alias("nt"),
+    )
+    prior = F.col("nt").cast("double") / F.col("np").cast("double")
+    prior_odds = prior / (F.lit(1.0) - prior)
+    odds = F.pow(F.lit(2.0), F.col("score")) * prior_odds
+    p = odds / (F.lit(1.0) + odds)
+    edges = sorted(bands)
+    band = F.when(F.col("score") < edges[0], F.lit(f"1:<{edges[0]}"))
+    for i, (lo, hi) in enumerate(zip(edges, edges[1:]), start=2):
+        band = band.when(
+            F.col("score") < hi, F.lit(f"{i}:[{lo},{hi})")
+        )
+    band = band.otherwise(F.lit(f"{len(edges) + 1}:>={edges[-1]}"))
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .select(
+            band.alias("band"),
+            F.coalesce("_t", F.lit(0)).alias("is_true"),
+            p.alias("p"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("is_true").cast("long").alias("n_true"),
+            F.round(
+                F.sum("is_true").cast("double") / F.count("*"), 6
+            ).alias("empirical_rate"),
+            F.round(F.avg("p"), 6).alias("mean_posterior"),
+            F.round(
+                F.abs(
+                    F.avg("p")
+                    - F.sum("is_true").cast("double") / F.count("*")
+                ),
+                6,
+            ).alias("calibration_gap"),
+        )
+    )

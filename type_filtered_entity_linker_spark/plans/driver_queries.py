@@ -3186,6 +3186,113 @@ def _er_attach_oracle_sql() -> str:
 ER_ATTACH_SQL = _er_attach_oracle_sql()
 
 
+def q_er_calibration(spark, sf_dir) -> DataFrame:
+    """Score-calibration (reliability) table for the FS scorer over
+    the sorted-neighborhood candidate pairs: per score band, the
+    empirical match rate vs the mean posterior probability the model
+    claims (posterior from the blocked population's own empirical
+    prior). With the true m/u parameters the high bands should run
+    hot (planted pairs) and the low bands cold (rank-adjacent
+    distractors) — the check a reviewer runs before trusting
+    thresholds read off the score axis. Banding is on the
+    exactly-reproducible score, never on the libm-dependent
+    posterior (see calibration_table)."""
+    from ..operators.evaluation import calibration_table
+    from ..operators.fellegi_sunter import fellegi_sunter_scores
+    from ..operators.sorted_neighborhood import sorted_neighborhood_pairs
+
+    records, truth, _ = _fs_customers(spark, sf_dir, corrupt="phone")
+    pairs = sorted_neighborhood_pairs(records, ["name"], window=3).select(
+        "id_a", "id_b"
+    )
+    scored = fellegi_sunter_scores(
+        records, pairs, FS_PARAMS, near=FS_NEAR, upper=FS_UPPER, lower=FS_LOWER
+    )
+    return calibration_table(scored, truth)
+
+
+def _er_calibration_oracle_sql() -> str:
+    """DuckDB replica: SNM one-window blocking, FS scoring,
+    least/greatest pair canonicalization, the same band labels built
+    from the same float formatting, and the posterior formula with
+    identical operation order (pow/avg noise absorbed by round 6)."""
+    from ..operators.evaluation import CALIBRATION_BANDS
+    from ..operators.fellegi_sunter import fs_weights
+
+    terms = []
+    agrees = []
+    for f, (m, u) in FS_PARAMS.items():
+        t = FS_NEAR.get(f, 0)
+        agrees.append(
+            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
+            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
+            f"AS agree_{f}"
+        )
+        wa, wd = fs_weights(m, u)
+        terms.append(
+            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
+            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
+        )
+    score = " + ".join(["0.0"] + terms)
+    edges = sorted(CALIBRATION_BANDS)
+    band = f"CASE WHEN score < {edges[0]!r} THEN '1:<{edges[0]}' "
+    for i, (lo, hi) in enumerate(zip(edges, edges[1:]), start=2):
+        band += f"WHEN score < {hi!r} THEN '{i}:[{lo},{hi})' "
+    band += f"ELSE '{len(edges) + 1}:>={edges[-1]}' END"
+    odds = (
+        "power(2.0, score) * ((nt::DOUBLE / np) / (1 - nt::DOUBLE / np))"
+    )
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT rec_id, name, city, phone FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1), city,
+               CASE WHEN rec_id % 30 = 0 THEN '99' || substr(phone, 3)
+                    ELSE phone END
+        FROM clean WHERE rec_id % 10 = 0),
+    ranked AS (SELECT rec_id,
+                      row_number() OVER (ORDER BY name, rec_id) AS rnk
+               FROM records),
+    pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM ranked a
+        JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3),
+    ag AS (
+        SELECT p.id_a, p.id_b, {', '.join(agrees)}
+        FROM pairs p
+        JOIN records a ON p.id_a = a.rec_id
+        JOIN records b ON p.id_b = b.rec_id),
+    sc AS (SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b,
+                  round({score}, 6) AS score
+           FROM ag),
+    truth AS (SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+              FROM clean WHERE rec_id % 10 = 0),
+    j AS (SELECT sc.score,
+                 CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+          FROM sc LEFT JOIN truth t USING (id_a, id_b)),
+    tot AS (SELECT count(*)::BIGINT AS np, sum(is_true)::BIGINT AS nt
+            FROM j),
+    px AS (SELECT {band} AS band, is_true,
+                  ({odds}) / (1 + ({odds})) AS p
+           FROM j, tot)
+    SELECT band, count(*)::BIGINT AS n_pairs,
+           sum(is_true)::BIGINT AS n_true,
+           round(sum(is_true)::DOUBLE / count(*), 6) AS empirical_rate,
+           round(avg(p), 6) AS mean_posterior,
+           round(abs(avg(p) - sum(is_true)::DOUBLE / count(*)), 6)
+               AS calibration_gap
+    FROM px GROUP BY band
+"""
+
+
+ER_CALIBRATION_SQL = _er_calibration_oracle_sql()
+
+
 def q_er_bcubed(spark, sf_dir) -> DataFrame:
     """B-cubed P/R/F1 of the composite ER pipeline's clusters against
     the planted ground truth (a dirty copy's gold class is its clean
@@ -6728,6 +6835,7 @@ QUERIES = {
     "graph_modularity": q_graph_modularity,
     "docs_split_leakage": q_docs_split_leakage,
     "er_incremental_attach": q_er_incremental_attach,
+    "er_calibration": q_er_calibration,
     "docs_pmi_bigrams": q_docs_pmi_bigrams,
     "docs_phrase_search": q_docs_phrase_search,
     "graph_triangles": q_graph_triangles,
@@ -6853,6 +6961,7 @@ ORACLES = {
     "graph_modularity": GRAPH_MODULARITY_SQL,
     "docs_split_leakage": DOCS_SPLIT_LEAKAGE_SQL,
     "er_incremental_attach": ER_ATTACH_SQL,
+    "er_calibration": ER_CALIBRATION_SQL,
     "docs_pmi_bigrams": DOCS_PMI_SQL,
     "docs_phrase_search": DOCS_PHRASE_SQL,
     "graph_triangles": GRAPH_TRIANGLES_SQL,
@@ -6879,7 +6988,7 @@ _NEVER_DRIVER_CHECKED = [
     # either — they lead the window
     "er_blocking_rules", "er_transitive_conflicts",
     "er_cluster_agreement", "dedup_semantic", "graph_modularity",
-    "docs_split_leakage", "er_incremental_attach",
+    "docs_split_leakage", "er_incremental_attach", "er_calibration",
     "docs_repeated_spans", "er_greedy_matching", "er_canopy",
     "er_edit_join", "er_unicode_keys", "docs_dsir_select",
     "typerec_train_eval", "docs_split", "docs_stratified_sample",
@@ -6898,12 +7007,12 @@ _NEVER_DRIVER_CHECKED = [
     # the SCD2/graph/phrase block landed after the first rotation and
     # would otherwise sit just past the 50-query window while ten
     # r1-stamped el_* rows occupied its slots — with these eight in
-    # (plus the seven late additions above), the head holds 55
+    # (plus the eight late additions above), the head holds 56
     # never-stamped entries: the 50-query window covers all but the
-    # LAST five (docs_pmi_bigrams, docs_phrase_search,
-    # graph_triangles, crawl_scd2_incremental, crawl_stream_scd2 slip
-    # to the next round's window; the builder gate check_oracles.py
-    # verifies them exactly meanwhile)
+    # LAST six (graph_label_prop, docs_pmi_bigrams,
+    # docs_phrase_search, graph_triangles, crawl_scd2_incremental,
+    # crawl_stream_scd2 slip to the next round's window; the builder
+    # gate check_oracles.py verifies them exactly meanwhile)
     "dedup_containment", "crawl_scd2", "graph_label_prop",
     "docs_pmi_bigrams", "docs_phrase_search", "graph_triangles",
     "crawl_scd2_incremental", "crawl_stream_scd2",
