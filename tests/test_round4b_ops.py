@@ -1,0 +1,96 @@
+"""Round-4 second-wave ER additions: SoftTFIDF hybrid similarity."""
+
+import math
+
+import numpy as np
+
+from type_filtered_entity_linker_spark.functions.strings import (
+    jaro_winkler_batch,
+)
+from type_filtered_entity_linker_spark.operators.soft_tfidf import (
+    soft_tfidf_scores,
+)
+
+
+def _jw(a: str, b: str) -> float:
+    return float(jaro_winkler_batch([a], [b], boost_threshold=0.7)[0])
+
+
+def _ref_soft_tfidf(corpus: dict[int, str], id_a: int, id_b: int,
+                    theta: float = 0.9) -> tuple[int, float]:
+    """Spec-faithful single-machine reference (module docstring of
+    operators/soft_tfidf.py): ln(tf+1)*ln(N/df) L2-normalized weights,
+    per-left-token best-JW >= theta, tie -> largest right weight."""
+    n = len(corpus)
+    tf = {i: {} for i in corpus}
+    for i, text in corpus.items():
+        for t in text.split():
+            tf[i][t] = tf[i].get(t, 0) + 1
+    df = {}
+    for i in corpus:
+        for t in tf[i]:
+            df[t] = df.get(t, 0) + 1
+    v = {}
+    for i in corpus:
+        w = {t: math.log(c + 1) * math.log(n / df[t]) for t, c in tf[i].items()}
+        norm = math.sqrt(sum(x * x for x in w.values()))
+        v[i] = {t: x / norm for t, x in w.items()}
+    score, n_close = 0.0, 0
+    for ta, va in v[id_a].items():
+        best = max(
+            ((_jw(ta, tb), vb) for tb, vb in v[id_b].items()),
+            key=lambda p: (p[0], p[1]),
+        )
+        if best[0] >= theta:
+            n_close += 1
+            score += va * best[1] * best[0]
+    return n_close, round(score, 6)
+
+
+def _run(spark, corpus: dict[int, str], pairs: list[tuple[int, int]]):
+    recs = spark.createDataFrame(
+        [(i, s) for i, s in corpus.items()], "rec_id long, fullname string"
+    )
+    p = spark.createDataFrame(pairs, "id_a long, id_b long")
+    rows = soft_tfidf_scores(recs, p, "fullname").collect()
+    return {(r.id_a, r.id_b): (r.n_close, r.soft_tfidf) for r in rows}
+
+
+def test_soft_tfidf_self_pair_is_one(spark):
+    corpus = {
+        1: "smith hammond corp",
+        2: "jones consolidated inc",
+        3: "acme corp",
+    }
+    got = _run(spark, corpus, [(1, 1)])
+    n_close, s = got[(1, 1)]
+    assert n_close == 3
+    assert abs(s - 1.0) < 1e-6
+
+
+def test_soft_tfidf_matches_reference_and_survives_typos(spark):
+    corpus = {
+        1: "smith hammond corp",
+        2: "smith hammnod corporatin",  # token-level typos
+        3: "jones consolidated inc",
+        4: "totally different words",
+        5: "smith hammond corp",  # exact dup of 1 (df > 1 tokens)
+    }
+    pairs = [(1, 2), (1, 3), (1, 4), (1, 5), (3, 4)]
+    got = _run(spark, corpus, pairs)
+    for a, b in pairs:
+        assert got[(a, b)] == _ref_soft_tfidf(corpus, a, b), (a, b)
+    # typo'd near-duplicate: 'smith' and 'hammnod' stay CLOSE despite
+    # zero exact-token overlap beyond 'smith' ('corporatin' falls just
+    # under theta: JW('corp', 'corporatin') = 0.88)
+    assert got[(1, 2)][0] == 2
+    assert got[(1, 2)][1] > 0.4
+    # unrelated pair scores exactly 0 with no close tokens (left-join row)
+    assert got[(3, 4)] == (0, 0.0)
+
+
+def test_soft_tfidf_token_reorder_invariant(spark):
+    corpus = {1: "alpha beta gamma", 2: "gamma alpha beta", 3: "alpha x y"}
+    got = _run(spark, corpus, [(1, 2)])
+    assert got[(1, 2)][0] == 3
+    assert abs(got[(1, 2)][1] - 1.0) < 1e-6

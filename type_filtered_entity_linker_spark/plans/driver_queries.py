@@ -3648,6 +3648,78 @@ ER_MONGE_ELKAN_SQL = """
 """
 
 
+def q_er_soft_tfidf(spark, sf_dir) -> DataFrame:
+    """SoftTFIDF hybrid similarity (operators/soft_tfidf.py; Cohen,
+    Ravikumar & Fienberg 2003) over the SAME record strings and pairs
+    as er_monge_elkan: TF-IDF-weighted cosine where tokens match when
+    Jaro-Winkler >= 0.9 — rare informative tokens dominate, token-level
+    typos don't zero the score. Directly comparable to er_monge_elkan
+    (unweighted per-token best-JW average) and er_tfidf_pairs
+    (exact-token TF-IDF cosine): the three points of the hybrid-
+    similarity design space on one fixture."""
+    from ..operators.soft_tfidf import soft_tfidf_scores
+
+    records, truth, nonmatch = _fs_customers(spark, sf_dir, corrupt="city")
+    recs = records.select(
+        "rec_id",
+        F.concat_ws(" ", "name", "city", "phone").alias("fullname"),
+    )
+    pairs = truth.unionByName(nonmatch)
+    return soft_tfidf_scores(recs, pairs, "fullname")
+
+
+ER_SOFT_TFIDF_SQL = """
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               CASE WHEN rec_id % 20 = 0 THEN 'unknown' ELSE city END,
+               phone
+        FROM clean WHERE rec_id % 10 = 0),
+    pairs AS (
+        SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id, rec_id + 3 FROM clean WHERE rec_id % 10 = 0),
+    recs AS (SELECT rec_id, name || ' ' || city || ' ' || phone AS fullname
+             FROM records),
+    tok AS (SELECT rec_id, unnest(string_split(fullname, ' ')) AS tok
+            FROM recs),
+    tf AS (SELECT rec_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    n AS (SELECT count(*) AS n FROM recs),
+    w AS (SELECT rec_id, tok, ln(tf + 1) * ln(n.n::DOUBLE / df) AS w
+          FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+    nrm AS (SELECT rec_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY rec_id),
+    v AS (SELECT rec_id, tok, w / norm AS v FROM w JOIN nrm USING (rec_id)),
+    cr AS (SELECT p.id_a, p.id_b, a.tok AS tok_a, a.v AS va, b.v AS vb,
+                  jaro_winkler_similarity(a.tok, b.tok) AS s
+           FROM pairs p
+           JOIN v a ON a.rec_id = p.id_a
+           JOIN v b ON b.rec_id = p.id_b),
+    best AS (SELECT id_a, id_b, tok_a, max(va) AS va, max(s) AS smax
+             FROM cr GROUP BY 1, 2, 3),
+    bw AS (SELECT c.id_a, c.id_b, c.tok_a, b.va, b.smax,
+                  max(c.vb) AS wb
+           FROM cr c JOIN best b
+             ON b.id_a = c.id_a AND b.id_b = c.id_b
+            AND b.tok_a = c.tok_a AND c.s = b.smax
+           GROUP BY 1, 2, 3, 4, 5),
+    agg AS (SELECT id_a, id_b, count(*) AS n_close,
+                   sum(va * wb * smax) AS raw
+            FROM bw WHERE smax >= 0.9 GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b,
+           coalesce(agg.n_close, 0) AS n_close,
+           round(coalesce(agg.raw, 0.0), 6) AS soft_tfidf
+    FROM pairs p LEFT JOIN agg USING (id_a, id_b)
+"""
+
+
 def q_dedup_allpairs(spark, sf_dir) -> DataFrame:
     """Exact Jaccard >= 0.6 similarity self-join on 3-word-shingle
     sets by prefix filtering (operators/set_similarity.py): the EXACT
@@ -6807,6 +6879,7 @@ QUERIES = {
     "er_bcubed": q_er_bcubed,
     "er_mutual_best": q_er_mutual_best,
     "er_monge_elkan": q_er_monge_elkan,
+    "er_soft_tfidf": q_er_soft_tfidf,
     "dedup_allpairs": q_dedup_allpairs,
     "url_canonicalize": q_url_canonicalize,
     "media_features": q_media_features,
@@ -6933,6 +7006,7 @@ ORACLES = {
     "er_bcubed": ER_BCUBED_SQL,
     "er_mutual_best": ER_MUTUAL_BEST_SQL,
     "er_monge_elkan": ER_MONGE_ELKAN_SQL,
+    "er_soft_tfidf": ER_SOFT_TFIDF_SQL,
     "dedup_allpairs": DEDUP_ALLPAIRS_SQL,
     "url_canonicalize": URL_CANON_SQL,
     "media_features": MEDIA_FEATURES_SQL,
