@@ -1,11 +1,18 @@
-"""Round-4 second-wave ER additions: SoftTFIDF hybrid similarity."""
+"""Round-4 second-wave ER additions: SoftTFIDF hybrid similarity,
+parallel-pivot correlation clustering."""
 
+import hashlib
 import math
+import random
 
-import numpy as np
+import pytest
 
 from type_filtered_entity_linker_spark.functions.strings import (
     jaro_winkler_batch,
+)
+from type_filtered_entity_linker_spark.operators.clustering import (
+    connected_components,
+    pivot_clusters,
 )
 from type_filtered_entity_linker_spark.operators.soft_tfidf import (
     soft_tfidf_scores,
@@ -94,3 +101,96 @@ def test_soft_tfidf_token_reorder_invariant(spark):
     got = _run(spark, corpus, [(1, 2)])
     assert got[(1, 2)][0] == 3
     assert abs(got[(1, 2)][1] - 1.0) < 1e-6
+
+
+# --------------------------------------------------------------- pivot CC
+
+
+def _pivot_key(v: int) -> str:
+    return hashlib.md5(f"pivot:{v}".encode()).hexdigest()[:15] + str(v).zfill(12)
+
+
+def _ref_pivot(edges: list[tuple[int, int]], max_rounds: int = 20):
+    """Single-machine simulation of the deterministic parallel-pivot
+    rounds (same spec as operators/clustering.py pivot_clusters)."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    active = set(adj)
+    out = {}
+    for r in range(1, max_rounds + 1):
+        if not active:
+            break
+        pivots = {
+            v
+            for v in active
+            if all(_pivot_key(v) < _pivot_key(u) for u in adj[v] if u in active)
+        }
+        newly = {}
+        for p in pivots:
+            newly[p] = (p, True, r)
+        for v in active - pivots:
+            cand = [u for u in adj[v] if u in pivots]
+            if cand:
+                newly[v] = (min(cand, key=_pivot_key), False, r)
+        out.update(newly)
+        active -= set(newly)
+    assert not active, "reference did not converge"
+    return out
+
+
+def _run_pivot(spark, edges: list[tuple[int, int]]):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = pivot_clusters(df).collect()
+    return {r.node: (r.cluster_id, r.is_pivot, r.round_assigned) for r in rows}
+
+
+def test_pivot_splits_paths_where_cc_merges(spark):
+    # path 1-2-3 (no 1-3 edge): CC merges all three; pivot clustering
+    # must split (a cluster spans only one hop around its pivot), and
+    # no two pivots may be adjacent
+    edges = [(1, 2), (2, 3)]
+    got = _run_pivot(spark, edges)
+    assert len(got) == 3
+    assert len({c for c, _, _ in got.values()}) >= 2
+    adj = {(1, 2), (2, 1), (2, 3), (3, 2)}
+    pivots = {v for v, (_, is_p, _) in got.items() if is_p}
+    assert not any((a, b) in adj for a in pivots for b in pivots if a != b)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    cc = connected_components(df).collect()
+    assert len({r.cluster_id for r in cc}) == 1
+    assert got == _ref_pivot(edges)
+
+
+def test_pivot_triangle_single_cluster(spark):
+    got = _run_pivot(spark, [(10, 20), (20, 30), (10, 30)])
+    assert len({c for c, _, _ in got.values()}) == 1
+    assert got == _ref_pivot([(10, 20), (20, 30), (10, 30)])
+
+
+def test_pivot_matches_reference_random_graphs(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = list(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(60)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        got = _run_pivot(spark, edges)
+        ref = _ref_pivot(edges)
+        assert got == ref, f"trial {trial}"
+        # every node one hop from its pivot
+        adj = set()
+        for a, b in edges:
+            adj.add((a, b))
+            adj.add((b, a))
+        for v, (c, is_p, _) in got.items():
+            assert is_p == (v == c)
+            if not is_p:
+                assert (v, c) in adj

@@ -2919,6 +2919,30 @@ def q_er_transitive_conflicts(spark, sf_dir) -> DataFrame:
         cluster_conflicts,
         connected_components,
     )
+
+    records, scored = _conflict_records_scored(spark, sf_dir)
+    edges = scored.where(F.col("score") >= ER_CONFLICT_REVIEW).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    assign = connected_components(edges).withColumnRenamed("node", "rec_id")
+    full = (
+        records.select("rec_id")
+        .join(assign, "rec_id", "left")
+        .select(
+            F.col("rec_id").cast("long").alias("rec_id"),
+            F.coalesce("cluster_id", F.col("rec_id"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+    return cluster_conflicts(full, scored, FS_UPPER)
+
+
+def _conflict_records_scored(spark, sf_dir) -> "tuple[DataFrame, DataFrame]":
+    """The two-copy dirty corpus + phone-blocked FS-scored pairs shared
+    by er_transitive_conflicts and er_pivot_clustering: every 10th
+    customer gets copy A (name −1 char) and copy B (name −2 chars,
+    city blanked, phone prefix rewritten on every 30th)."""
     from ..operators.fellegi_sunter import fellegi_sunter_scores
 
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -2964,21 +2988,7 @@ def q_er_transitive_conflicts(spark, sf_dir) -> DataFrame:
     scored = fellegi_sunter_scores(
         records, pairs, FS_PARAMS, near=FS_NEAR, upper=FS_UPPER, lower=FS_LOWER
     )
-    edges = scored.where(F.col("score") >= ER_CONFLICT_REVIEW).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
-    assign = connected_components(edges).withColumnRenamed("node", "rec_id")
-    full = (
-        records.select("rec_id")
-        .join(assign, "rec_id", "left")
-        .select(
-            F.col("rec_id").cast("long").alias("rec_id"),
-            F.coalesce("cluster_id", F.col("rec_id"))
-            .cast("long")
-            .alias("cluster_id"),
-        )
-    )
-    return cluster_conflicts(full, scored, FS_UPPER)
+    return records, scored
 
 
 def _er_conflicts_oracle_sql() -> str:
@@ -3073,6 +3083,137 @@ def _er_conflicts_oracle_sql() -> str:
 
 
 ER_CONFLICTS_SQL = _er_conflicts_oracle_sql()
+
+
+# edge threshold for pivot clustering: between the A–B score (11.71)
+# and the orig–B score (4.29), so {orig, A, B} components are PATHS
+# orig—A—B, not triangles — exactly where pivot clustering and
+# transitive closure disagree (CC merges all three; a pivot cluster
+# only ever spans one hop around its pivot)
+ER_PIVOT_EDGE = 8.0
+ER_PIVOT_ROUNDS = 8
+
+
+def q_er_pivot_clustering(spark, sf_dir) -> DataFrame:
+    """Parallel-pivot correlation clustering (KwikCluster in the
+    deterministic parallel-rounds form; operators/clustering.py
+    pivot_clusters) over the two-copy conflict corpus at an edge
+    threshold that makes each planted component a PATH orig—A—B: the
+    bounded-error alternative to er_pipeline_clusters' transitive
+    closure. CC would merge every path into one cluster of 3; pivot
+    clustering splits each path at the hash-ordered pivot — one bad
+    edge can never chain two real entities more than one hop. The
+    oracle unrolls the identical hash-keyed rounds (local-min pivots,
+    min-key pivot attachment, deactivate, re-filter edges) in
+    MATERIALIZED CTEs, so every round's pivot election hash-matches."""
+    from ..operators.clustering import pivot_clusters
+
+    _, scored = _conflict_records_scored(spark, sf_dir)
+    edges = scored.where(F.col("score") >= ER_PIVOT_EDGE).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return pivot_clusters(edges, max_rounds=ER_PIVOT_ROUNDS)
+
+
+def _er_pivot_oracle_sql(rounds: int) -> str:
+    """The pivot-round fixpoint unrolled: pi-keys from the same
+    md5('pivot:'||id) + zero-padded-id construction, then `rounds`
+    copies of (neighbor-min, local-min pivots, min-key attachment,
+    deactivation). MATERIALIZED throughout — each round references the
+    previous round's actives/edges several times."""
+    from ..operators.fellegi_sunter import fs_weights
+
+    terms = []
+    agrees = []
+    for f, (m, u) in FS_PARAMS.items():
+        t = FS_NEAR.get(f, 0)
+        agrees.append(
+            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
+            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
+            f"AS agree_{f}"
+        )
+        wa, wd = fs_weights(m, u)
+        terms.append(
+            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
+            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
+        )
+    score = " + ".join(["0.0"] + terms)
+    stages = []
+    for r in range(1, rounds + 1):
+        p_ = r - 1
+        stages.append(f"""
+    nb{r} AS MATERIALIZED (
+        SELECT b.src AS node, min(b.kb) AS mnk
+        FROM b{p_} b GROUP BY b.src),
+    piv{r} AS MATERIALIZED (
+        SELECT a.node FROM a{p_} a LEFT JOIN nb{r} n ON n.node = a.node
+        WHERE n.mnk IS NULL OR a.k < n.mnk),
+    asg{r} AS MATERIALIZED (
+        SELECT b.src AS node, arg_min(b.dst, b.kb) AS cluster_id
+        FROM b{p_} b JOIN piv{r} pv ON pv.node = b.dst
+        GROUP BY b.src),
+    new{r} AS MATERIALIZED (
+        SELECT node, node AS cluster_id, TRUE AS is_pivot,
+               {r}::BIGINT AS round_assigned
+        FROM piv{r}
+        UNION ALL
+        SELECT node, cluster_id, FALSE, {r}::BIGINT FROM asg{r}),
+    a{r} AS MATERIALIZED (
+        SELECT node, k FROM a{p_}
+        WHERE node NOT IN (SELECT node FROM new{r})),
+    b{r} AS MATERIALIZED (
+        SELECT src, dst, kb FROM b{p_}
+        WHERE src IN (SELECT node FROM a{r})
+          AND dst IN (SELECT node FROM a{r}))""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM new{r}" for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               city, phone
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id + 2000000, substr(name, 1, length(name) - 2),
+               'unknown',
+               CASE WHEN rec_id % 30 = 0 THEN '99' || substr(phone, 3)
+                    ELSE phone END
+        FROM clean WHERE rec_id % 10 = 0),
+    pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM records a JOIN records b
+          ON a.phone = b.phone AND a.rec_id < b.rec_id),
+    ag AS (
+        SELECT p.id_a, p.id_b, {', '.join(agrees)}
+        FROM pairs p
+        JOIN records a ON p.id_a = a.rec_id
+        JOIN records b ON p.id_b = b.rec_id),
+    sc AS (SELECT id_a, id_b, round({score}, 6) AS score FROM ag),
+    sym AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM sc
+        WHERE score >= {ER_PIVOT_EDGE!r}
+        UNION
+        SELECT id_b, id_a FROM sc WHERE score >= {ER_PIVOT_EDGE!r}),
+    a0 AS MATERIALIZED (
+        SELECT node,
+               substr(md5('pivot:' || node::VARCHAR), 1, 15)
+                   || lpad(node::VARCHAR, 12, '0') AS k
+        FROM (SELECT DISTINCT src AS node FROM sym)),
+    b0 AS MATERIALIZED (
+        SELECT s.src, s.dst, a.k AS kb
+        FROM sym s JOIN a0 a ON a.node = s.dst),{','.join(stages)}
+    {union}
+"""
+
+
+ER_PIVOT_SQL = _er_pivot_oracle_sql(ER_PIVOT_ROUNDS)
 
 
 def q_er_incremental_attach(spark, sf_dir) -> DataFrame:
@@ -6880,6 +7021,7 @@ QUERIES = {
     "er_mutual_best": q_er_mutual_best,
     "er_monge_elkan": q_er_monge_elkan,
     "er_soft_tfidf": q_er_soft_tfidf,
+    "er_pivot_clustering": q_er_pivot_clustering,
     "dedup_allpairs": q_dedup_allpairs,
     "url_canonicalize": q_url_canonicalize,
     "media_features": q_media_features,
@@ -7007,6 +7149,7 @@ ORACLES = {
     "er_mutual_best": ER_MUTUAL_BEST_SQL,
     "er_monge_elkan": ER_MONGE_ELKAN_SQL,
     "er_soft_tfidf": ER_SOFT_TFIDF_SQL,
+    "er_pivot_clustering": ER_PIVOT_SQL,
     "dedup_allpairs": DEDUP_ALLPAIRS_SQL,
     "url_canonicalize": URL_CANON_SQL,
     "media_features": MEDIA_FEATURES_SQL,
