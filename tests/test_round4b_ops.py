@@ -194,3 +194,59 @@ def test_pivot_matches_reference_random_graphs(spark):
             assert is_p == (v == c)
             if not is_p:
                 assert (v, c) in adj
+
+
+# --------------------------------------------------------------- PPRL CLK
+
+
+def _ref_clk(name: str, m: int = 64, k: int = 2, q: int = 2) -> set[int]:
+    p = f"_{name.lower()}_"
+    grams = {p[i : i + q] for i in range(len(p) - q + 1)}
+    return {
+        int(hashlib.md5(f"clk{h}:{g}".encode()).hexdigest()[:15], 16) % m
+        for g in grams
+        for h in range(1, k + 1)
+    }
+
+
+def test_clk_positions_match_reference(spark):
+    from type_filtered_entity_linker_spark.operators.pprl import (
+        clk_positions,
+    )
+
+    names = {1: "Alice Smith", 2: "Bob", 3: "ALICE SMITH"}
+    df = spark.createDataFrame(
+        list(names.items()), "rec_id long, name string"
+    )
+    rows = clk_positions(df, "name").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.rec_id, set()).add(r.pos)
+    for i, n in names.items():
+        assert got[i] == _ref_clk(n), i
+    # case-insensitive by construction
+    assert got[1] == got[3]
+
+
+def test_dice_link_semantics(spark):
+    from type_filtered_entity_linker_spark.operators.pprl import dice_link
+
+    recs = spark.createDataFrame(
+        [
+            (1, "Catherine Miller"),
+            (2, "Catherine Miler"),  # one-char typo
+            (3, "Catherine Miller"),
+            (4, "Xqz"),
+        ],
+        "rec_id long, name string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    rows = {(r.id_a, r.id_b): r for r in dice_link(recs, pairs, "name").collect()}
+    assert rows[(1, 3)].dice == 1.0  # identical names -> identical CLKs
+    assert 0.8 < rows[(1, 2)].dice < 1.0  # typo keeps most bigrams
+    assert rows[(1, 4)].dice < 0.3  # unrelated: collision floor only
+    a, b = _ref_clk("Catherine Miller"), _ref_clk("Catherine Miler")
+    assert rows[(1, 2)].n_common == len(a & b)
+    assert rows[(1, 2)].card_a == len(a) and rows[(1, 2)].card_b == len(b)

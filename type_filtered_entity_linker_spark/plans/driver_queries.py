@@ -3861,6 +3861,74 @@ ER_SOFT_TFIDF_SQL = """
 """
 
 
+# DuckDB replica of Spark's conv(substring(md5(x),1,15),16,10): the
+# md5→60-bit-int idiom shared by the PPRL CLK encoding here and the
+# curation split/sample/cap family below.
+_MD5INT = (
+    "list_reduce([strpos('0123456789abcdef', substr(md5({x}), i, 1)) - 1 "
+    "for i in range(1, 16)], (a, b) -> a * 16 + b)"
+)
+
+
+def q_er_pprl_bloom(spark, sf_dir) -> DataFrame:
+    """Privacy-preserving record linkage (operators/pprl.py; Schnell
+    et al. 2009): padded name bigrams hashed k=2 ways into an m=64
+    CLK Bloom encoding, candidate pairs compared by Dice similarity
+    over SET BIT POSITIONS only — the linkage a data custodian can
+    run without ever seeing cleartext names. Truth pairs (name lost
+    one trailing char) keep nearly all their bigrams and score high;
+    the (i, i+3) distractor pairs share only the 'Customer#0000'
+    prefix bigrams and the hash-collision floor. The oracle replays
+    the exact md5-derived bit positions, so the hash match pins the
+    whole encoding layer bit for bit."""
+    from ..operators.pprl import dice_link
+
+    records, truth, nonmatch = _fs_customers(spark, sf_dir, corrupt="city")
+    pairs = truth.unionByName(nonmatch)
+    return dice_link(records, pairs, "name")
+
+
+ER_PPRL_SQL = f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1)
+        FROM clean WHERE rec_id % 10 = 0),
+    pairs AS (
+        SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id, rec_id + 3 FROM clean WHERE rec_id % 10 = 0),
+    recs AS (SELECT rec_id, '_' || lower(name) || '_' AS p FROM records),
+    grams AS (SELECT DISTINCT rec_id, substr(p, i::INTEGER, 2) AS g
+              FROM recs, unnest(range(1, length(p))) AS t(i)),
+    posns AS (SELECT DISTINCT rec_id, pos FROM (
+        SELECT rec_id, {_MD5INT.format(x="'clk1:' || g")} % 64 AS pos
+        FROM grams
+        UNION ALL
+        SELECT rec_id, {_MD5INT.format(x="'clk2:' || g")} % 64 AS pos
+        FROM grams)),
+    card AS (SELECT rec_id, count(*)::BIGINT AS card
+             FROM posns GROUP BY rec_id),
+    inter AS (SELECT p.id_a, p.id_b, count(*)::BIGINT AS n_common
+              FROM pairs p
+              JOIN posns a ON a.rec_id = p.id_a
+              JOIN posns b ON b.rec_id = p.id_b AND b.pos = a.pos
+              GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b, ca.card AS card_a, cb.card AS card_b,
+           coalesce(i.n_common, 0)::BIGINT AS n_common,
+           round(2.0 * coalesce(i.n_common, 0) / (ca.card + cb.card), 6)
+               AS dice
+    FROM pairs p
+    JOIN card ca ON ca.rec_id = p.id_a
+    JOIN card cb ON cb.rec_id = p.id_b
+    LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+"""
+
+
 def q_dedup_allpairs(spark, sf_dir) -> DataFrame:
     """Exact Jaccard >= 0.6 similarity self-join on 3-word-shingle
     sets by prefix filtering (operators/set_similarity.py): the EXACT
@@ -3958,12 +4026,8 @@ URL_CANON_SQL = f"""
 # ----------------------------------------------------------------- curation
 # Training-data curation (operators/curation.py): all decisions are
 # md5-keyed, so the DuckDB oracles replay the exact hash. The md5→
-# 60-bit-int idiom below mirrors dedup's SIMHASH md5_60 replica.
-
-_MD5INT = (
-    "list_reduce([strpos('0123456789abcdef', substr(md5({x}), i, 1)) - 1 "
-    "for i in range(1, 16)], (a, b) -> a * 16 + b)"
-)
+# 60-bit-int idiom (_MD5INT, defined above q_er_pprl_bloom — its
+# first textual use) mirrors dedup's SIMHASH md5_60 replica.
 
 SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "es": 0.1}
@@ -7022,6 +7086,7 @@ QUERIES = {
     "er_monge_elkan": q_er_monge_elkan,
     "er_soft_tfidf": q_er_soft_tfidf,
     "er_pivot_clustering": q_er_pivot_clustering,
+    "er_pprl_bloom": q_er_pprl_bloom,
     "dedup_allpairs": q_dedup_allpairs,
     "url_canonicalize": q_url_canonicalize,
     "media_features": q_media_features,
@@ -7150,6 +7215,7 @@ ORACLES = {
     "er_monge_elkan": ER_MONGE_ELKAN_SQL,
     "er_soft_tfidf": ER_SOFT_TFIDF_SQL,
     "er_pivot_clustering": ER_PIVOT_SQL,
+    "er_pprl_bloom": ER_PPRL_SQL,
     "dedup_allpairs": DEDUP_ALLPAIRS_SQL,
     "url_canonicalize": URL_CANON_SQL,
     "media_features": MEDIA_FEATURES_SQL,
