@@ -250,3 +250,51 @@ def test_dice_link_semantics(spark):
     a, b = _ref_clk("Catherine Miller"), _ref_clk("Catherine Miler")
     assert rows[(1, 2)].n_common == len(a & b)
     assert rows[(1, 2)].card_a == len(a) and rows[(1, 2)].card_b == len(b)
+
+
+# ------------------------------------------------------------ progressive
+
+
+def test_progressive_curve_hand_example(spark):
+    from type_filtered_entity_linker_spark.operators.progressive import (
+        progressive_recall_curve,
+    )
+
+    # 10 pairs, proxy = 1.0..0.1; the 3 truth pairs sit at proxies
+    # 1.0, 0.9 and 0.1 — buckets of one pair each
+    rows = [
+        (i, i + 100, 1.0 - i / 10.0, i in (0, 1, 9)) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, proxy double, is_true boolean"
+    )
+    got = {
+        r.bucket: (r.n_pairs_cum, r.n_true_cum, r.recall_cum)
+        for r in progressive_recall_curve(df).collect()
+    }
+    assert len(got) == 10
+    assert got[1] == (1, 1, round(1 / 3, 6))
+    assert got[2] == (2, 2, round(2 / 3, 6))
+    assert got[9] == (9, 2, round(2 / 3, 6))
+    assert got[10] == (10, 3, 1.0)
+    # monotone by construction
+    pairs_seq = [got[b][0] for b in sorted(got)]
+    true_seq = [got[b][1] for b in sorted(got)]
+    assert pairs_seq == sorted(pairs_seq)
+    assert true_seq == sorted(true_seq)
+
+
+def test_progressive_curve_tie_break_deterministic(spark):
+    from type_filtered_entity_linker_spark.operators.progressive import (
+        progressive_recall_curve,
+    )
+
+    # all proxies equal: bucket boundaries fall on (id_a, id_b) order
+    rows = [(i, i + 100, 0.5, i < 2) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, proxy double, is_true boolean"
+    )
+    got = {
+        r.bucket: r.n_true_cum for r in progressive_recall_curve(df).collect()
+    }
+    assert got[1] == 1 and got[2] == 2 and got[10] == 2

@@ -3929,6 +3929,99 @@ ER_PPRL_SQL = f"""
 """
 
 
+def q_er_progressive(spark, sf_dir) -> DataFrame:
+    """Progressive-ER budget curve (operators/progressive.py): the
+    phone-blocked candidate pairs ranked by cheap Jaro-Winkler name
+    similarity, rolled up into 10 comparison-budget buckets with
+    cumulative truth recall. The planted copies (name minus one char,
+    JW ~0.99) all land in the first bucket while collision pairs rank
+    by their accidental name similarity — the measured justification
+    for early-stopping the expensive scorer. Ranking is the exact
+    two-level distributed global_rank (no single-task sort); the
+    oracle replays it with a plain row_number under the same total
+    order (-proxy, id_a, id_b) and the identical bucket arithmetic."""
+    from ..operators.progressive import progressive_recall_curve
+
+    records, truth, _ = _fs_customers(spark, sf_dir, corrupt="city")
+    ph = records.select("rec_id", "phone", "name")
+    pairs = (
+        ph.alias("a")
+        .join(ph.alias("b"), "phone")
+        .where(F.col("a.rec_id") < F.col("b.rec_id"))
+        .select(
+            F.col("a.rec_id").alias("id_a"),
+            F.col("b.rec_id").alias("id_b"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+        )
+    )
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.strings import jaro_winkler_batch
+
+    @pandas_udf("double")
+    def jw(a, b):
+        import pandas as pd
+
+        return pd.Series(
+            jaro_winkler_batch(a.tolist(), b.tolist(), boost_threshold=0.7)
+        )
+
+    flagged = (
+        pairs.withColumn("proxy", jw(F.col("name_a"), F.col("name_b")))
+        .join(truth.withColumn("_t", F.lit(True)), ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            "proxy",
+            F.coalesce("_t", F.lit(False)).alias("is_true"),
+        )
+    )
+    return progressive_recall_curve(flagged)
+
+
+ER_PROGRESSIVE_SQL = """
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1), phone
+        FROM clean WHERE rec_id % 10 = 0),
+    truth AS (SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+              FROM clean WHERE rec_id % 10 = 0),
+    pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+               a.name AS na, b.name AS nb
+        FROM records a JOIN records b
+          ON a.phone = b.phone AND a.rec_id < b.rec_id),
+    p AS (SELECT pr.id_a, pr.id_b,
+                 jaro_winkler_similarity(na, nb) AS proxy,
+                 (t.id_a IS NOT NULL) AS is_true
+          FROM pairs pr LEFT JOIN truth t USING (id_a, id_b)),
+    rk AS (SELECT *, row_number() OVER (ORDER BY -proxy, id_a, id_b) AS rnk
+           FROM p),
+    tot AS (SELECT count(*) AS total,
+                   sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS tt
+            FROM p),
+    bk AS (SELECT floor((rnk - 1) * 10 / total)::BIGINT + 1 AS bucket,
+                  is_true
+           FROM rk CROSS JOIN tot),
+    g AS (SELECT bucket, count(*)::BIGINT AS n_pairs,
+                 sum(CASE WHEN is_true THEN 1 ELSE 0 END)::BIGINT AS n_true
+          FROM bk GROUP BY bucket)
+    SELECT bucket,
+           sum(n_pairs) OVER w::BIGINT AS n_pairs_cum,
+           sum(n_true) OVER w::BIGINT AS n_true_cum,
+           round(sum(n_true) OVER w / tt, 6) AS recall_cum
+    FROM g CROSS JOIN tot
+    WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+"""
+
+
 def q_dedup_allpairs(spark, sf_dir) -> DataFrame:
     """Exact Jaccard >= 0.6 similarity self-join on 3-word-shingle
     sets by prefix filtering (operators/set_similarity.py): the EXACT
@@ -7087,6 +7180,7 @@ QUERIES = {
     "er_soft_tfidf": q_er_soft_tfidf,
     "er_pivot_clustering": q_er_pivot_clustering,
     "er_pprl_bloom": q_er_pprl_bloom,
+    "er_progressive": q_er_progressive,
     "dedup_allpairs": q_dedup_allpairs,
     "url_canonicalize": q_url_canonicalize,
     "media_features": q_media_features,
@@ -7216,6 +7310,7 @@ ORACLES = {
     "er_soft_tfidf": ER_SOFT_TFIDF_SQL,
     "er_pivot_clustering": ER_PIVOT_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
+    "er_progressive": ER_PROGRESSIVE_SQL,
     "dedup_allpairs": DEDUP_ALLPAIRS_SQL,
     "url_canonicalize": URL_CANON_SQL,
     "media_features": MEDIA_FEATURES_SQL,
