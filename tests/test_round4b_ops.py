@@ -7,6 +7,8 @@ import random
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from type_filtered_entity_linker_spark.functions.strings import (
     jaro_winkler_batch,
 )
@@ -298,3 +300,80 @@ def test_progressive_curve_tie_break_deterministic(spark):
         r.bucket: r.n_true_cum for r in progressive_recall_curve(df).collect()
     }
     assert got[1] == 1 and got[2] == 2 and got[10] == 2
+
+
+# --------------------------------------------------------- truth discovery
+
+
+def _ref_trust(claims, rounds=3, init=800_000):
+    """Integer-exact single-machine replica of the micro-unit trust
+    iteration (spec in operators/truth_discovery.py)."""
+    sources = {s for s, _, _ in claims}
+    trust = {s: init for s in sources}
+    traj = []
+    for r in range(1, rounds + 1):
+        raw = {}
+        for s, o, v in claims:
+            raw[(o, v)] = raw.get((o, v), 0) + trust[s]
+        tot = {}
+        for (o, v), x in raw.items():
+            tot[o] = tot.get(o, 0) + x
+        cm = {(o, v): (x * 1_000_000) // tot[o] for (o, v), x in raw.items()}
+        acc, cnt = {s: 0 for s in sources}, {s: 0 for s in sources}
+        for s, o, v in claims:
+            acc[s] += cm[(o, v)]
+            cnt[s] += 1
+        trust = {s: acc[s] // cnt[s] for s in sources}
+        traj.append(dict(trust))
+    return traj
+
+
+def test_truth_discovery_matches_integer_reference(spark):
+    from type_filtered_entity_linker_spark.operators.truth_discovery import (
+        source_trust_iterations,
+    )
+
+    claims = []
+    for o in range(30):
+        true_v = f"v{o % 4}"
+        claims.append(("good", o, true_v))
+        claims.append(("meh", o, true_v if o % 3 else "wrong"))
+        claims.append(("bad", o, true_v if o % 2 else f"junk{o % 5}"))
+    df = spark.createDataFrame(claims, "source string, obj long, value string")
+    rows = source_trust_iterations(df, rounds=3).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.round, {})[r.source] = r.trust_micro
+    ref = _ref_trust(claims)
+    for rd in (1, 2, 3):
+        assert got[rd] == ref[rd - 1], rd
+    # reliability ordering emerges and is stable by round 3
+    assert got[3]["good"] > got[3]["meh"] > got[3]["bad"]
+
+
+def test_truth_discovery_resolution_beats_majority(spark):
+    from type_filtered_entity_linker_spark.operators.truth_discovery import (
+        resolve_values,
+        source_trust_iterations,
+    )
+
+    # two junk sources collude on the wrong value for obj 0, tying the
+    # two reliable sources 2-2 by raw count; learned trust must break
+    # the tie toward the reliable pair (with equal initial trust the
+    # vote is literally tied and min-value tie-break would pick 'X' —
+    # so a 't0' resolution proves the trust separation did the work)
+    claims = [("good1", o, f"t{o}") for o in range(10)]
+    claims += [("good2", o, f"t{o}") for o in range(10)]
+    claims += [("bad1", o, f"y{o}" if o else "X") for o in range(10)]
+    claims += [("bad2", o, f"z{o}" if o else "X") for o in range(10)]
+    df = spark.createDataFrame(claims, "source string, obj long, value string")
+    trust = (
+        source_trust_iterations(df, rounds=3)
+        .where(F.col("round") == 3)
+        .select("source", F.col("trust_micro").alias("tm"))
+    )
+    res = {r.obj: r.resolved_value for r in resolve_values(df, trust).collect()}
+    # bad2 disagrees everywhere except the collusion, so trust(bad1)+
+    # trust(bad2) stays below trust(good) and obj 0 resolves to t0
+    assert res[0] == "t0"
+    assert all(res[o] == f"t{o}" for o in range(10))

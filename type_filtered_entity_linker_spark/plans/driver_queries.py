@@ -4022,6 +4022,111 @@ ER_PROGRESSIVE_SQL = """
 """
 
 
+TRUTH_ROUNDS = 3
+
+
+def _truth_claims(spark, sf_dir) -> DataFrame:
+    """Three conflicting sources asserting each customer's city: a
+    registry (always right), a crawl (wrong on every 3rd object), and
+    a social source (shares the crawl's wrong value on every 3rd —
+    colluding error — plus its own wrong value on remaining evens)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    clean = c.select(
+        F.col("c_custkey").alias("obj"),
+        F.concat(F.lit("city_"), F.col("c_nationkey").cast("string")).alias(
+            "city"
+        ),
+    )
+    bad = F.concat(F.lit("bad_"), (F.col("obj") % 7).cast("string"))
+    oops = F.concat(F.lit("oops_"), (F.col("obj") % 5).cast("string"))
+    registry = clean.select(
+        F.lit("registry").alias("source"), "obj", F.col("city").alias("value")
+    )
+    crawl = clean.select(
+        F.lit("crawl").alias("source"),
+        "obj",
+        F.when(F.col("obj") % 3 == 0, bad).otherwise(F.col("city")).alias(
+            "value"
+        ),
+    )
+    social = clean.select(
+        F.lit("social").alias("source"),
+        "obj",
+        F.when(F.col("obj") % 3 == 0, bad)
+        .when(F.col("obj") % 2 == 0, oops)
+        .otherwise(F.col("city"))
+        .alias("value"),
+    )
+    return registry.unionByName(crawl).unionByName(social)
+
+
+def q_er_truth_discovery(spark, sf_dir) -> DataFrame:
+    """Iterative truth discovery (operators/truth_discovery.py —
+    TruthFinder-family fixpoint) over three conflicting city sources:
+    per-round source-trust trajectory in exact integer micro-units.
+    The registry's trust climbs (it always sits on the heaviest
+    value), the social source's falls fastest (wrong on ~2/3 of
+    objects), and the colluding every-3rd error keeps the crawl
+    between them — the separation the weighted voting needs to
+    out-resolve naive majority. All arithmetic is integer floor
+    division by spec, so the oracle (same unrolled rounds in
+    MATERIALIZED CTEs) matches bit for bit with no float-rounding
+    guard at all."""
+    from ..operators.truth_discovery import source_trust_iterations
+
+    return source_trust_iterations(
+        _truth_claims(spark, sf_dir), rounds=TRUTH_ROUNDS
+    )
+
+
+def _er_truth_oracle_sql(rounds: int) -> str:
+    stages = []
+    for r in range(1, rounds + 1):
+        p_ = r - 1
+        stages.append(f"""
+    cr{r} AS MATERIALIZED (
+        SELECT c.obj, c.value, sum(t.tm)::BIGINT AS raw
+        FROM claims c JOIN t{p_} t USING (source) GROUP BY 1, 2),
+    tt{r} AS MATERIALIZED (
+        SELECT obj, sum(raw)::BIGINT AS tot FROM cr{r} GROUP BY obj),
+    cf{r} AS MATERIALIZED (
+        SELECT c.obj, c.value, ((c.raw * 1000000) // t.tot)::BIGINT AS cm
+        FROM cr{r} c JOIN tt{r} t USING (obj)),
+    t{r} AS MATERIALIZED (
+        SELECT c.source, (sum(f.cm) // count(*))::BIGINT AS tm
+        FROM claims c JOIN cf{r} f ON f.obj = c.obj AND f.value = c.value
+        GROUP BY c.source)""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT {r}::BIGINT AS round, source, tm AS trust_micro, "
+        f"tm / 1000000.0 AS trust FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS obj,
+               'city_' || c_nationkey::VARCHAR AS city
+        FROM customer),
+    claims AS (
+        SELECT 'registry' AS source, obj, city AS value FROM clean
+        UNION ALL
+        SELECT 'crawl', obj,
+               CASE WHEN obj % 3 = 0 THEN 'bad_' || (obj % 7)::VARCHAR
+                    ELSE city END
+        FROM clean
+        UNION ALL
+        SELECT 'social', obj,
+               CASE WHEN obj % 3 = 0 THEN 'bad_' || (obj % 7)::VARCHAR
+                    WHEN obj % 2 = 0 THEN 'oops_' || (obj % 5)::VARCHAR
+                    ELSE city END
+        FROM clean),
+    t0 AS (SELECT DISTINCT source, 800000::BIGINT AS tm FROM claims),{','.join(stages)}
+    {union}
+"""
+
+
+ER_TRUTH_SQL = _er_truth_oracle_sql(TRUTH_ROUNDS)
+
+
 def q_dedup_allpairs(spark, sf_dir) -> DataFrame:
     """Exact Jaccard >= 0.6 similarity self-join on 3-word-shingle
     sets by prefix filtering (operators/set_similarity.py): the EXACT
@@ -7181,6 +7286,7 @@ QUERIES = {
     "er_pivot_clustering": q_er_pivot_clustering,
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
+    "er_truth_discovery": q_er_truth_discovery,
     "dedup_allpairs": q_dedup_allpairs,
     "url_canonicalize": q_url_canonicalize,
     "media_features": q_media_features,
@@ -7311,6 +7417,7 @@ ORACLES = {
     "er_pivot_clustering": ER_PIVOT_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
+    "er_truth_discovery": ER_TRUTH_SQL,
     "dedup_allpairs": DEDUP_ALLPAIRS_SQL,
     "url_canonicalize": URL_CANON_SQL,
     "media_features": MEDIA_FEATURES_SQL,
