@@ -377,3 +377,65 @@ def test_truth_discovery_resolution_beats_majority(spark):
     # trust(bad2) stays below trust(good) and obj 0 resolves to t0
     assert res[0] == "t0"
     assert all(res[o] == f"t{o}" for o in range(10))
+
+
+# ------------------------------------------------------------ group linkage
+
+
+def test_group_linkage_hand_example(spark):
+    from type_filtered_entity_linker_spark.operators.matching import (
+        group_linkage,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "g1"), (2, "g1"), (3, "g1"), (10, "g2")],
+        "rec_id long, grp string",
+    )
+    right = spark.createDataFrame(
+        [(101, "h1"), (102, "h1"), (110, "h2")], "rec_id long, grp string"
+    )
+    # g1<->h1: members 1-101 (0.9), 2-102 (1.0); 3 unmatched on the
+    # left, so BM = (0.9 + 1.0) / (3 + 2 - 2); sub-threshold and
+    # cross-group noise pairs must not contribute
+    pairs = spark.createDataFrame(
+        [
+            (1, 101, 0.9),
+            (2, 102, 1.0),
+            (3, 102, 0.5),   # below threshold
+            (1, 102, 0.7),   # loses reciprocal-best to 2-102
+            (10, 110, 0.95),
+        ],
+        "id_a long, id_b long, sim double",
+    )
+    got = {
+        (r.group_a, r.group_b): r
+        for r in group_linkage(left, right, pairs, threshold=0.8).collect()
+    }
+    r = got[("g1", "h1")]
+    assert (r.n_a, r.n_b, r.n_matched) == (3, 2, 2)
+    assert r.sim_sum == 1.9
+    assert r.bm_sim == round(1.9 / 3, 6)
+    r2 = got[("g2", "h2")]
+    assert (r2.n_a, r2.n_b, r2.n_matched) == (1, 1, 1)
+    assert r2.bm_sim == 0.95
+    assert set(got) == {("g1", "h1"), ("g2", "h2")}
+
+
+def test_group_linkage_one_to_one_within_group_pair(spark):
+    from type_filtered_entity_linker_spark.operators.matching import (
+        group_linkage,
+    )
+
+    # one left member courted by two right members: only the best
+    # counts, and n_matched can never exceed min(|G1|, |G2|)
+    left = spark.createDataFrame([(1, "g")], "rec_id long, grp string")
+    right = spark.createDataFrame(
+        [(101, "h"), (102, "h")], "rec_id long, grp string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 101, 0.99), (1, 102, 0.98)], "id_a long, id_b long, sim double"
+    )
+    r = group_linkage(left, right, pairs, threshold=0.9).collect()[0]
+    assert r.n_matched == 1
+    assert r.sim_sum == 0.99
+    assert r.bm_sim == round(0.99 / 2, 6)

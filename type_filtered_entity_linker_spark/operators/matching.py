@@ -243,6 +243,96 @@ def greedy_matching(
     return matched.select(left_col, right_col, score_col, "match_round")
 
 
+def group_linkage(
+    left: DataFrame,
+    right: DataFrame,
+    scored_pairs: DataFrame,
+    threshold: float,
+    id_col: str = "rec_id",
+    group_col: str = "grp",
+    sim_col: str = "sim",
+    round_to: int = 6,
+) -> DataFrame:
+    """Group linkage (On, Koudas, Lee & Srivastava, ICDE 2007): when
+    the unit of resolution is a GROUP of records (a household, an
+    author's paper set, a domain's page set), record-level matching
+    under-measures — two groups match when their members pairwise
+    align. BM similarity between groups G1, G2 under a one-to-one
+    member matching M of record pairs with sim >= threshold:
+
+        BM(G1, G2) = sum of sim over M / (|G1| + |G2| - |M|)
+
+    — a Jaccard-style normalization: 1.0 iff the groups align
+    perfectly member-for-member with sim 1.0, discounted by every
+    unmatched member on either side. M here is the RECIPROCAL-BEST
+    matching within each candidate group pair (the paper's greedy
+    matching restricted to one round — the variant that needs no
+    per-group-pair score sort; see mutual_best_match's scale argument;
+    it is a lower bound on greedy/optimal BM).
+
+    ``left``/``right`` are (id_col, group_col) membership tables —
+    group sizes count ALL members, not just those in candidate pairs;
+    ``scored_pairs`` is (id_a, id_b, sim_col) from upstream record
+    blocking + scoring. Returns one row per group pair with at least
+    one above-threshold candidate: (group_a, group_b, n_a, n_b,
+    n_matched, sim_sum, bm_sim).
+
+    Scale shape: the two row_number windows partition by (group_a,
+    group_b, record) — fanout bounded by per-record candidates from
+    blocking; group sizes are one hash aggregate per side; the final
+    join is group-pair-keyed. Nothing scans a group cross-product.
+    """
+    ga = left.select(
+        F.col(id_col).alias("id_a"), F.col(group_col).alias("group_a")
+    )
+    gb = right.select(
+        F.col(id_col).alias("id_b"), F.col(group_col).alias("group_b")
+    )
+    p = (
+        scored_pairs.where(F.col(sim_col) >= threshold)
+        .join(ga, "id_a")
+        .join(gb, "id_b")
+    )
+    wa = Window.partitionBy("group_a", "group_b", "id_a").orderBy(
+        F.col(sim_col).desc(), F.col("id_b").asc()
+    )
+    wb = Window.partitionBy("group_a", "group_b", "id_b").orderBy(
+        F.col(sim_col).desc(), F.col("id_a").asc()
+    )
+    m = (
+        p.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rb", F.row_number().over(wb))
+        .where((F.col("_ra") == 1) & (F.col("_rb") == 1))
+    )
+    per = m.groupBy("group_a", "group_b").agg(
+        F.count("*").cast("long").alias("n_matched"),
+        F.round(F.sum(sim_col), round_to).alias("sim_sum"),
+    )
+    na = left.groupBy(F.col(group_col).alias("group_a")).agg(
+        F.count("*").cast("long").alias("n_a")
+    )
+    nb = right.groupBy(F.col(group_col).alias("group_b")).agg(
+        F.count("*").cast("long").alias("n_b")
+    )
+    return (
+        per.join(na, "group_a")
+        .join(nb, "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            "n_matched",
+            "sim_sum",
+            F.round(
+                F.col("sim_sum")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_matched")),
+                round_to,
+            ).alias("bm_sim"),
+        )
+    )
+
+
 def attach_best(
     scored: DataFrame,
     new_records: DataFrame,

@@ -4127,6 +4127,96 @@ def _er_truth_oracle_sql(rounds: int) -> str:
 ER_TRUTH_SQL = _er_truth_oracle_sql(TRUTH_ROUNDS)
 
 
+def q_er_group_linkage(spark, sf_dir) -> DataFrame:
+    """Group linkage (operators/matching.py group_linkage; On et al.
+    ICDE'07): nations as groups — every 10th customer's clean record
+    on the left, its dirty copy on the right, record pairs from phone
+    blocking scored by Jaro-Winkler. The true (g, g) group pairs
+    align member-for-member at sim ~0.99 so BM approaches 1.0, while
+    phone-collision pairs give sparse low-BM cross-group rows — the
+    separation a household/domain-level resolver thresholds on. The
+    oracle replays the reciprocal-best member matching with two
+    row_number windows and DuckDB's native jaro_winkler_similarity."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.strings import jaro_winkler_batch
+    from ..operators.matching import group_linkage
+
+    @pandas_udf("double")
+    def jw(a, b):
+        import pandas as pd
+
+        return pd.Series(
+            jaro_winkler_batch(a.tolist(), b.tolist(), boost_threshold=0.7)
+        )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    phone = F.lpad(
+        ((F.col("c_custkey") * 7919) % 10000000).cast("string"), 7, "0"
+    )
+    tenth = c.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").cast("long").alias("grp"),
+        phone.alias("phone"),
+    )
+    left = tenth
+    right = tenth.select(
+        (F.col("rec_id") + 1000000).alias("rec_id"),
+        F.expr("substring(name, 1, length(name) - 1)").alias("name"),
+        "grp",
+        "phone",
+    )
+    pairs = (
+        left.select("rec_id", "phone", "name")
+        .alias("a")
+        .join(right.select("rec_id", "phone", "name").alias("b"), "phone")
+        .select(
+            F.col("a.rec_id").alias("id_a"),
+            F.col("b.rec_id").alias("id_b"),
+            jw(F.col("a.name"), F.col("b.name")).alias("sim"),
+        )
+    )
+    return group_linkage(left, right, pairs, threshold=0.85)
+
+
+ER_GROUP_LINKAGE_SQL = """
+    WITH tenth AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               c_nationkey::BIGINT AS grp,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer WHERE c_custkey % 10 = 0),
+    rightg AS (
+        SELECT rec_id + 1000000 AS rec_id,
+               substr(name, 1, length(name) - 1) AS name, grp, phone
+        FROM tenth),
+    pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b, a.grp AS group_a,
+               b.grp AS group_b,
+               jaro_winkler_similarity(a.name, b.name) AS sim
+        FROM tenth a JOIN rightg b ON a.phone = b.phone),
+    p AS (SELECT * FROM pairs WHERE sim >= 0.85),
+    m AS (SELECT * FROM (
+              SELECT *,
+                     row_number() OVER (PARTITION BY group_a, group_b, id_a
+                                        ORDER BY sim DESC, id_b) AS ra,
+                     row_number() OVER (PARTITION BY group_a, group_b, id_b
+                                        ORDER BY sim DESC, id_a) AS rb
+              FROM p)
+          WHERE ra = 1 AND rb = 1),
+    per AS (SELECT group_a, group_b, count(*)::BIGINT AS n_matched,
+                   round(sum(sim), 6) AS sim_sum
+            FROM m GROUP BY 1, 2),
+    na AS (SELECT grp AS group_a, count(*)::BIGINT AS n_a
+           FROM tenth GROUP BY grp),
+    nb AS (SELECT grp AS group_b, count(*)::BIGINT AS n_b
+           FROM rightg GROUP BY grp)
+    SELECT group_a, group_b, n_a, n_b, n_matched, sim_sum,
+           round(sim_sum / (n_a + n_b - n_matched), 6) AS bm_sim
+    FROM per JOIN na USING (group_a) JOIN nb USING (group_b)
+"""
+
+
 def q_dedup_allpairs(spark, sf_dir) -> DataFrame:
     """Exact Jaccard >= 0.6 similarity self-join on 3-word-shingle
     sets by prefix filtering (operators/set_similarity.py): the EXACT
@@ -7287,6 +7377,7 @@ QUERIES = {
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
     "er_truth_discovery": q_er_truth_discovery,
+    "er_group_linkage": q_er_group_linkage,
     "dedup_allpairs": q_dedup_allpairs,
     "url_canonicalize": q_url_canonicalize,
     "media_features": q_media_features,
@@ -7418,6 +7509,7 @@ ORACLES = {
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
     "er_truth_discovery": ER_TRUTH_SQL,
+    "er_group_linkage": ER_GROUP_LINKAGE_SQL,
     "dedup_allpairs": DEDUP_ALLPAIRS_SQL,
     "url_canonicalize": URL_CANON_SQL,
     "media_features": MEDIA_FEATURES_SQL,
