@@ -180,6 +180,18 @@ HEADLINE = [
     "er_incremental_attach",
     # FS score-band reliability table (calibration check)
     "er_calibration",
+    # SoftTFIDF hybrid similarity (Cohen et al. 2003)
+    "er_soft_tfidf",
+    # parallel-pivot correlation clustering (KwikCluster rounds)
+    "er_pivot_clustering",
+    # privacy-preserving linkage: CLK Bloom encodings + Dice
+    "er_pprl_bloom",
+    # progressive-ER recall-per-budget curve
+    "er_progressive",
+    # iterative truth discovery (integer-exact trust fixpoint)
+    "er_truth_discovery",
+    # group linkage: BM similarity over member matching
+    "er_group_linkage",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

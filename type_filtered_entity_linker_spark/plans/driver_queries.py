@@ -7561,6 +7561,9 @@ ORACLES = {
 # front; dict-merge keeps their new position while every other entry
 # retains its relative order behind them.
 _NEVER_DRIVER_CHECKED = [
+    # the round-4 second-wave ER block is newest — it leads the window
+    "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
+    "er_progressive", "er_truth_discovery", "er_group_linkage",
     # the late-round-4 additions have never been driver-stamped
     # either — they lead the window
     "er_blocking_rules", "er_transitive_conflicts",
