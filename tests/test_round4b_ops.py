@@ -5,8 +5,6 @@ import hashlib
 import math
 import random
 
-import pytest
-
 from pyspark.sql import functions as F
 
 from type_filtered_entity_linker_spark.functions.strings import (
@@ -109,7 +107,9 @@ def test_soft_tfidf_token_reorder_invariant(spark):
 
 
 def _pivot_key(v: int) -> str:
-    return hashlib.md5(f"pivot:{v}".encode()).hexdigest()[:15] + str(v).zfill(12)
+    # fixed-length hash prefix + raw id string: unique and totally
+    # ordered for any id domain, no pad width to truncate (review r4b)
+    return hashlib.md5(f"pivot:{v}".encode()).hexdigest()[:15] + str(v)
 
 
 def _ref_pivot(edges: list[tuple[int, int]], max_rounds: int = 20):
@@ -439,3 +439,32 @@ def test_group_linkage_one_to_one_within_group_pair(spark):
     assert r.n_matched == 1
     assert r.sim_sum == 0.99
     assert r.bm_sim == round(0.99 / 2, 6)
+
+
+def test_progressive_curve_emits_all_buckets_on_tiny_input(spark):
+    from type_filtered_entity_linker_spark.operators.progressive import (
+        progressive_recall_curve,
+    )
+
+    # 3 pairs, 10 buckets: empty buckets must appear and carry the
+    # cumulative values forward (review r4b — spine left join)
+    df = spark.createDataFrame(
+        [(1, 101, 0.9, True), (2, 102, 0.5, False), (3, 103, 0.1, True)],
+        "id_a long, id_b long, proxy double, is_true boolean",
+    )
+    rows = {r.bucket: r for r in progressive_recall_curve(df).collect()}
+    assert sorted(rows) == list(range(1, 11))
+    assert rows[1].n_pairs_cum == 1 and rows[1].n_true_cum == 1
+    assert rows[2].n_pairs_cum == 1  # empty bucket carries forward
+    assert rows[10].n_pairs_cum == 3 and rows[10].recall_cum == 1.0
+
+
+def test_pivot_key_unique_for_13_digit_ids(spark):
+    # review r4b: the old lpad-12 key truncated 13-digit ids; the
+    # suffix key must keep distinct far-apart ids distinct and still
+    # match the python reference
+    big = 10**12
+    edges = [(big, big + 1), (big + 1, big + 2)]
+    got = _run_pivot(spark, edges)
+    assert got == _ref_pivot(edges)
+    assert len(got) == 3

@@ -12,6 +12,7 @@ distributed scores match the golden scores bit-for-bit.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from ..textlib import char_ngrams, fnv1a64
 
@@ -121,6 +122,28 @@ def jaro_winkler_batch(
     ).astype(np.float64)
     boosted = jaro + prefix * 0.1 * (1.0 - jaro)
     return np.where(jaro > boost_threshold, boosted, jaro)
+
+
+def jw_pandas_udf(boost_threshold: float = 0.7):
+    """Arrow-batched Jaro-Winkler column UDF over :func:`
+    jaro_winkler_batch` — defined ONCE so the 0.7 strcmp95 boost
+    threshold (the setting that is bit-identical to DuckDB's
+    jaro_winkler_similarity, which every oracle relies on) cannot
+    drift between call sites (review r4b). Import-light: pyspark is
+    only touched when the factory is called (pandas must be module-
+    level — PEP 563 stringifies the hints and Spark resolves them
+    against THIS module's globals)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            jaro_winkler_batch(
+                a.tolist(), b.tolist(), boost_threshold=boost_threshold
+            )
+        )
+
+    return jw
 
 
 def levenshtein_batch(a: "list[str]", b: "list[str]") -> np.ndarray:

@@ -152,10 +152,13 @@ def pivot_clusters(
     expectation; transitive closure has no such guarantee).
 
     Determinism without a random permutation: pi(v) is a hash order —
-    the first 15 md5 hex chars of 'pivot:'||v, concatenated with the
-    zero-padded node id so the key is UNIQUE and totally ordered; the
-    oracle replays the identical key, so cluster assignments hash-match
-    across engines. Rounds:
+    the first 15 md5 hex chars of 'pivot:'||v, with the node id's own
+    string appended as the tie-break suffix. Because the hash prefix
+    has FIXED length, two keys are equal iff hash AND id string are
+    equal, i.e. iff the node is the same — unique and totally ordered
+    (lexicographically) for ANY id domain, with no pad width to
+    truncate 13+-digit ids. The oracle replays the identical key, so
+    cluster assignments hash-match across engines. Rounds:
 
     1. every active node finds the min key among its active neighbors;
     2. nodes whose own key beats that min (or with no active neighbor)
@@ -180,7 +183,10 @@ def pivot_clusters(
     scale the same barrier is a reliable-storage checkpoint).
 
     Returns (node, cluster_id, is_pivot, round_assigned) for every
-    node in the edge set; cluster_id = the pivot's node id.
+    node with at least one NON-SELF edge (self-loops are discarded up
+    front and contribute no node — singletons are the caller's
+    left-join, as in cluster_mentions); cluster_id = the pivot's node
+    id.
     """
     sym = (
         edges.where(F.col("src") != F.col("dst"))
@@ -194,7 +200,7 @@ def pivot_clusters(
     )
     key = lambda c: F.concat(  # noqa: E731 — local key-builder
         F.substring(F.md5(F.concat(F.lit("pivot:"), c.cast("string"))), 1, 15),
-        F.lpad(c.cast("string"), 12, "0"),
+        c.cast("string"),
     )
     active = (
         sym.select(F.col("src").alias("node"))

@@ -18,8 +18,6 @@ are constrained — the reference only ever constrains one side.)
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -94,16 +92,9 @@ def monge_elkan_scores(
 
     Returns (id_a, id_b, me_ab, me_ba, monge_elkan).
     """
-    from pyspark.sql.functions import pandas_udf
+    from ..functions.strings import jw_pandas_udf
 
-    from ..functions.strings import jaro_winkler_batch
-
-    @pandas_udf("double")
-    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            jaro_winkler_batch(a.tolist(), b.tolist(), boost_threshold=0.7)
-        )
-
+    jw = jw_pandas_udf()
     toks = records.select(
         F.col(id_col).alias("rid"),
         F.posexplode(F.split(F.col(field), r"\s+")).alias("pos", "tok"),

@@ -93,8 +93,13 @@ def dice_link(
 ) -> DataFrame:
     """Dice similarity between candidate pairs' CLK encodings:
     2*|A ∩ B| / (|A| + |B|) over set bit positions. Returns one row
-    per input pair: (id_a, id_b, card_a, card_b, n_common, dice) —
-    pairs whose filters share no bit still emit (n_common=0, dice=0).
+    per pair whose BOTH ids exist in ``records`` (ids blocking never
+    saw are a caller error and are dropped by the membership joins):
+    (id_a, id_b, card_a, card_b, n_common, dice). Pairs whose filters
+    share no bit still emit (n_common=0, dice=0), and a record with a
+    NULL/empty field gets card 0 — its pairs emit dice 0.0 rather
+    than disappearing (two empty filters define Dice as 0, the
+    conservative non-match).
 
     Plan: cardinalities are one hash aggregate over the position
     table; the intersection is a pair-key equi-join on (pair, pos)
@@ -102,7 +107,20 @@ def dice_link(
     comes from upstream blocking, so the whole comparison is linear in
     candidate pairs at any corpus size."""
     clk = clk_positions(records, field, id_col, m=m, k=k, q=q)
-    card = clk.groupBy(id_col).agg(F.count("*").cast("long").alias("card"))
+    # card per RECORD (not per record-with-positions): a NULL/empty
+    # field yields zero grams — left join so such records keep card 0
+    # instead of silently deleting their pairs downstream
+    card = (
+        records.select(id_col)
+        .join(
+            clk.groupBy(id_col).agg(
+                F.count("*").cast("long").alias("_c")
+            ),
+            id_col,
+            "left",
+        )
+        .select(id_col, F.coalesce("_c", F.lit(0)).cast("long").alias("card"))
+    )
     p = pairs.select("id_a", "id_b")
     pa = clk.select(F.col(id_col).alias("id_a"), "pos")
     pb = clk.select(F.col(id_col).alias("id_b"), "pos")
@@ -124,11 +142,15 @@ def dice_link(
             "card_a",
             "card_b",
             F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
-            F.round(
-                2.0
-                * F.coalesce("n_common", F.lit(0))
-                / (F.col("card_a") + F.col("card_b")),
-                round_to,
-            ).alias("dice"),
+            F.when(F.col("card_a") + F.col("card_b") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    2.0
+                    * F.coalesce("n_common", F.lit(0))
+                    / (F.col("card_a") + F.col("card_b")),
+                    round_to,
+                )
+            )
+            .alias("dice"),
         )
     )

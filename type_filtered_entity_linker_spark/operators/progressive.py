@@ -44,10 +44,14 @@ def progressive_recall_curve(
     ``truth_col``; ``order_cols`` (default [id_a, id_b]) break proxy
     ties to a total order so bucket boundaries are deterministic.
 
-    Returns ``n_buckets`` rows: (bucket, n_pairs_cum, n_true_cum,
-    recall_cum) where recall_cum is against ALL truth pairs in the
-    input. A perfectly progressive schedule reaches recall 1.0 in the
-    first buckets; the diagonal means the proxy is uninformative.
+    Returns EXACTLY ``n_buckets`` rows — a bucket spine left-joins the
+    per-bucket aggregates, so inputs with fewer pairs than buckets
+    yield empty buckets that CARRY the cumulative value forward
+    instead of leaving holes in the curve — (bucket, n_pairs_cum,
+    n_true_cum, recall_cum) where recall_cum is against ALL truth
+    pairs in the input. A perfectly progressive schedule reaches
+    recall 1.0 in the first buckets; the diagonal means the proxy is
+    uninformative.
     """
     order_cols = order_cols or ["id_a", "id_b"]
     d = pairs.withColumn("_negp", -F.col(proxy_col))
@@ -71,8 +75,18 @@ def progressive_recall_curve(
         .agg(
             F.count("*").cast("long").alias("n_pairs"),
             F.sum(F.col(truth_col).cast("long")).cast("long").alias("n_true"),
-            F.max("_true").alias("_true"),
         )
+    )
+    spine = (
+        pairs.sparkSession.range(1, n_buckets + 1)
+        .select(F.col("id").alias("bucket"))
+        .crossJoin(F.broadcast(totals))
+    )
+    b = spine.join(b, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+        "_true",
     )
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -37,8 +37,6 @@ window sort, so a viral token list still collapses map-side.
 
 from __future__ import annotations
 
-import pandas as pd
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -88,16 +86,9 @@ def soft_tfidf_scores(
     — pairs with NO close token still emit (0, 0.0) via the left join,
     so a downstream threshold sees every candidate it was given.
     """
-    from pyspark.sql.functions import pandas_udf
+    from ..functions.strings import jw_pandas_udf
 
-    from ..functions.strings import jaro_winkler_batch
-
-    @pandas_udf("double")
-    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            jaro_winkler_batch(a.tolist(), b.tolist(), boost_threshold=0.7)
-        )
-
+    jw = jw_pandas_udf()
     v = tfidf_token_weights(records, field, id_col)
     p = pairs.select("id_a", "id_b")
     va = v.select(

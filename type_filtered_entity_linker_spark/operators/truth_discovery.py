@@ -23,6 +23,16 @@ bolted on afterwards: it sidesteps the whole Spark-vs-DuckDB
 double-rounding midpoint class (BENCH/PLANS.md round(6) policy)
 instead of guarding it.
 
+Range precondition (documented, not checked): the confidence step
+computes raw * 1e6 where raw <= the summed trust mass asserting one
+(obj, value) — this stays under 2^63 while fewer than ~9.2 million
+sources assert the same value of the same object (trust <= 1e6 micro
+each). Truth-discovery "sources" are data PROVIDERS (registries,
+crawls, feeds), not documents, so real source counts are orders of
+magnitude below that; past it, widen both engines' micro-unit state
+to DECIMAL(38,0) — floor division semantics carry over unchanged
+(same trade as selfjoin_pairs' bigint widening, ADVICE r3).
+
 Scale shape: each round is two hash aggregates (per-claim-value trust
 sum with map-side partial collapse; per-object total) plus one join
 back to claims and one per-source aggregate — all keyed by object or
@@ -89,8 +99,12 @@ def source_trust_iterations(
 def resolve_values(claims: DataFrame, trust: DataFrame) -> DataFrame:
     """Final conflict resolution under a given trust table (source,
     tm): each object takes its max-total-trust value, ties broken by
-    the LEXICOGRAPHICALLY SMALLEST value — a max(struct) partial
-    aggregate, no window. Returns (obj, resolved_value, vote_micro)."""
+    the LEXICOGRAPHICALLY SMALLEST value. Plan: two hash aggregates
+    (per-value vote sum, per-object max vote) plus a join back on
+    (obj, max-vote) feeding a min(value) aggregate — three shuffles,
+    all object-keyed, no window sort (max(struct) alone cannot express
+    a MIN-string tie-break under a MAX vote, hence the join-back).
+    Returns (obj, resolved_value, vote_micro)."""
     raw = (
         claims.join(trust, "source")
         .groupBy("obj", "value")

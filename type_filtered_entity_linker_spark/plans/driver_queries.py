@@ -3204,7 +3204,7 @@ def _er_pivot_oracle_sql(rounds: int) -> str:
     a0 AS MATERIALIZED (
         SELECT node,
                substr(md5('pivot:' || node::VARCHAR), 1, 15)
-                   || lpad(node::VARCHAR, 12, '0') AS k
+                   || node::VARCHAR AS k
         FROM (SELECT DISTINCT src AS node FROM sym)),
     b0 AS MATERIALIZED (
         SELECT s.src, s.dst, a.k AS kb
@@ -3911,8 +3911,9 @@ ER_PPRL_SQL = f"""
         UNION ALL
         SELECT rec_id, {_MD5INT.format(x="'clk2:' || g")} % 64 AS pos
         FROM grams)),
-    card AS (SELECT rec_id, count(*)::BIGINT AS card
-             FROM posns GROUP BY rec_id),
+    card AS (SELECT r.rec_id, count(p.pos)::BIGINT AS card
+             FROM records r LEFT JOIN posns p ON p.rec_id = r.rec_id
+             GROUP BY r.rec_id),
     inter AS (SELECT p.id_a, p.id_b, count(*)::BIGINT AS n_common
               FROM pairs p
               JOIN posns a ON a.rec_id = p.id_a
@@ -3920,8 +3921,9 @@ ER_PPRL_SQL = f"""
               GROUP BY 1, 2)
     SELECT p.id_a, p.id_b, ca.card AS card_a, cb.card AS card_b,
            coalesce(i.n_common, 0)::BIGINT AS n_common,
-           round(2.0 * coalesce(i.n_common, 0) / (ca.card + cb.card), 6)
-               AS dice
+           CASE WHEN ca.card + cb.card = 0 THEN 0.0
+                ELSE round(2.0 * coalesce(i.n_common, 0)
+                           / (ca.card + cb.card), 6) END AS dice
     FROM pairs p
     JOIN card ca ON ca.rec_id = p.id_a
     JOIN card cb ON cb.rec_id = p.id_b
@@ -3955,18 +3957,9 @@ def q_er_progressive(spark, sf_dir) -> DataFrame:
             F.col("b.name").alias("name_b"),
         )
     )
-    from pyspark.sql.functions import pandas_udf
+    from ..functions.strings import jw_pandas_udf
 
-    from ..functions.strings import jaro_winkler_batch
-
-    @pandas_udf("double")
-    def jw(a, b):
-        import pandas as pd
-
-        return pd.Series(
-            jaro_winkler_batch(a.tolist(), b.tolist(), boost_threshold=0.7)
-        )
-
+    jw = jw_pandas_udf()
     flagged = (
         pairs.withColumn("proxy", jw(F.col("name_a"), F.col("name_b")))
         .join(truth.withColumn("_t", F.lit(True)), ["id_a", "id_b"], "left")
@@ -4011,12 +4004,17 @@ ER_PROGRESSIVE_SQL = """
            FROM rk CROSS JOIN tot),
     g AS (SELECT bucket, count(*)::BIGINT AS n_pairs,
                  sum(CASE WHEN is_true THEN 1 ELSE 0 END)::BIGINT AS n_true
-          FROM bk GROUP BY bucket)
+          FROM bk GROUP BY bucket),
+    spine AS (SELECT unnest(range(1, 11))::BIGINT AS bucket),
+    gg AS (SELECT s.bucket,
+                  coalesce(g.n_pairs, 0)::BIGINT AS n_pairs,
+                  coalesce(g.n_true, 0)::BIGINT AS n_true
+           FROM spine s LEFT JOIN g USING (bucket))
     SELECT bucket,
            sum(n_pairs) OVER w::BIGINT AS n_pairs_cum,
            sum(n_true) OVER w::BIGINT AS n_true_cum,
            round(sum(n_true) OVER w / tt, 6) AS recall_cum
-    FROM g CROSS JOIN tot
+    FROM gg CROSS JOIN tot
     WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
                  AND CURRENT ROW)
 """
@@ -4137,19 +4135,10 @@ def q_er_group_linkage(spark, sf_dir) -> DataFrame:
     separation a household/domain-level resolver thresholds on. The
     oracle replays the reciprocal-best member matching with two
     row_number windows and DuckDB's native jaro_winkler_similarity."""
-    from pyspark.sql.functions import pandas_udf
-
-    from ..functions.strings import jaro_winkler_batch
+    from ..functions.strings import jw_pandas_udf
     from ..operators.matching import group_linkage
 
-    @pandas_udf("double")
-    def jw(a, b):
-        import pandas as pd
-
-        return pd.Series(
-            jaro_winkler_batch(a.tolist(), b.tolist(), boost_threshold=0.7)
-        )
-
+    jw = jw_pandas_udf()
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     phone = F.lpad(
         ((F.col("c_custkey") * 7919) % 10000000).cast("string"), 7, "0"
