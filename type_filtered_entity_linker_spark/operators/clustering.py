@@ -363,3 +363,46 @@ def cluster_conflicts(
         "n_unscored",
         "min_score",
     )
+
+
+def cannot_link_violations(
+    assignments: DataFrame,
+    constraints: DataFrame,
+    id_col: str = "rec_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Audit cluster assignments against CANNOT-LINK constraints —
+    the steward-feedback half of constrained ER (Wagstaff & Cardie
+    ICML'00 constraints applied to linkage QA): a constraint
+    (id_a, id_b) asserts two records are KNOWN distinct entities; any
+    cluster containing both is over-merged and goes to the review
+    queue. Transitive closure is exactly what makes this audit
+    necessary: two individually-plausible links can chain records a
+    steward knows apart (the el_transitive_conflicts query audits
+    score-level conflicts; this one audits curated hard constraints).
+
+    Returns one row per constraint: (id_a, id_b, cluster_a,
+    cluster_b, violated) with violated = 1 iff both ends landed in
+    the same cluster. Shape: two id-keyed equi-joins against the
+    assignment table, no window, no collect — at 100 TB the
+    constraint table is the small side and broadcasts."""
+    a = assignments.select(
+        F.col(id_col).alias("id_a"), F.col(cluster_col).alias("cluster_a")
+    )
+    b = assignments.select(
+        F.col(id_col).alias("id_b"), F.col(cluster_col).alias("cluster_b")
+    )
+    return (
+        constraints.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "cluster_a",
+            "cluster_b",
+            (F.col("cluster_a") == F.col("cluster_b"))
+            .cast("int")
+            .alias("violated"),
+        )
+    )

@@ -396,3 +396,56 @@ def calibration_table(
             ).alias("calibration_gap"),
         )
     )
+
+
+def capture_recapture(pairs_a: DataFrame, pairs_b: DataFrame) -> DataFrame:
+    """Chapman capture-recapture estimate of the total duplicate-pair
+    population from TWO independent detection passes (Petersen/Lincoln
+    two-list estimator with Chapman's bias correction — the dedup
+    literature's answer to "how many dups did my blocking MISS?";
+    cf. Lahiri & Larsen JASA'05 on linkage population estimation).
+
+    ``pairs_a`` / ``pairs_b``: the VERIFIED pairs each detector
+    surfaced, (id_a, id_b) canonical. Pairs both detectors caught are
+    the "marked recaptures"; the estimator extrapolates to pairs
+    NEITHER caught:
+
+        N_hat = (n_a + 1) * (n_b + 1) // (n_both + 1) - 1
+
+    computed in integer floor arithmetic (exact in both engines, no
+    rounding guard needed — same trade as truth_discovery's
+    micro-units). Returns ONE row: (n_a, n_b, n_both, chapman_total,
+    coverage_a, coverage_b) where coverage_x = n_x / chapman_total
+    rounded to 6 — the per-detector recall estimate NO ground truth
+    was needed for.
+
+    Shape: tag-union -> one pair-keyed hash aggregate -> one global
+    aggregate (all map-side partials); no window, no collect. The
+    independence assumption between detectors is the estimator's own
+    (documented) precondition — correlated detectors bias N_hat low,
+    which is why the two passes should block on UNRELATED keys."""
+    a = pairs_a.select("id_a", "id_b").distinct().select(
+        "id_a", "id_b", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    b = pairs_b.select("id_a", "id_b").distinct().select(
+        "id_a", "id_b", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    per_pair = (
+        a.unionByName(b)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    tot = per_pair.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+    )
+    chapman = F.expr("((n_a + 1) * (n_b + 1)) div (n_both + 1) - 1")
+    return tot.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        chapman.cast("long").alias("chapman_total"),
+        F.round(F.col("n_a") / chapman, 6).alias("coverage_a"),
+        F.round(F.col("n_b") / chapman, 6).alias("coverage_b"),
+    )

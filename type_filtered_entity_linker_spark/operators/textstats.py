@@ -434,3 +434,77 @@ def token_entropy(
         "entropy",
         "norm_entropy",
     )
+
+
+def host_health(
+    docs: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-host corpus-health scorecard — the crawl-triage view a
+    web-corpus team reads before spending dedup/quality budget on a
+    host (CCNet/RefinedWeb-style per-domain curation, applied at the
+    host rollup): document volume, exact-duplicate rate (md5 text
+    fingerprints), mean document size, and the language-mix entropy
+    that separates single-language content hosts from mixed-boiler
+    aggregators.
+
+    Returns one row per host: (host, n_docs, n_unique_docs, dup_rate,
+    avg_chars, n_langs, lang_entropy) with entropy in nats over the
+    host's language distribution (ln(N) - sum(c ln c)/N — the repo's
+    token-entropy convention), dup_rate = 1 - unique/docs, both
+    rounded to 6.
+
+    Shape: two host-keyed hash aggregates (one through a
+    (host, fingerprint) pre-aggregate for the dup stats + exact
+    distinct, one through (host, lang) for the entropy) joined on
+    host — all map-side-combinable, no window, no UDF; hosts are the
+    natural shuffle key and a viral host only widens ONE reduce
+    group's value list, never a sort."""
+    fp = (
+        docs.groupBy(
+            F.col(host_col).alias("host"), F.md5(F.col(text_col)).alias("fp")
+        )
+        .agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(chars_col).cast("long").alias("chars_sum"),
+        )
+    )
+    base = fp.groupBy("host").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_unique_docs"),
+        F.sum("chars_sum").cast("long").alias("_chars_sum"),
+    )
+    lang = (
+        docs.groupBy(
+            F.col(host_col).alias("host"), F.col(lang_col).alias("lang")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_langs"),
+            F.round(
+                F.log(F.sum("c"))
+                - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+                6,
+            ).alias("lang_entropy"),
+        )
+    )
+    return (
+        base.join(lang, "host")
+        .select(
+            "host",
+            "n_docs",
+            "n_unique_docs",
+            F.round(
+                F.lit(1.0) - F.col("n_unique_docs") / F.col("n_docs"), 6
+            ).alias("dup_rate"),
+            F.round(F.col("_chars_sum") / F.col("n_docs"), 6).alias(
+                "avg_chars"
+            ),
+            "n_langs",
+            "lang_entropy",
+        )
+    )

@@ -7275,6 +7275,337 @@ DSIR_SQL = f"""
 """
 
 
+# ---------------------------------------------- wave 5: production ER ops
+# The operations-analytics layer around the linkage pipeline: the jobs an
+# ER team runs BETWEEN pipeline runs — field profiling before choosing
+# blocking keys, label-budget triage, steward-constraint audits, missed-
+# duplicate estimation, and per-host corpus health.
+
+
+def q_er_profile(spark, sf_dir) -> DataFrame:
+    """Column profiling of the dirty-customer ER corpus — the
+    pre-blocking field inspection (completeness / distinctness / modal
+    value / length stats) that decides which fields can BLOCK (high
+    completeness + distinctness: phone) and which can only COMPARE
+    (city: 25 values). Every 7th record's phone is NULLed so the
+    null-rate path is exercised, not just asserted. One stack unpivot
+    + two hash aggregates (operators/profiling.py) — no window over
+    the data, no collect."""
+    from ..operators.profiling import profile_columns
+
+    records, _, _ = _fs_customers(spark, sf_dir, corrupt="city")
+    src = records.select(
+        "name",
+        "city",
+        F.when(F.col("rec_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("phone"))
+        .alias("phone"),
+    )
+    return profile_columns(src, ["name", "city", "phone"])
+
+
+def _er_profile_oracle_sql() -> str:
+    """Replica: same corpus + NULL injection, UNION-ALL unpivot, the
+    same two aggregates, and the modal value as a row_number replay of
+    max(struct(cnt, value)) — (count DESC, value DESC)."""
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               CASE WHEN rec_id % 20 = 0 THEN 'unknown' ELSE city END,
+               phone
+        FROM clean WHERE rec_id % 10 = 0),
+    src AS (SELECT name, city,
+                   CASE WHEN rec_id % 7 = 0 THEN NULL ELSE phone END AS phone
+            FROM records),
+    stacked AS (
+        SELECT 'name' AS col_name, CAST(name AS VARCHAR) AS value FROM src
+        UNION ALL
+        SELECT 'city', CAST(city AS VARCHAR) FROM src
+        UNION ALL
+        SELECT 'phone', CAST(phone AS VARCHAR) FROM src),
+    per_val AS (SELECT col_name, value, count(*)::BIGINT AS cnt
+                FROM stacked GROUP BY 1, 2),
+    prof AS (
+        SELECT col_name,
+               sum(cnt)::BIGINT AS n_rows,
+               coalesce(sum(cnt) FILTER (WHERE value IS NULL), 0)::BIGINT
+                   AS n_null,
+               (count(*) FILTER (WHERE value IS NOT NULL))::BIGINT
+                   AS n_distinct,
+               {_spark_round(
+                   "(sum(length(value) * cnt)"
+                   " FILTER (WHERE value IS NOT NULL))::DOUBLE"
+                   " / (sum(cnt) FILTER (WHERE value IS NOT NULL))"
+               )} AS avg_len
+        FROM per_val GROUP BY col_name),
+    top AS (SELECT col_name, value AS top_value, cnt AS top_count,
+                   row_number() OVER (PARTITION BY col_name
+                                      ORDER BY cnt DESC, value DESC) AS rn
+            FROM per_val WHERE value IS NOT NULL)
+    SELECT p.col_name, p.n_rows, p.n_null,
+           {_spark_round('p.n_null::DOUBLE / p.n_rows')} AS null_rate,
+           p.n_distinct, p.avg_len, t.top_value, t.top_count
+    FROM prof p LEFT JOIN top t ON p.col_name = t.col_name AND t.rn = 1
+"""
+
+
+ER_PROFILE_SQL = _er_profile_oracle_sql()
+
+
+# label budget for the uncertainty queue: deep enough to cross several
+# distinct FS score levels at sf0.01 (scores are sums of a few weight
+# literals, so the band is quantized and ties are broken by pair id)
+UNCERTAINTY_K = 100
+
+
+def q_er_uncertainty_queue(spark, sf_dir) -> DataFrame:
+    """Active-learning label queue over the bipartite FS-scored pairs:
+    the top-100 pairs whose score sits closest to the middle of the
+    [lower, upper) review band — clear links and clear non-links never
+    reach the labeler (operators/active_learning.py). Rank is the
+    two-level global_rank (range partition + offset compose), so the
+    queue ordering is exact without a single-task global sort."""
+    from ..operators.active_learning import uncertainty_queue
+
+    return uncertainty_queue(
+        _fs_bipartite_pairs(spark, sf_dir), FS_LOWER, FS_UPPER, UNCERTAINTY_K
+    )
+
+
+def _er_uncertainty_oracle_sql() -> str:
+    """Replica: shared bipartite CTEs, band filter, the SAME
+    already-rounded uncertainty key, one row_number under the total
+    order (uncertainty, id_a, id_b)."""
+    mid = (FS_LOWER + FS_UPPER) / 2.0
+    return f"""{_fs_bipartite_ctes()},
+    band AS (SELECT id_a, id_b, score,
+                    {_spark_round(f'abs(score - {mid!r})')} AS uncertainty
+             FROM dec
+             WHERE score >= {FS_LOWER!r} AND score < {FS_UPPER!r}),
+    q AS (SELECT row_number() OVER (
+                     ORDER BY uncertainty, id_a, id_b) AS queue_pos,
+                 id_a, id_b, score, uncertainty
+          FROM band)
+    SELECT queue_pos, id_a, id_b, score, uncertainty
+    FROM q WHERE queue_pos <= {UNCERTAINTY_K}
+"""
+
+
+ER_UNCERTAINTY_SQL = _er_uncertainty_oracle_sql()
+
+
+def q_er_capture_recapture(spark, sf_dir) -> DataFrame:
+    """Chapman capture-recapture estimate of the TRUE duplicate-pair
+    population from two independent detection passes — 'how many dups
+    did my blocking miss?' answered without ground truth
+    (operators/evaluation.py capture_recapture). Pass A blocks on
+    phone equality, pass B on name sorted-neighborhood; both verify
+    candidates at Levenshtein(name) <= 1 and restrict to the bipartite
+    clean->dirty direction, so each pass is a plausible standalone
+    detector and their blocking keys are unrelated (the estimator's
+    independence precondition)."""
+    from ..operators.evaluation import capture_recapture
+    from ..operators.sorted_neighborhood import sorted_neighborhood_pairs
+
+    records, _, _ = _fs_customers(spark, sf_dir, corrupt="city")
+    names = records.select("rec_id", "name")
+
+    def verified(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(
+                names.select(
+                    F.col("rec_id").alias("id_a"),
+                    F.col("name").alias("name_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                names.select(
+                    F.col("rec_id").alias("id_b"),
+                    F.col("name").alias("name_b"),
+                ),
+                "id_b",
+            )
+            .where(
+                (F.col("id_a") < 1000000)
+                & (F.col("id_b") >= 1000000)
+                & (F.levenshtein("name_a", "name_b") <= 1)
+            )
+            .select("id_a", "id_b")
+        )
+
+    ph = records.select("rec_id", "phone")
+    phone_pairs = (
+        ph.alias("a")
+        .join(ph.alias("b"), "phone")
+        .where(F.col("a.rec_id") < F.col("b.rec_id"))
+        .select(
+            F.col("a.rec_id").alias("id_a"), F.col("b.rec_id").alias("id_b")
+        )
+    )
+    snm_pairs = sorted_neighborhood_pairs(
+        records, ["name"], window=ER_PIPE_SNM_W
+    ).select("id_a", "id_b")
+    return capture_recapture(verified(phone_pairs), verified(snm_pairs))
+
+
+def _er_capture_recapture_oracle_sql() -> str:
+    """Replica: same corpus, same two blocked-then-verified pair sets,
+    tag-union, one global aggregate, Chapman in integer floor
+    arithmetic (`//` == Spark `div` for non-negative operands)."""
+    chap = "(((n_a + 1) * (n_b + 1)) // (n_both + 1) - 1)"
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               CASE WHEN rec_id % 20 = 0 THEN 'unknown' ELSE city END,
+               phone
+        FROM clean WHERE rec_id % 10 = 0),
+    phone_pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM records a JOIN records b
+          ON a.phone = b.phone AND a.rec_id < b.rec_id),
+    ranked AS (SELECT rec_id,
+                      row_number() OVER (ORDER BY name, rec_id) AS rnk
+               FROM records),
+    snm_pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM ranked a
+        JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {ER_PIPE_SNM_W}),
+    va AS (SELECT DISTINCT p.id_a, p.id_b
+           FROM phone_pairs p
+           JOIN records a ON p.id_a = a.rec_id
+           JOIN records b ON p.id_b = b.rec_id
+           WHERE p.id_a < 1000000 AND p.id_b >= 1000000
+             AND levenshtein(a.name, b.name) <= 1),
+    vb AS (SELECT DISTINCT p.id_a, p.id_b
+           FROM snm_pairs p
+           JOIN records a ON p.id_a = a.rec_id
+           JOIN records b ON p.id_b = b.rec_id
+           WHERE p.id_a < 1000000 AND p.id_b >= 1000000
+             AND levenshtein(a.name, b.name) <= 1),
+    u AS (SELECT id_a, id_b, max(in_a) AS in_a, max(in_b) AS in_b
+          FROM (SELECT id_a, id_b, 1 AS in_a, 0 AS in_b FROM va
+                UNION ALL
+                SELECT id_a, id_b, 0 AS in_a, 1 AS in_b FROM vb)
+          GROUP BY 1, 2),
+    tot AS (SELECT sum(in_a)::BIGINT AS n_a, sum(in_b)::BIGINT AS n_b,
+                   sum(in_a * in_b)::BIGINT AS n_both
+            FROM u)
+    SELECT n_a, n_b, n_both,
+           {chap}::BIGINT AS chapman_total,
+           {_spark_round(f'n_a::DOUBLE / {chap}')} AS coverage_a,
+           {_spark_round(f'n_b::DOUBLE / {chap}')} AS coverage_b
+    FROM tot
+"""
+
+
+ER_CAPTURE_RECAPTURE_SQL = _er_capture_recapture_oracle_sql()
+
+
+def q_er_constraints(spark, sf_dir) -> DataFrame:
+    """Cannot-link constraint audit of the pipeline's clusters
+    (operators/clustering.py cannot_link_violations): the steward
+    constraint fixture plants BOTH outcome classes by construction —
+    (orig, dirty-twin) probes land violated = 1 exactly where the
+    pipeline linked the pair (city survived -> FS 16.21 >= 12) and 0
+    where the blanked city dropped it to the possible band, while the
+    (orig, orig+1) neighbor probes are genuinely distinct customers
+    and stay violated = 0. Two broadcast-sized equi-joins against the
+    assignment table; the oracle replays the whole pipeline (recursive
+    CC CTE) plus the audit."""
+    from ..operators.clustering import cannot_link_violations
+
+    assignments = q_er_pipeline_clusters(spark, sf_dir)
+    base = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_custkey") % 10 == 0
+    )
+    twins = base.select(
+        F.col("c_custkey").alias("id_a"),
+        (F.col("c_custkey") + 1000000).alias("id_b"),
+    )
+    neighbors = base.select(
+        F.col("c_custkey").alias("id_a"),
+        (F.col("c_custkey") + 1).alias("id_b"),
+    )
+    return cannot_link_violations(
+        assignments, twins.unionByName(neighbors)
+    )
+
+
+ER_CONSTRAINTS_SQL = f"""
+    WITH assign AS ({ER_PIPELINE_SQL}),
+    cons AS (
+        SELECT c_custkey AS id_a, c_custkey + 1000000 AS id_b
+        FROM customer WHERE c_custkey % 10 = 0
+        UNION ALL
+        SELECT c_custkey AS id_a, c_custkey + 1 AS id_b
+        FROM customer WHERE c_custkey % 10 = 0)
+    SELECT cons.id_a, cons.id_b,
+           a.cluster_id AS cluster_a, b.cluster_id AS cluster_b,
+           CAST(a.cluster_id = b.cluster_id AS INTEGER) AS violated
+    FROM cons
+    JOIN assign a ON cons.id_a = a.rec_id
+    JOIN assign b ON cons.id_b = b.rec_id
+"""
+
+
+def q_crawl_host_stats(spark, sf_dir) -> DataFrame:
+    """Per-host corpus-health scorecard over the documents table
+    (operators/textstats.py host_health): volume, exact-duplicate rate
+    (md5 text fingerprints), mean size, and language-mix entropy per
+    host. Every 7th document is unioned in a second time so the
+    dup-rate path measures real duplicates rather than asserting
+    zero; host = source (the fixture's host-like column)."""
+    from ..operators.textstats import host_health
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.unionByName(d.where(F.col("doc_id") % 7 == 0)).withColumn(
+        "host", F.col("source")
+    )
+    return host_health(corpus)
+
+
+CRAWL_HOST_STATS_SQL = f"""
+    WITH corpus AS (
+        SELECT source AS host, text, lang, n_chars FROM documents
+        UNION ALL
+        SELECT source AS host, text, lang, n_chars FROM documents
+        WHERE doc_id % 7 = 0),
+    fp AS (SELECT host, md5(text) AS f, count(*)::BIGINT AS cnt,
+                  sum(n_chars)::BIGINT AS chars_sum
+           FROM corpus GROUP BY 1, 2),
+    b AS (SELECT host, sum(cnt)::BIGINT AS n_docs,
+                 count(*)::BIGINT AS n_unique_docs,
+                 sum(chars_sum)::BIGINT AS cs
+          FROM fp GROUP BY host),
+    l AS (SELECT host, lang, count(*)::BIGINT AS c FROM corpus GROUP BY 1, 2),
+    le AS (SELECT host, count(*)::BIGINT AS n_langs,
+                  {_spark_round('ln(sum(c)) - sum(c * ln(c)) / sum(c)')}
+                      AS lang_entropy
+           FROM l GROUP BY host)
+    SELECT b.host, b.n_docs, b.n_unique_docs,
+           {_spark_round('1.0 - b.n_unique_docs::DOUBLE / b.n_docs')}
+               AS dup_rate,
+           {_spark_round('b.cs::DOUBLE / b.n_docs')} AS avg_chars,
+           le.n_langs, le.lang_entropy
+    FROM b JOIN le ON b.host = le.host
+"""
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -7407,6 +7738,11 @@ QUERIES = {
     "er_edit_join": q_er_edit_join,
     "er_unicode_keys": q_er_unicode_keys,
     "docs_dsir_select": q_docs_dsir_select,
+    "er_profile": q_er_profile,
+    "er_uncertainty_queue": q_er_uncertainty_queue,
+    "er_capture_recapture": q_er_capture_recapture,
+    "er_constraints": q_er_constraints,
+    "crawl_host_stats": q_crawl_host_stats,
 }
 
 ORACLES = {
@@ -7539,6 +7875,11 @@ ORACLES = {
     "er_edit_join": ER_EDIT_JOIN_SQL,
     "er_unicode_keys": ER_UNICODE_KEYS_SQL,
     "docs_dsir_select": DSIR_SQL,
+    "er_profile": ER_PROFILE_SQL,
+    "er_uncertainty_queue": ER_UNCERTAINTY_SQL,
+    "er_capture_recapture": ER_CAPTURE_RECAPTURE_SQL,
+    "er_constraints": ER_CONSTRAINTS_SQL,
+    "crawl_host_stats": CRAWL_HOST_STATS_SQL,
 }
 
 
