@@ -192,6 +192,21 @@ HEADLINE = [
     "er_truth_discovery",
     # group linkage: BM similarity over member matching
     "er_group_linkage",
+    # production ER ops (round-4 fifth slot): pre-blocking column
+    # profiling, active-learning label queue, Chapman missed-dup
+    # estimate, cannot-link steward audit, per-host corpus health
+    "er_profile",
+    "er_uncertainty_queue",
+    "er_capture_recapture",
+    "er_constraints",
+    "crawl_host_stats",
+    # steward feedback loop (round-4 sixth slot): must-link constrained
+    # clustering, cannot-link cluster repair, residual-dup Chapman over
+    # the two real near-dup detectors, host-level curation filter
+    "er_must_link",
+    "er_cluster_repair",
+    "docs_residual_dups",
+    "docs_host_filter",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

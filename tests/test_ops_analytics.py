@@ -158,3 +158,55 @@ def test_host_health_dup_rate_and_lang_entropy(spark):
         1,
         0.0,
     )
+
+
+def test_repair_overmerges_splits_only_violated_clusters(spark):
+    from type_filtered_entity_linker_spark.operators.clustering import (
+        repair_overmerges,
+    )
+
+    # cluster 1 = {1,2,3} chained via one weak edge; cluster 4 = {4,5}
+    assignments = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)],
+        "rec_id long, cluster_id long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 2, 16.0), (2, 3, 11.0), (1, 3, 4.0), (4, 5, 16.0)],
+        "id_a long, id_b long, score double",
+    )
+    constraints = spark.createDataFrame(
+        [(1, 3), (4, 999)], "id_a long, id_b long"
+    )
+    got = {
+        r["rec_id"]: (r["cluster_id"], r["repaired"])
+        for r in repair_overmerges(
+            assignments, scored, constraints, 12.0
+        ).collect()
+    }
+    # violated cluster 1 re-clusters from its >=12 edges: {1,2} + {3}
+    assert got[1] == (1, 1) and got[2] == (1, 1)
+    assert got[3] == (3, 1)
+    # cluster 4: constraint end 999 unknown -> no violation -> untouched
+    assert got[4] == (4, 0) and got[5] == (4, 0)
+
+
+def test_repair_overmerges_noop_when_no_violations(spark):
+    from type_filtered_entity_linker_spark.operators.clustering import (
+        repair_overmerges,
+    )
+
+    assignments = spark.createDataFrame(
+        [(1, 1), (2, 2)], "rec_id long, cluster_id long"
+    )
+    scored = spark.createDataFrame(
+        [(1, 2, 16.0)], "id_a long, id_b long, score double"
+    )
+    constraints = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = {
+        r["rec_id"]: (r["cluster_id"], r["repaired"])
+        for r in repair_overmerges(
+            assignments, scored, constraints, 12.0
+        ).collect()
+    }
+    # the constrained pair sits in DIFFERENT clusters -> nothing to do
+    assert got == {1: (1, 0), 2: (2, 0)}

@@ -406,3 +406,68 @@ def cannot_link_violations(
             .alias("violated"),
         )
     )
+
+
+def repair_overmerges(
+    assignments: DataFrame,
+    scored: DataFrame,
+    constraints: DataFrame,
+    strong_threshold: float,
+    id_col: str = "rec_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Steward-driven cluster repair — the action half of the
+    cannot-link audit: every cluster that violates a constraint is
+    re-clustered from ONLY its strong evidence (scored pairs with
+    score >= ``strong_threshold``), while untouched clusters pass
+    through unchanged. This is the standard remediation for
+    transitive over-merge (one weak edge chained two real entities):
+    dropping sub-threshold edges inside the violated cluster lets the
+    strong cores separate, and members left with no strong edge
+    become singletons.
+
+    Returns (id_col, cluster_col, repaired) — ``repaired`` = 1 on the
+    rows that went through re-clustering (their cluster id is the min
+    member id of their strong-edge component), 0 on pass-through rows.
+
+    Scale shape: violated clusters are a small audited fraction of a
+    100 TB corpus, so the member-id semi-joins broadcast and the CC
+    rerun sees only their internal edge set; the pass-through side is
+    one anti-join, no shuffle of the scored table beyond the strong
+    filter. A strong edge can never span two violated clusters (any
+    pair scoring >= strong also scored >= the review threshold that
+    built the clusters), so re-clustering per-cluster and globally
+    coincide."""
+    viol = cannot_link_violations(
+        assignments, constraints, id_col=id_col, cluster_col=cluster_col
+    ).where(F.col("violated") == 1)
+    bad = viol.select(F.col("cluster_a").alias(cluster_col)).distinct()
+    members = assignments.join(bad, cluster_col, "left_semi")
+    strong = (
+        scored.where(F.col("score") >= F.lit(strong_threshold))
+        .join(
+            members.select(F.col(id_col).alias("id_a")), "id_a", "left_semi"
+        )
+        .join(
+            members.select(F.col(id_col).alias("id_b")), "id_b", "left_semi"
+        )
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    redone = connected_components(strong).withColumnRenamed("node", id_col)
+    repaired = (
+        members.select(id_col)
+        .join(redone, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col))
+            .cast("long")
+            .alias(cluster_col),
+            F.lit(1).alias("repaired"),
+        )
+    )
+    untouched = assignments.join(bad, cluster_col, "left_anti").select(
+        F.col(id_col),
+        F.col(cluster_col).cast("long").alias(cluster_col),
+        F.lit(0).alias("repaired"),
+    )
+    return untouched.unionByName(repaired)

@@ -2782,6 +2782,18 @@ def q_er_pipeline_clusters(spark, sf_dir) -> DataFrame:
     is O(n·w) by the rank-bucket join, scoring shuffles pairs on
     rec_id only, and CC is the O(log n)-round loop — no stage is
     quadratic in the corpus."""
+    _, _, _, assign = _er_pipeline_parts(spark, sf_dir)
+    return assign
+
+
+def _er_pipeline_parts(
+    spark, sf_dir
+) -> "tuple[DataFrame, DataFrame, DataFrame, DataFrame]":
+    """The composite pipeline's shared stages — (records, FS-scored
+    pairs, link edges, full CC assignment) — one definition feeding
+    er_pipeline_clusters, er_constraints (via the assignment) and
+    er_must_link (which extends the edge set), so blocking/scoring/
+    threshold edits land in every consumer at once."""
     from ..operators.clustering import connected_components
     from ..operators.fellegi_sunter import fellegi_sunter_scores
     from ..operators.sorted_neighborhood import sorted_neighborhood_pairs
@@ -2807,7 +2819,7 @@ def q_er_pipeline_clusters(spark, sf_dir) -> DataFrame:
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     assign = connected_components(edges).withColumnRenamed("node", "rec_id")
-    return (
+    full = (
         records.select("rec_id")
         .join(assign, "rec_id", "left")
         .select(
@@ -2817,6 +2829,7 @@ def q_er_pipeline_clusters(spark, sf_dir) -> DataFrame:
             .alias("cluster_id"),
         )
     )
+    return records, scored, edges, full
 
 
 def _er_pipeline_oracle_sql() -> str:
@@ -7606,6 +7619,393 @@ CRAWL_HOST_STATS_SQL = f"""
 """
 
 
+# -------------------------------------- wave 6: the steward feedback loop
+# er_uncertainty_queue sends ambiguous pairs to a labeler; these close
+# the loop: confirmed matches re-enter as MUST-LINK edges, confirmed
+# distinctions drive CANNOT-LINK cluster repair — plus the corpus-side
+# composition of the same estimators (residual-dup estimate, host-level
+# curation filter).
+
+
+def q_er_must_link(spark, sf_dir) -> DataFrame:
+    """Constrained clustering with steward-confirmed MUST-LINK pairs:
+    the city-blanked twins score 11.71 < 12 and sit in the review band
+    — exactly the pairs er_uncertainty_queue surfaces — so the fixture
+    plays the labeler confirming them. Their edges union into the link
+    edge set before the CC loop; output is per record (cluster_id,
+    cluster_ml, changed) so the delta the labels bought is itself a
+    column. One extra union before the same O(log n) CC loop — the
+    constraint table is steward-sized and never dominates a shuffle."""
+    from ..operators.clustering import connected_components
+
+    records, _, edges, assign = _er_pipeline_parts(spark, sf_dir)
+    ml = records.where(
+        (F.col("rec_id") % 20 == 0) & (F.col("rec_id") < 1000000)
+    ).select(
+        F.col("rec_id").alias("src"),
+        (F.col("rec_id") + 1000000).alias("dst"),
+    )
+    assign_ml = connected_components(
+        edges.unionByName(ml)
+    ).withColumnRenamed("node", "rec_id")
+    return (
+        assign.join(assign_ml.withColumnRenamed("cluster_id", "ml"),
+                    "rec_id", "left")
+        .select(
+            "rec_id",
+            "cluster_id",
+            F.coalesce("ml", F.col("rec_id")).cast("long").alias(
+                "cluster_ml"
+            ),
+            (
+                F.col("cluster_id")
+                != F.coalesce("ml", F.col("rec_id")).cast("long")
+            )
+            .cast("int")
+            .alias("changed"),
+        )
+    )
+
+
+def _er_must_link_oracle_sql() -> str:
+    """Replica: pipeline corpus/blocking/scoring CTEs, then TWO
+    label-propagation fixpoints — one over the link edges, one over
+    link ∪ must-link — and the per-record comparison."""
+    from ..operators.fellegi_sunter import fs_weights
+
+    terms = []
+    agrees = []
+    for f, (m, u) in FS_PARAMS.items():
+        t = FS_NEAR.get(f, 0)
+        agrees.append(
+            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
+            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
+            f"AS agree_{f}"
+        )
+        wa, wd = fs_weights(m, u)
+        terms.append(
+            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
+            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
+        )
+    score = " + ".join(["0.0"] + terms)
+    return f"""
+    WITH RECURSIVE clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               CASE WHEN rec_id % 20 = 0 THEN 'unknown' ELSE city END,
+               phone
+        FROM clean WHERE rec_id % 10 = 0),
+    phone_pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM records a JOIN records b
+          ON a.phone = b.phone AND a.rec_id < b.rec_id),
+    ranked AS (SELECT rec_id,
+                      row_number() OVER (ORDER BY name, rec_id) AS rnk
+               FROM records),
+    snm_pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM ranked a
+        JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {ER_PIPE_SNM_W}),
+    pairs AS (SELECT DISTINCT id_a, id_b FROM (
+        SELECT * FROM phone_pairs UNION ALL SELECT * FROM snm_pairs)),
+    ag AS (
+        SELECT p.id_a, p.id_b, {', '.join(agrees)}
+        FROM pairs p
+        JOIN records a ON p.id_a = a.rec_id
+        JOIN records b ON p.id_b = b.rec_id),
+    sc AS (SELECT *, round({score}, 6) AS score FROM ag),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM sc WHERE score >= {FS_UPPER!r}
+        UNION
+        SELECT id_b, id_a FROM sc WHERE score >= {FS_UPPER!r}),
+    ml AS (SELECT rec_id AS src, rec_id + 1000000 AS dst
+           FROM clean WHERE rec_id % 20 = 0),
+    e2 AS (SELECT src, dst FROM e
+           UNION SELECT src, dst FROM ml
+           UNION SELECT dst, src FROM ml),
+    walk(node, lbl) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+    walk2(node, lbl) AS (
+        SELECT src, src FROM e2
+        UNION
+        SELECT e2.dst, w.lbl FROM walk2 w JOIN e2 ON e2.src = w.node),
+    comp2 AS (SELECT node, min(lbl) AS cluster_id FROM walk2 GROUP BY node)
+    SELECT r.rec_id::BIGINT AS rec_id,
+           coalesce(c1.cluster_id, r.rec_id)::BIGINT AS cluster_id,
+           coalesce(c2.cluster_id, r.rec_id)::BIGINT AS cluster_ml,
+           CAST(coalesce(c1.cluster_id, r.rec_id)
+                <> coalesce(c2.cluster_id, r.rec_id) AS INTEGER) AS changed
+    FROM records r
+    LEFT JOIN comp c1 ON r.rec_id = c1.node
+    LEFT JOIN comp2 c2 ON r.rec_id = c2.node
+"""
+
+
+ER_MUST_LINK_SQL = _er_must_link_oracle_sql()
+
+
+def q_er_cluster_repair(spark, sf_dir) -> DataFrame:
+    """Cannot-link repair over the two-copy conflict corpus
+    (operators/clustering.py repair_overmerges): review-threshold
+    clustering merges {orig, A, B}; the steward asserts (orig, B)
+    distinct; repair re-clusters ONLY the violated clusters from their
+    strong (>= link-threshold) edges — orig–A (16.21) survives, A–B
+    (11.71) and orig–B (4.29) drop — leaving {orig, A} + {B} with the
+    violation resolved. Corrupted-phone B copies never merged, so
+    their constraints are clean and those clusters pass through
+    untouched (repaired = 0)."""
+    from ..operators.clustering import (
+        connected_components,
+        repair_overmerges,
+    )
+
+    records, scored = _conflict_records_scored(spark, sf_dir)
+    edges = scored.where(F.col("score") >= ER_CONFLICT_REVIEW).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    assign = connected_components(edges).withColumnRenamed("node", "rec_id")
+    full = (
+        records.select("rec_id")
+        .join(assign, "rec_id", "left")
+        .select(
+            F.col("rec_id").cast("long").alias("rec_id"),
+            F.coalesce("cluster_id", F.col("rec_id"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+    cons = records.where(
+        (F.col("rec_id") % 10 == 0) & (F.col("rec_id") < 1000000)
+    ).select(
+        F.col("rec_id").alias("id_a"),
+        (F.col("rec_id") + 2000000).alias("id_b"),
+    )
+    return repair_overmerges(full, scored, cons, FS_UPPER)
+
+
+def _er_cluster_repair_oracle_sql() -> str:
+    """Replica: conflict corpus + FS scoring + review-threshold CC
+    (same CTEs as er_transitive_conflicts), then the repair — violated
+    clusters' members re-clustered by a second fixpoint over their
+    strong edges, everything else passed through with repaired = 0."""
+    from ..operators.fellegi_sunter import fs_weights
+
+    terms = []
+    agrees = []
+    for f, (m, u) in FS_PARAMS.items():
+        t = FS_NEAR.get(f, 0)
+        agrees.append(
+            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
+            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
+            f"AS agree_{f}"
+        )
+        wa, wd = fs_weights(m, u)
+        terms.append(
+            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
+            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
+        )
+    score = " + ".join(["0.0"] + terms)
+    return f"""
+    WITH RECURSIVE clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               city, phone
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id + 2000000, substr(name, 1, length(name) - 2),
+               'unknown',
+               CASE WHEN rec_id % 30 = 0 THEN '99' || substr(phone, 3)
+                    ELSE phone END
+        FROM clean WHERE rec_id % 10 = 0),
+    pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM records a JOIN records b
+          ON a.phone = b.phone AND a.rec_id < b.rec_id),
+    ag AS (
+        SELECT p.id_a, p.id_b, {', '.join(agrees)}
+        FROM pairs p
+        JOIN records a ON p.id_a = a.rec_id
+        JOIN records b ON p.id_b = b.rec_id),
+    sc AS (SELECT id_a, id_b, round({score}, 6) AS score FROM ag),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM sc
+        WHERE score >= {ER_CONFLICT_REVIEW!r}
+        UNION
+        SELECT id_b, id_a FROM sc WHERE score >= {ER_CONFLICT_REVIEW!r}),
+    walk(node, lbl) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+    assign AS (
+        SELECT r.rec_id::BIGINT AS rec_id,
+               coalesce(c.cluster_id, r.rec_id)::BIGINT AS cluster_id
+        FROM records r LEFT JOIN comp c ON r.rec_id = c.node),
+    cons AS (SELECT rec_id AS id_a, rec_id + 2000000 AS id_b
+             FROM clean WHERE rec_id % 10 = 0),
+    viol AS (SELECT DISTINCT a.cluster_id AS bad
+             FROM cons
+             JOIN assign a ON cons.id_a = a.rec_id
+             JOIN assign b ON cons.id_b = b.rec_id
+             WHERE a.cluster_id = b.cluster_id),
+    members AS (SELECT rec_id FROM assign
+                WHERE cluster_id IN (SELECT bad FROM viol)),
+    se AS (
+        SELECT id_a AS src, id_b AS dst FROM sc
+        WHERE score >= {FS_UPPER!r}
+          AND id_a IN (SELECT rec_id FROM members)
+          AND id_b IN (SELECT rec_id FROM members)
+        UNION
+        SELECT id_b, id_a FROM sc
+        WHERE score >= {FS_UPPER!r}
+          AND id_a IN (SELECT rec_id FROM members)
+          AND id_b IN (SELECT rec_id FROM members)),
+    walk2(node, lbl) AS (
+        SELECT src, src FROM se
+        UNION
+        SELECT se.dst, w.lbl FROM walk2 w JOIN se ON se.src = w.node),
+    comp2 AS (SELECT node, min(lbl) AS cluster_id FROM walk2 GROUP BY node)
+    SELECT a.rec_id, a.cluster_id, 0 AS repaired
+    FROM assign a WHERE a.cluster_id NOT IN (SELECT bad FROM viol)
+    UNION ALL
+    SELECT m.rec_id,
+           coalesce(c.cluster_id, m.rec_id)::BIGINT AS cluster_id,
+           1 AS repaired
+    FROM members m LEFT JOIN comp2 c ON m.rec_id = c.node
+"""
+
+
+ER_CLUSTER_REPAIR_SQL = _er_cluster_repair_oracle_sql()
+
+
+def q_docs_residual_dups(spark, sf_dir) -> DataFrame:
+    """Chapman capture-recapture over the corpus's two REAL near-dup
+    detectors — shingle-Jaccard (MinHash-LSH + exact verify) vs
+    SimHash Hamming <= 6 — estimating the total near-dup-pair
+    population and each detector's coverage with no ground truth. The
+    two detectors block on unrelated structures (set overlap vs
+    weighted-bit fingerprints), the estimator's independence
+    precondition; their disagreement band is exactly the pairs one
+    fingerprint family catches and the other misses."""
+    from ..operators.dedup import (
+        near_duplicates_minhash,
+        near_duplicates_simhash,
+    )
+    from ..operators.evaluation import capture_recapture
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    a = near_duplicates_minhash(corpus, threshold=0.6).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    b = near_duplicates_simhash(
+        corpus, max_hamming=6, hash_fn="md5_60"
+    ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    return capture_recapture(a, b)
+
+
+DOCS_RESIDUAL_DUPS_SQL = f"""
+    WITH va AS ({DEDUP_MINHASH_SQL}),
+    vb AS ({DEDUP_SIMHASH_SQL}),
+    u AS (SELECT id_a, id_b, max(in_a) AS in_a, max(in_b) AS in_b
+          FROM (SELECT doc_a AS id_a, doc_b AS id_b,
+                       1 AS in_a, 0 AS in_b FROM va
+                UNION ALL
+                SELECT doc_a, doc_b, 0, 1 FROM vb)
+          GROUP BY 1, 2),
+    tot AS (SELECT sum(in_a)::BIGINT AS n_a, sum(in_b)::BIGINT AS n_b,
+                   sum(in_a * in_b)::BIGINT AS n_both
+            FROM u)
+    SELECT n_a, n_b, n_both,
+           (((n_a + 1) * (n_b + 1)) // (n_both + 1) - 1)::BIGINT
+               AS chapman_total,
+           {_spark_round(
+               'n_a::DOUBLE / (((n_a + 1) * (n_b + 1)) // (n_both + 1) - 1)'
+           )} AS coverage_a,
+           {_spark_round(
+               'n_b::DOUBLE / (((n_a + 1) * (n_b + 1)) // (n_both + 1) - 1)'
+           )} AS coverage_b
+    FROM tot
+"""
+
+
+# host-level curation threshold: hosts whose exact-dup rate exceeds
+# this are dropped wholesale (the RefinedWeb-style per-domain cut)
+HOST_DUP_MAX = 0.2
+
+
+def q_docs_host_filter(spark, sf_dir) -> DataFrame:
+    """Host-level curation filter composing host_health into the
+    curation family: hosts whose exact-duplicate rate exceeds
+    HOST_DUP_MAX are dropped wholesale (mirror/aggregator signature),
+    every surviving document rides through with its host's dup_rate
+    attached. The fixture plants host-dependent duplication: every
+    7th doc duplicates everywhere, and hosts src0/4/8/12/16 get an
+    extra every-3rd-doc copy — pushing exactly those five hosts past
+    the cut. The health aggregate is host-keyed (broadcast-sized
+    result at any corpus scale); the filter is one broadcast semi-join
+    back onto the corpus."""
+    from ..operators.textstats import host_health
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dups = d.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    extra = d.where(
+        (F.col("doc_id") % 3 == 0)
+        & (F.substring("source", 4, 10).cast("int") % 4 == 0)
+    ).withColumn("doc_id", F.col("doc_id") + 2000000)
+    corpus = (
+        d.unionByName(dups)
+        .unionByName(extra)
+        .withColumn("host", F.col("source"))
+    )
+    keep = host_health(corpus).where(
+        F.col("dup_rate") <= F.lit(HOST_DUP_MAX)
+    )
+    return corpus.join(keep.select("host", "dup_rate"), "host").select(
+        "doc_id", "host", "dup_rate"
+    )
+
+
+DOCS_HOST_FILTER_SQL = f"""
+    WITH corpus AS (
+        SELECT doc_id, source AS host, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, source, text FROM documents
+        WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, source, text FROM documents
+        WHERE doc_id % 3 = 0 AND substr(source, 4)::INT % 4 = 0),
+    fp AS (SELECT host, md5(text) AS f, count(*)::BIGINT AS cnt
+           FROM corpus GROUP BY 1, 2),
+    b AS (SELECT host, sum(cnt)::BIGINT AS n_docs,
+                 count(*)::BIGINT AS n_unique
+          FROM fp GROUP BY host),
+    keep AS (SELECT host,
+                    {_spark_round('1.0 - n_unique::DOUBLE / n_docs')}
+                        AS dup_rate
+             FROM b)
+    SELECT c.doc_id, c.host, k.dup_rate
+    FROM corpus c JOIN keep k ON c.host = k.host
+    WHERE k.dup_rate <= {HOST_DUP_MAX!r}
+"""
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -7743,6 +8143,10 @@ QUERIES = {
     "er_capture_recapture": q_er_capture_recapture,
     "er_constraints": q_er_constraints,
     "crawl_host_stats": q_crawl_host_stats,
+    "er_must_link": q_er_must_link,
+    "er_cluster_repair": q_er_cluster_repair,
+    "docs_residual_dups": q_docs_residual_dups,
+    "docs_host_filter": q_docs_host_filter,
 }
 
 ORACLES = {
@@ -7880,6 +8284,10 @@ ORACLES = {
     "er_capture_recapture": ER_CAPTURE_RECAPTURE_SQL,
     "er_constraints": ER_CONSTRAINTS_SQL,
     "crawl_host_stats": CRAWL_HOST_STATS_SQL,
+    "er_must_link": ER_MUST_LINK_SQL,
+    "er_cluster_repair": ER_CLUSTER_REPAIR_SQL,
+    "docs_residual_dups": DOCS_RESIDUAL_DUPS_SQL,
+    "docs_host_filter": DOCS_HOST_FILTER_SQL,
 }
 
 
