@@ -207,6 +207,9 @@ HEADLINE = [
     "er_cluster_repair",
     "docs_residual_dups",
     "docs_host_filter",
+    # the flagship ops composite: queue -> labels -> constrained CC ->
+    # repair -> before/after pairwise metrics, one row out
+    "er_steward_loop",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

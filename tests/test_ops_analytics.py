@@ -210,3 +210,16 @@ def test_repair_overmerges_noop_when_no_violations(spark):
     }
     # the constrained pair sits in DIFFERENT clusters -> nothing to do
     assert got == {1: (1, 0), 2: (2, 0)}
+
+
+def test_steward_loop_improves_f1(spark):
+    from type_filtered_entity_linker_spark.plans.driver_queries import (
+        q_er_steward_loop,
+    )
+
+    r = q_er_steward_loop(spark, "/root/testdata/sf0.001").collect()[0]
+    # labels recover the blanked-city twins: recall rises, precision
+    # holds, both label classes actually appeared in the queue
+    assert r["n_must"] > 0 and r["n_cannot"] > 0
+    assert r["f1_after"] >= r["f1_before"]
+    assert r["p_after"] == 1.0 and r["r_after"] > r["r_before"]

@@ -8006,6 +8006,320 @@ DOCS_HOST_FILTER_SQL = f"""
 """
 
 
+# steward-loop labeling budget: deep enough at sf0.01 that the whole
+# review band (collision distractors AND the blanked-city twins at
+# uncertainty 5.71) fits the queue, so both label classes appear
+STEWARD_QUEUE_K = 400
+
+
+def q_er_steward_loop(spark, sf_dir) -> DataFrame:
+    """The steward feedback loop end-to-end in ONE query — the
+    flagship composite of the ops waves: pipeline blocking + FS
+    scoring -> uncertainty-sampled label queue (top-400 of the review
+    band) -> labels simulated from the planted truth -> confirmed
+    matches re-enter as MUST-LINK edges before the CC loop, confirmed
+    distinctions drive CANNOT-LINK repair of the constrained clusters
+    -> pairwise precision/recall/F1 of the assignment BEFORE and AFTER
+    the loop, from counts only (intra pairs = sum n*(n-1)/2 per
+    cluster — never an enumerated pair table, so the metric side is
+    one aggregate at any corpus scale).
+
+    At sf0.01 the loop recovers the blanked-city twins (11.71 bits,
+    below the 12-bit link threshold — recall rises), while repair
+    holds precision: F1 after > F1 before, and both are columns of the
+    one-row output. The oracle replays every stage, including THREE
+    label-propagation fixpoints (before, constrained, repaired)."""
+    from ..operators.active_learning import uncertainty_queue
+    from ..operators.clustering import (
+        connected_components,
+        repair_overmerges,
+    )
+
+    records, scored, edges, assign_before = _er_pipeline_parts(
+        spark, sf_dir
+    )
+    queue = uncertainty_queue(
+        scored.select("id_a", "id_b", "score"),
+        FS_LOWER,
+        FS_UPPER,
+        STEWARD_QUEUE_K,
+    )
+    is_truth = F.col("id_b") == F.col("id_a") + 1000000
+    must = queue.where(is_truth).select("id_a", "id_b")
+    cannot = queue.where(~is_truth).select("id_a", "id_b")
+    assign_ml = (
+        records.select("rec_id")
+        .join(
+            connected_components(
+                edges.unionByName(
+                    must.select(
+                        F.col("id_a").alias("src"),
+                        F.col("id_b").alias("dst"),
+                    )
+                )
+            ).withColumnRenamed("node", "rec_id"),
+            "rec_id",
+            "left",
+        )
+        .select(
+            F.col("rec_id").cast("long").alias("rec_id"),
+            F.coalesce("cluster_id", F.col("rec_id"))
+            .cast("long")
+            .alias("cluster_id"),
+        )
+    )
+    # steward-confirmed matches are strong BY DECREE: repair must not
+    # drop a must-link merge just because its FS score sat in the band
+    scored_plus = scored.select("id_a", "id_b", "score").unionByName(
+        must.withColumn("score", F.lit(99.0))
+    )
+    assign_after = repair_overmerges(
+        assign_ml, scored_plus, cannot, FS_UPPER
+    ).select("rec_id", "cluster_id")
+    truth = records.where(
+        (F.col("rec_id") % 10 == 0) & (F.col("rec_id") < 1000000)
+    ).select(
+        F.col("rec_id").alias("id_a"),
+        (F.col("rec_id") + 1000000).alias("id_b"),
+    )
+
+    def counts(assign: DataFrame, tag: str) -> DataFrame:
+        intra = (
+            assign.groupBy("cluster_id")
+            .agg(F.count("*").alias("n"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("CAST(n * (n - 1) AS BIGINT) div 2")),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"intra_{tag}")
+            )
+        )
+        tp = (
+            truth.join(
+                assign.select(
+                    F.col("rec_id").alias("id_a"),
+                    F.col("cluster_id").alias("ca"),
+                ),
+                "id_a",
+            )
+            .join(
+                assign.select(
+                    F.col("rec_id").alias("id_b"),
+                    F.col("cluster_id").alias("cb"),
+                ),
+                "id_b",
+            )
+            .where(F.col("ca") == F.col("cb"))
+            .agg(F.count("*").cast("long").alias(f"tp_{tag}"))
+        )
+        return intra.crossJoin(tp)
+
+    sizes = (
+        queue.agg(F.count("*").cast("long").alias("n_queue"))
+        .crossJoin(must.agg(F.count("*").cast("long").alias("n_must")))
+        .crossJoin(
+            cannot.agg(F.count("*").cast("long").alias("n_cannot"))
+        )
+        .crossJoin(truth.agg(F.count("*").cast("long").alias("n_truth")))
+    )
+    row = (
+        sizes.crossJoin(counts(assign_before, "before"))
+        .crossJoin(counts(assign_after, "after"))
+    )
+
+    def prf(tag: str) -> list:
+        tp, intra = F.col(f"tp_{tag}"), F.col(f"intra_{tag}")
+        return [
+            F.round(tp / intra, 6).alias(f"p_{tag}"),
+            F.round(tp / F.col("n_truth"), 6).alias(f"r_{tag}"),
+            F.round(
+                (tp * 2) / (intra + F.col("n_truth")), 6
+            ).alias(f"f1_{tag}"),
+        ]
+
+    return row.select(
+        "n_queue",
+        "n_must",
+        "n_cannot",
+        "n_truth",
+        "tp_before",
+        "intra_before",
+        "tp_after",
+        "intra_after",
+        *prf("before"),
+        *prf("after"),
+    )
+
+
+def _er_steward_loop_oracle_sql() -> str:
+    """Replica of the whole loop: pipeline CTEs, band + row_number
+    queue, truth-split labels, three label-propagation fixpoints
+    (link edges; link ∪ must; strong ∪ must inside violated clusters),
+    and the count-only pairwise metrics."""
+    from ..operators.fellegi_sunter import fs_weights
+
+    terms = []
+    agrees = []
+    for f, (m, u) in FS_PARAMS.items():
+        t = FS_NEAR.get(f, 0)
+        agrees.append(
+            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
+            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
+            f"AS agree_{f}"
+        )
+        wa, wd = fs_weights(m, u)
+        terms.append(
+            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
+            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
+        )
+    score = " + ".join(["0.0"] + terms)
+    mid = (FS_LOWER + FS_UPPER) / 2.0
+    return f"""
+    WITH RECURSIVE clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               CASE WHEN rec_id % 20 = 0 THEN 'unknown' ELSE city END,
+               phone
+        FROM clean WHERE rec_id % 10 = 0),
+    phone_pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM records a JOIN records b
+          ON a.phone = b.phone AND a.rec_id < b.rec_id),
+    ranked AS (SELECT rec_id,
+                      row_number() OVER (ORDER BY name, rec_id) AS rnk
+               FROM records),
+    snm_pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM ranked a
+        JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {ER_PIPE_SNM_W}),
+    pairs AS (SELECT DISTINCT id_a, id_b FROM (
+        SELECT * FROM phone_pairs UNION ALL SELECT * FROM snm_pairs)),
+    ag AS (
+        SELECT p.id_a, p.id_b, {', '.join(agrees)}
+        FROM pairs p
+        JOIN records a ON p.id_a = a.rec_id
+        JOIN records b ON p.id_b = b.rec_id),
+    sc AS (SELECT id_a, id_b, round({score}, 6) AS score FROM ag),
+    band AS (SELECT id_a, id_b, score,
+                    {_spark_round(f'abs(score - {mid!r})')} AS uncertainty
+             FROM sc
+             WHERE score >= {FS_LOWER!r} AND score < {FS_UPPER!r}),
+    q AS (SELECT row_number() OVER (
+                     ORDER BY uncertainty, id_a, id_b) AS queue_pos,
+                 id_a, id_b
+          FROM band),
+    queue AS (SELECT id_a, id_b FROM q
+              WHERE queue_pos <= {STEWARD_QUEUE_K}),
+    must AS (SELECT id_a, id_b FROM queue WHERE id_b = id_a + 1000000),
+    cannot AS (SELECT id_a, id_b FROM queue
+               WHERE id_b <> id_a + 1000000),
+    e AS (
+        SELECT id_a AS src, id_b AS dst FROM sc WHERE score >= {FS_UPPER!r}
+        UNION
+        SELECT id_b, id_a FROM sc WHERE score >= {FS_UPPER!r}),
+    walk(node, lbl) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node),
+    comp AS (SELECT node, min(lbl) AS cluster_id FROM walk GROUP BY node),
+    before AS (
+        SELECT r.rec_id::BIGINT AS rec_id,
+               coalesce(c.cluster_id, r.rec_id)::BIGINT AS cluster_id
+        FROM records r LEFT JOIN comp c ON r.rec_id = c.node),
+    e2 AS (SELECT src, dst FROM e
+           UNION SELECT id_a, id_b FROM must
+           UNION SELECT id_b, id_a FROM must),
+    walk2(node, lbl) AS (
+        SELECT src, src FROM e2
+        UNION
+        SELECT e2.dst, w.lbl FROM walk2 w JOIN e2 ON e2.src = w.node),
+    comp2 AS (SELECT node, min(lbl) AS cluster_id FROM walk2
+              GROUP BY node),
+    aml AS (
+        SELECT r.rec_id::BIGINT AS rec_id,
+               coalesce(c.cluster_id, r.rec_id)::BIGINT AS cluster_id
+        FROM records r LEFT JOIN comp2 c ON r.rec_id = c.node),
+    viol AS (SELECT DISTINCT a.cluster_id AS bad
+             FROM cannot
+             JOIN aml a ON cannot.id_a = a.rec_id
+             JOIN aml b ON cannot.id_b = b.rec_id
+             WHERE a.cluster_id = b.cluster_id),
+    members AS (SELECT rec_id FROM aml
+                WHERE cluster_id IN (SELECT bad FROM viol)),
+    strong AS (
+        SELECT id_a, id_b FROM sc WHERE score >= {FS_UPPER!r}
+        UNION
+        SELECT id_a, id_b FROM must),
+    se AS (
+        SELECT id_a AS src, id_b AS dst FROM strong
+        WHERE id_a IN (SELECT rec_id FROM members)
+          AND id_b IN (SELECT rec_id FROM members)
+        UNION
+        SELECT id_b, id_a FROM strong
+        WHERE id_a IN (SELECT rec_id FROM members)
+          AND id_b IN (SELECT rec_id FROM members)),
+    walk3(node, lbl) AS (
+        SELECT src, src FROM se
+        UNION
+        SELECT se.dst, w.lbl FROM walk3 w JOIN se ON se.src = w.node),
+    comp3 AS (SELECT node, min(lbl) AS cluster_id FROM walk3
+              GROUP BY node),
+    after AS (
+        SELECT a.rec_id, a.cluster_id
+        FROM aml a WHERE a.cluster_id NOT IN (SELECT bad FROM viol)
+        UNION ALL
+        SELECT m.rec_id,
+               coalesce(c.cluster_id, m.rec_id)::BIGINT AS cluster_id
+        FROM members m LEFT JOIN comp3 c ON m.rec_id = c.node),
+    truth AS (SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+              FROM clean WHERE rec_id % 10 = 0),
+    mb AS (SELECT coalesce(sum((n * (n - 1)) // 2), 0)::BIGINT
+                      AS intra_before
+           FROM (SELECT count(*) AS n FROM before GROUP BY cluster_id)),
+    tb AS (SELECT count(*)::BIGINT AS tp_before
+           FROM truth t
+           JOIN before a ON t.id_a = a.rec_id
+           JOIN before b ON t.id_b = b.rec_id
+           WHERE a.cluster_id = b.cluster_id),
+    ma AS (SELECT coalesce(sum((n * (n - 1)) // 2), 0)::BIGINT
+                      AS intra_after
+           FROM (SELECT count(*) AS n FROM after GROUP BY cluster_id)),
+    ta AS (SELECT count(*)::BIGINT AS tp_after
+           FROM truth t
+           JOIN after a ON t.id_a = a.rec_id
+           JOIN after b ON t.id_b = b.rec_id
+           WHERE a.cluster_id = b.cluster_id),
+    sz AS (SELECT (SELECT count(*) FROM queue)::BIGINT AS n_queue,
+                  (SELECT count(*) FROM must)::BIGINT AS n_must,
+                  (SELECT count(*) FROM cannot)::BIGINT AS n_cannot,
+                  (SELECT count(*) FROM truth)::BIGINT AS n_truth)
+    SELECT n_queue, n_must, n_cannot, n_truth,
+           tp_before, intra_before, tp_after, intra_after,
+           {_spark_round('tp_before::DOUBLE / intra_before')} AS p_before,
+           {_spark_round('tp_before::DOUBLE / n_truth')} AS r_before,
+           {_spark_round(
+               '(tp_before * 2)::DOUBLE / (intra_before + n_truth)'
+           )} AS f1_before,
+           {_spark_round('tp_after::DOUBLE / intra_after')} AS p_after,
+           {_spark_round('tp_after::DOUBLE / n_truth')} AS r_after,
+           {_spark_round(
+               '(tp_after * 2)::DOUBLE / (intra_after + n_truth)'
+           )} AS f1_after
+    FROM sz, mb, tb, ma, ta
+"""
+
+
+ER_STEWARD_LOOP_SQL = _er_steward_loop_oracle_sql()
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -8147,6 +8461,7 @@ QUERIES = {
     "er_cluster_repair": q_er_cluster_repair,
     "docs_residual_dups": q_docs_residual_dups,
     "docs_host_filter": q_docs_host_filter,
+    "er_steward_loop": q_er_steward_loop,
 }
 
 ORACLES = {
@@ -8288,6 +8603,7 @@ ORACLES = {
     "er_cluster_repair": ER_CLUSTER_REPAIR_SQL,
     "docs_residual_dups": DOCS_RESIDUAL_DUPS_SQL,
     "docs_host_filter": DOCS_HOST_FILTER_SQL,
+    "er_steward_loop": ER_STEWARD_LOOP_SQL,
 }
 
 
