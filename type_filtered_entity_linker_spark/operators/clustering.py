@@ -430,6 +430,15 @@ def repair_overmerges(
     rows that went through re-clustering (their cluster id is the min
     member id of their strong-edge component), 0 on pass-through rows.
 
+    PRECONDITION: cluster labels in ``assignments`` must follow the
+    repo-wide min-member-id convention (every CC/pipeline assignment
+    here does). Repaired components are labeled by their min member
+    rec_id; under an arbitrary surrogate labeling that id could
+    collide with an UNTOUCHED cluster's label and silently merge
+    unrelated entities downstream. Min-member labels cannot collide:
+    components are disjoint record sets, and an untouched label is
+    one of its own members' ids.
+
     Scale shape: violated clusters are a small audited fraction of a
     100 TB corpus, so the member-id semi-joins broadcast and the CC
     rerun sees only their internal edge set; the pass-through side is

@@ -435,10 +435,15 @@ def capture_recapture(pairs_a: DataFrame, pairs_b: DataFrame) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
+    # coalesce: two EMPTY detectors must yield (0, 0, 0, 0), not a row
+    # of NULLs — the documented integer-count contract (coverage is
+    # NULL there: 0/0 pairs estimates nothing, in both engines)
     tot = per_pair.agg(
-        F.sum("in_a").cast("long").alias("n_a"),
-        F.sum("in_b").cast("long").alias("n_b"),
-        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_both"),
+        F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("n_b"),
+        F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0))
+        .cast("long")
+        .alias("n_both"),
     )
     chapman = F.expr("((n_a + 1) * (n_b + 1)) div (n_both + 1) - 1")
     return tot.select(

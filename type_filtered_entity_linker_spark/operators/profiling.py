@@ -6,7 +6,8 @@ completeness (null rate), distinctness, length statistics and the
 modal value per column decide which fields can block (high
 distinctness, high completeness) and which can only compare.
 
-Shape: one ``stack`` unpivot (rows x |cols|, map-side, no shuffle)
+Shape: one generate-unpivot (explode over typed structs — rows x
+|cols|, map-side, no shuffle)
 into (col_name, value), then TWO hash aggregates — per-(col, value)
 counts with map-side partial collapse, then per-col rollup. Both are
 keyed by col_name (+value), so a 100 TB table profiles in two
@@ -35,10 +36,23 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     values; ``avg_len``/``top_value`` ignore NULLs (all-NULL column
     -> NULL avg_len/top_value, 0 top_count is not emitted — top
     struct is NULL)."""
-    pairs = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
-    stacked = df.selectExpr(
-        f"stack({len(cols)}, {pairs}) AS (col_name, value)"
-    )
+    if not cols:
+        raise ValueError("profile_columns requires at least one column")
+    # typed expressions, not an interpolated selectExpr string: column
+    # names with quotes/backticks profile fine (code-review r04)
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.col_name", "kv.value")
     per_val = stacked.groupBy("col_name", "value").agg(
         F.count("*").cast("long").alias("cnt")
     )

@@ -472,9 +472,21 @@ def host_health(
             F.sum(chars_col).cast("long").alias("chars_sum"),
         )
     )
+    # NULL-text documents (fetch failures, extraction gaps) all land in
+    # the fp-IS-NULL group; counting that group as ONE unique doc would
+    # call them duplicates of each other and inflate dup_rate past a
+    # curation cut. They were never compared equal to anything, so each
+    # counts as its own unique document (code-review r04).
     base = fp.groupBy("host").agg(
         F.sum("cnt").cast("long").alias("n_docs"),
-        F.count("*").cast("long").alias("n_unique_docs"),
+        (
+            F.count(F.when(F.col("fp").isNotNull(), True))
+            + F.coalesce(
+                F.sum(F.when(F.col("fp").isNull(), F.col("cnt"))), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_unique_docs"),
         F.sum("chars_sum").cast("long").alias("_chars_sum"),
     )
     lang = (

@@ -2061,6 +2061,32 @@ FS_NEAR = {"name": 1}
 FS_UPPER, FS_LOWER = 12.0, 0.0
 
 
+def _fs_agree_score_sql() -> "tuple[list[str], str]":
+    """The ONE definition of the FS scoring replica every oracle
+    builder shares: per-field agreement CASEs (NULL-aware, near
+    threshold from FS_NEAR) and the score sum of python-log2 weight
+    literals in FS_PARAMS insertion order. Extracted after the copy
+    count reached double digits (code-review r04) — an FS semantics
+    change now lands in every oracle at once."""
+    from ..operators.fellegi_sunter import fs_weights
+
+    terms = []
+    agrees = []
+    for f, (m, u) in FS_PARAMS.items():
+        t = FS_NEAR.get(f, 0)
+        agrees.append(
+            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
+            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
+            f"AS agree_{f}"
+        )
+        wa, wd = fs_weights(m, u)
+        terms.append(
+            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
+            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
+        )
+    return agrees, " + ".join(["0.0"] + terms)
+
+
 def q_er_fellegi_sunter(spark, sf_dir) -> DataFrame:
     """Fellegi–Sunter probabilistic linkage over the dirty-customer
     corpus: planted (orig, copy) pairs score high (name near-agrees at
@@ -2081,23 +2107,7 @@ def _fs_oracle_sql() -> str:
     """DuckDB replica: same synthesized fields, same agreement CASEs,
     and the same python-log2 weight literals added in the same field
     order (left-assoc + → identical double sums)."""
-    from ..operators.fellegi_sunter import fs_weights
-
-    terms = []
-    agrees = []
-    for f, (m, u) in FS_PARAMS.items():
-        t = FS_NEAR.get(f, 0)
-        agrees.append(
-            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
-            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
-            f"AS agree_{f}"
-        )
-        wa, wd = fs_weights(m, u)
-        terms.append(
-            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
-            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
-        )
-    score = " + ".join(["0.0"] + terms)
+    agrees, score = _fs_agree_score_sql()
     return f"""
     WITH clean AS (
         SELECT c_custkey AS rec_id, c_name AS name,
@@ -2811,7 +2821,20 @@ def _er_pipeline_parts(
     snm_pairs = sorted_neighborhood_pairs(
         records, ["name"], window=ER_PIPE_SNM_W
     ).select("id_a", "id_b")
-    pairs = phone_pairs.unionByName(snm_pairs).distinct()
+    # canonicalize to (smaller-id, larger-id) BEFORE the distinct:
+    # sorted-neighborhood emits (earlier-RANK, later-RANK) — a
+    # truncated copy's name prefixes its original and ranks FIRST, so
+    # without this the same unordered pair enters twice (once per
+    # orientation), double-scoring it and breaking any downstream
+    # direction filter or truth join (code-review r04)
+    pairs = (
+        phone_pairs.unionByName(snm_pairs)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
     scored = fellegi_sunter_scores(
         records, pairs, FS_PARAMS, near=FS_NEAR, upper=FS_UPPER, lower=FS_LOWER
     )
@@ -2841,23 +2864,7 @@ def _er_pipeline_oracle_sql() -> str:
     along symmetrized link edges until fixpoint (UNION dedups), and
     take min(label) per node — exactly the min-node cluster id the
     large-star/small-star loop converges to."""
-    from ..operators.fellegi_sunter import fs_weights
-
-    terms = []
-    agrees = []
-    for f, (m, u) in FS_PARAMS.items():
-        t = FS_NEAR.get(f, 0)
-        agrees.append(
-            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
-            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
-            f"AS agree_{f}"
-        )
-        wa, wd = fs_weights(m, u)
-        terms.append(
-            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
-            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
-        )
-    score = " + ".join(["0.0"] + terms)
+    agrees, score = _fs_agree_score_sql()
     return f"""
     WITH RECURSIVE clean AS (
         SELECT c_custkey AS rec_id, c_name AS name,
@@ -2882,7 +2889,8 @@ def _er_pipeline_oracle_sql() -> str:
         SELECT a.rec_id AS id_a, b.rec_id AS id_b
         FROM ranked a
         JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {ER_PIPE_SNM_W}),
-    pairs AS (SELECT DISTINCT id_a, id_b FROM (
+    pairs AS (SELECT DISTINCT least(id_a, id_b) AS id_a,
+                     greatest(id_a, id_b) AS id_b FROM (
         SELECT * FROM phone_pairs UNION ALL SELECT * FROM snm_pairs)),
     ag AS (
         SELECT p.id_a, p.id_b, {', '.join(agrees)}
@@ -3010,23 +3018,7 @@ def _er_conflicts_oracle_sql() -> str:
     order, CC as the label-propagation recursive CTE, then the
     per-cluster pair audit. NULL-score CASEs fall to ELSE 0 in SQL
     exactly as F.when().otherwise(0) does in Spark."""
-    from ..operators.fellegi_sunter import fs_weights
-
-    terms = []
-    agrees = []
-    for f, (m, u) in FS_PARAMS.items():
-        t = FS_NEAR.get(f, 0)
-        agrees.append(
-            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
-            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
-            f"AS agree_{f}"
-        )
-        wa, wd = fs_weights(m, u)
-        terms.append(
-            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
-            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
-        )
-    score = " + ".join(["0.0"] + terms)
+    agrees, score = _fs_agree_score_sql()
     return f"""
     WITH RECURSIVE clean AS (
         SELECT c_custkey AS rec_id, c_name AS name,
@@ -3134,23 +3126,7 @@ def _er_pivot_oracle_sql(rounds: int) -> str:
     copies of (neighbor-min, local-min pivots, min-key attachment,
     deactivation). MATERIALIZED throughout — each round references the
     previous round's actives/edges several times."""
-    from ..operators.fellegi_sunter import fs_weights
-
-    terms = []
-    agrees = []
-    for f, (m, u) in FS_PARAMS.items():
-        t = FS_NEAR.get(f, 0)
-        agrees.append(
-            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
-            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
-            f"AS agree_{f}"
-        )
-        wa, wd = fs_weights(m, u)
-        terms.append(
-            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
-            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
-        )
-    score = " + ".join(["0.0"] + terms)
+    agrees, score = _fs_agree_score_sql()
     stages = []
     for r in range(1, rounds + 1):
         p_ = r - 1
@@ -3281,23 +3257,7 @@ def _er_attach_oracle_sql() -> str:
     """DuckDB replica: same corpus, two-key blocking as UNION of equi
     joins, the FS agreement CASEs + weight literals, then the
     per-new-record argmax as row_number over (score DESC, id_a ASC)."""
-    from ..operators.fellegi_sunter import fs_weights
-
-    terms = []
-    agrees = []
-    for f, (m, u) in FS_PARAMS.items():
-        t = FS_NEAR.get(f, 0)
-        agrees.append(
-            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
-            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
-            f"AS agree_{f}"
-        )
-        wa, wd = fs_weights(m, u)
-        terms.append(
-            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
-            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
-        )
-    score = " + ".join(["0.0"] + terms)
+    agrees, score = _fs_agree_score_sql()
     return f"""
     WITH clean AS (
         SELECT c_custkey AS rec_id, c_name AS name,
@@ -3371,23 +3331,7 @@ def _er_calibration_oracle_sql() -> str:
     from the same float formatting, and the posterior formula with
     identical operation order (pow/avg noise absorbed by round 6)."""
     from ..operators.evaluation import CALIBRATION_BANDS
-    from ..operators.fellegi_sunter import fs_weights
-
-    terms = []
-    agrees = []
-    for f, (m, u) in FS_PARAMS.items():
-        t = FS_NEAR.get(f, 0)
-        agrees.append(
-            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
-            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
-            f"AS agree_{f}"
-        )
-        wa, wd = fs_weights(m, u)
-        terms.append(
-            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
-            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
-        )
-    score = " + ".join(["0.0"] + terms)
+    agrees, score = _fs_agree_score_sql()
     edges = sorted(CALIBRATION_BANDS)
     band = f"CASE WHEN score < {edges[0]!r} THEN '1:<{edges[0]}' "
     for i, (lo, hi) in enumerate(zip(edges, edges[1:]), start=2):
@@ -3569,7 +3513,18 @@ def _fs_bipartite_pairs(spark, sf_dir) -> DataFrame:
     snm_pairs = sorted_neighborhood_pairs(
         records, ["name"], window=ER_PIPE_SNM_W
     ).select("id_a", "id_b")
-    pairs = phone_pairs.unionByName(snm_pairs).distinct()
+    # canonical (smaller-id, larger-id) before distinct — SNM emits
+    # rank order, where a truncated copy ranks BEFORE its original, so
+    # the bipartite direction filter below would otherwise drop every
+    # SNM-only true pair and double-score the rest (code-review r04)
+    pairs = (
+        phone_pairs.unionByName(snm_pairs)
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
     scored = fellegi_sunter_scores(
         records, pairs, FS_PARAMS, near=FS_NEAR, upper=FS_UPPER, lower=FS_LOWER
     )
@@ -3598,23 +3553,7 @@ def _fs_bipartite_ctes() -> str:
     restriction — everything up to the `dec` CTE that er_mutual_best
     and er_greedy_matching both resolve from (one definition, two
     resolvers)."""
-    from ..operators.fellegi_sunter import fs_weights
-
-    terms = []
-    agrees = []
-    for f, (m, u) in FS_PARAMS.items():
-        t = FS_NEAR.get(f, 0)
-        agrees.append(
-            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
-            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
-            f"AS agree_{f}"
-        )
-        wa, wd = fs_weights(m, u)
-        terms.append(
-            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
-            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
-        )
-    score = " + ".join(["0.0"] + terms)
+    agrees, score = _fs_agree_score_sql()
     return f"""
     WITH clean AS (
         SELECT c_custkey AS rec_id, c_name AS name,
@@ -3639,7 +3578,8 @@ def _fs_bipartite_ctes() -> str:
         SELECT a.rec_id AS id_a, b.rec_id AS id_b
         FROM ranked a
         JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {ER_PIPE_SNM_W}),
-    pairs AS (SELECT DISTINCT id_a, id_b FROM (
+    pairs AS (SELECT DISTINCT least(id_a, id_b) AS id_a,
+                     greatest(id_a, id_b) AS id_b FROM (
         SELECT * FROM phone_pairs UNION ALL SELECT * FROM snm_pairs)),
     ag AS (
         SELECT p.id_a, p.id_b, {', '.join(agrees)}
@@ -7463,9 +7403,16 @@ def q_er_capture_recapture(spark, sf_dir) -> DataFrame:
             F.col("a.rec_id").alias("id_a"), F.col("b.rec_id").alias("id_b")
         )
     )
+    # canonical orientation: SNM emits (earlier-rank, later-rank) and a
+    # truncated copy ranks before its original — without least/greatest
+    # the bipartite filter in verified() drops every SNM-caught twin
+    # and the estimator's overlap collapses to 0 (code-review r04)
     snm_pairs = sorted_neighborhood_pairs(
         records, ["name"], window=ER_PIPE_SNM_W
-    ).select("id_a", "id_b")
+    ).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
     return capture_recapture(verified(phone_pairs), verified(snm_pairs))
 
 
@@ -7495,7 +7442,8 @@ def _er_capture_recapture_oracle_sql() -> str:
                       row_number() OVER (ORDER BY name, rec_id) AS rnk
                FROM records),
     snm_pairs AS (
-        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        SELECT least(a.rec_id, b.rec_id) AS id_a,
+               greatest(a.rec_id, b.rec_id) AS id_b
         FROM ranked a
         JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {ER_PIPE_SNM_W}),
     va AS (SELECT DISTINCT p.id_a, p.id_b
@@ -7602,7 +7550,9 @@ CRAWL_HOST_STATS_SQL = f"""
                   sum(n_chars)::BIGINT AS chars_sum
            FROM corpus GROUP BY 1, 2),
     b AS (SELECT host, sum(cnt)::BIGINT AS n_docs,
-                 count(*)::BIGINT AS n_unique_docs,
+                 (count(*) FILTER (WHERE f IS NOT NULL)
+                  + coalesce(sum(cnt) FILTER (WHERE f IS NULL), 0)
+                 )::BIGINT AS n_unique_docs,
                  sum(chars_sum)::BIGINT AS cs
           FROM fp GROUP BY host),
     l AS (SELECT host, lang, count(*)::BIGINT AS c FROM corpus GROUP BY 1, 2),
@@ -7671,23 +7621,7 @@ def _er_must_link_oracle_sql() -> str:
     """Replica: pipeline corpus/blocking/scoring CTEs, then TWO
     label-propagation fixpoints — one over the link edges, one over
     link ∪ must-link — and the per-record comparison."""
-    from ..operators.fellegi_sunter import fs_weights
-
-    terms = []
-    agrees = []
-    for f, (m, u) in FS_PARAMS.items():
-        t = FS_NEAR.get(f, 0)
-        agrees.append(
-            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
-            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
-            f"AS agree_{f}"
-        )
-        wa, wd = fs_weights(m, u)
-        terms.append(
-            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
-            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
-        )
-    score = " + ".join(["0.0"] + terms)
+    agrees, score = _fs_agree_score_sql()
     return f"""
     WITH RECURSIVE clean AS (
         SELECT c_custkey AS rec_id, c_name AS name,
@@ -7712,7 +7646,8 @@ def _er_must_link_oracle_sql() -> str:
         SELECT a.rec_id AS id_a, b.rec_id AS id_b
         FROM ranked a
         JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {ER_PIPE_SNM_W}),
-    pairs AS (SELECT DISTINCT id_a, id_b FROM (
+    pairs AS (SELECT DISTINCT least(id_a, id_b) AS id_a,
+                     greatest(id_a, id_b) AS id_b FROM (
         SELECT * FROM phone_pairs UNION ALL SELECT * FROM snm_pairs)),
     ag AS (
         SELECT p.id_a, p.id_b, {', '.join(agrees)}
@@ -7797,23 +7732,7 @@ def _er_cluster_repair_oracle_sql() -> str:
     (same CTEs as er_transitive_conflicts), then the repair — violated
     clusters' members re-clustered by a second fixpoint over their
     strong edges, everything else passed through with repaired = 0."""
-    from ..operators.fellegi_sunter import fs_weights
-
-    terms = []
-    agrees = []
-    for f, (m, u) in FS_PARAMS.items():
-        t = FS_NEAR.get(f, 0)
-        agrees.append(
-            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
-            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
-            f"AS agree_{f}"
-        )
-        wa, wd = fs_weights(m, u)
-        terms.append(
-            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
-            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
-        )
-    score = " + ".join(["0.0"] + terms)
+    agrees, score = _fs_agree_score_sql()
     return f"""
     WITH RECURSIVE clean AS (
         SELECT c_custkey AS rec_id, c_name AS name,
@@ -7994,7 +7913,9 @@ DOCS_HOST_FILTER_SQL = f"""
     fp AS (SELECT host, md5(text) AS f, count(*)::BIGINT AS cnt
            FROM corpus GROUP BY 1, 2),
     b AS (SELECT host, sum(cnt)::BIGINT AS n_docs,
-                 count(*)::BIGINT AS n_unique
+                 (count(*) FILTER (WHERE f IS NOT NULL)
+                  + coalesce(sum(cnt) FILTER (WHERE f IS NULL), 0)
+                 )::BIGINT AS n_unique
           FROM fp GROUP BY host),
     keep AS (SELECT host,
                     {_spark_round('1.0 - n_unique::DOUBLE / n_docs')}
@@ -8006,10 +7927,16 @@ DOCS_HOST_FILTER_SQL = f"""
 """
 
 
-# steward-loop labeling budget: deep enough at sf0.01 that the whole
-# review band (collision distractors AND the blanked-city twins at
-# uncertainty 5.71) fits the queue, so both label classes appear
+# steward-loop labeling budget + band: the queue must surface BOTH
+# label classes. The fixture's phone derivation (custkey * 7919 mod
+# 1e7, an injective map at every test SF) means phone blocks contain
+# ONLY true twins, so the [0, 12) band holds nothing but the blanked-
+# city twins (11.71); the genuine non-match neighbors — SNM rank-
+# adjacent distinct customers with near-equal names and same city —
+# score -0.38 (name +4.17, city +2.09, phone -6.64). Opening the band
+# floor to -1 puts them in the queue as real cannot-link labels.
 STEWARD_QUEUE_K = 400
+STEWARD_BAND_LOW = -1.0
 
 
 def q_er_steward_loop(spark, sf_dir) -> DataFrame:
@@ -8038,9 +7965,16 @@ def q_er_steward_loop(spark, sf_dir) -> DataFrame:
     records, scored, edges, assign_before = _er_pipeline_parts(
         spark, sf_dir
     )
+    # one eager barrier: the blocking + FS-scoring subtree feeds the
+    # queue, the must-link edge union, scored_plus AND the repair's
+    # membership joins — Spark does not dedupe common subtrees across
+    # branches, so without this it would recompute per branch (the r4
+    # iterative-loop rule: any DataFrame re-referenced by multiple
+    # branches gets one barrier up front)
+    scored = scored.localCheckpoint()
     queue = uncertainty_queue(
         scored.select("id_a", "id_b", "score"),
-        FS_LOWER,
+        STEWARD_BAND_LOW,
         FS_UPPER,
         STEWARD_QUEUE_K,
     )
@@ -8158,24 +8092,8 @@ def _er_steward_loop_oracle_sql() -> str:
     queue, truth-split labels, three label-propagation fixpoints
     (link edges; link ∪ must; strong ∪ must inside violated clusters),
     and the count-only pairwise metrics."""
-    from ..operators.fellegi_sunter import fs_weights
-
-    terms = []
-    agrees = []
-    for f, (m, u) in FS_PARAMS.items():
-        t = FS_NEAR.get(f, 0)
-        agrees.append(
-            f"CASE WHEN a.{f} IS NULL OR b.{f} IS NULL THEN NULL "
-            f"WHEN levenshtein(a.{f}, b.{f}) <= {t} THEN 1 ELSE 0 END "
-            f"AS agree_{f}"
-        )
-        wa, wd = fs_weights(m, u)
-        terms.append(
-            f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
-            f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END"
-        )
-    score = " + ".join(["0.0"] + terms)
-    mid = (FS_LOWER + FS_UPPER) / 2.0
+    agrees, score = _fs_agree_score_sql()
+    mid = (STEWARD_BAND_LOW + FS_UPPER) / 2.0
     return f"""
     WITH RECURSIVE clean AS (
         SELECT c_custkey AS rec_id, c_name AS name,
@@ -8200,7 +8118,8 @@ def _er_steward_loop_oracle_sql() -> str:
         SELECT a.rec_id AS id_a, b.rec_id AS id_b
         FROM ranked a
         JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {ER_PIPE_SNM_W}),
-    pairs AS (SELECT DISTINCT id_a, id_b FROM (
+    pairs AS (SELECT DISTINCT least(id_a, id_b) AS id_a,
+                     greatest(id_a, id_b) AS id_b FROM (
         SELECT * FROM phone_pairs UNION ALL SELECT * FROM snm_pairs)),
     ag AS (
         SELECT p.id_a, p.id_b, {', '.join(agrees)}
@@ -8211,7 +8130,8 @@ def _er_steward_loop_oracle_sql() -> str:
     band AS (SELECT id_a, id_b, score,
                     {_spark_round(f'abs(score - {mid!r})')} AS uncertainty
              FROM sc
-             WHERE score >= {FS_LOWER!r} AND score < {FS_UPPER!r}),
+             WHERE score >= {STEWARD_BAND_LOW!r}
+               AND score < {FS_UPPER!r}),
     q AS (SELECT row_number() OVER (
                      ORDER BY uncertainty, id_a, id_b) AS queue_pos,
                  id_a, id_b
@@ -8651,6 +8571,14 @@ _NEVER_DRIVER_CHECKED = [
     "docs_pmi_bigrams", "docs_phrase_search", "graph_triangles",
     "crawl_scd2_incremental", "crawl_stream_scd2",
 ]
+# ROUND-5 ROTATION DEBT: the 12 entries above that sit past the
+# 50-query window this round, PLUS the ten r4 fifth/sixth-slot
+# additions (er_profile, er_uncertainty_queue, er_capture_recapture,
+# er_constraints, crawl_host_stats, er_must_link, er_cluster_repair,
+# docs_residual_dups, docs_host_filter, er_steward_loop) remain
+# driver-unstamped (builder gate verifies all of them exactly at
+# sf0.01 meanwhile). Round 5: move those ~22 to the head — they all
+# fit one 50-query window.
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED},
     **QUERIES,
