@@ -210,6 +210,13 @@ HEADLINE = [
     # the flagship ops composite: queue -> labels -> constrained CC ->
     # repair -> before/after pairwise metrics, one row out
     "er_steward_loop",
+    # wave 7: spatial grid-cell blocking (integer-exact verify),
+    # Splink-style per-pair weight waterfall, Deequ-style declarative
+    # quality gate, one collective-ER relational-evidence round
+    "er_spatial_block",
+    "er_explain",
+    "docs_quality_checks",
+    "er_relational_evidence",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

@@ -343,3 +343,68 @@ def tf_adjusted_scores(
         .otherwise(F.lit("possible"))
         .alias("decision"),
     )
+
+
+def fs_waterfall(
+    scored: DataFrame,
+    field_params: "dict[str, tuple[float, float]]",
+) -> DataFrame:
+    """Splink-style match-weight waterfall — the per-pair EXPLANATION
+    a reviewer reads before overriding a decision: every scored pair
+    unpivots into one row per comparison field carrying that field's
+    agreement outcome, its weight contribution, and the running score
+    total in field order, so 'why did this pair link?' is answered by
+    the rows themselves (big phone reward, small name penalty, ...).
+
+    ``scored`` is fellegi_sunter_scores output (needs the
+    agree_<field> columns and ``score``); ``field_params`` must be the
+    SAME dict (insertion order defines the waterfall order and must
+    match the score's addition order for the running total to land
+    exactly on ``score`` at the last field — contributions accumulate
+    as raw weight literals and round only for display).
+
+    Scale shape: one explode(k fields) + one window partitioned by the
+    PAIR key ordered over k rows — bounded by the field count, never
+    by data volume."""
+    from pyspark.sql import Window
+
+    entries = []
+    for i, f in enumerate(field_params):
+        wa, wd = fs_weights(*field_params[f])
+        entries.append(
+            F.struct(
+                F.lit(i).alias("field_idx"),
+                F.lit(f).alias("field"),
+                F.col(f"agree_{f}").alias("agree"),
+                F.when(F.col(f"agree_{f}").isNull(), F.lit(0.0))
+                .when(F.col(f"agree_{f}") == 1, F.lit(wa))
+                .otherwise(F.lit(wd))
+                .alias("contrib"),
+            )
+        )
+    ex = scored.select(
+        "id_a", "id_b", "score", F.explode(F.array(*entries)).alias("e")
+    ).select(
+        "id_a",
+        "id_b",
+        "score",
+        "e.field_idx",
+        "e.field",
+        "e.agree",
+        "e.contrib",
+    )
+    w = (
+        Window.partitionBy("id_a", "id_b")
+        .orderBy("field_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ex.select(
+        "id_a",
+        "id_b",
+        "field_idx",
+        "field",
+        "agree",
+        F.round("contrib", 6).alias("contrib"),
+        F.round(F.sum("contrib").over(w), 6).alias("running_total"),
+        "score",
+    )

@@ -8240,6 +8240,392 @@ def _er_steward_loop_oracle_sql() -> str:
 ER_STEWARD_LOOP_SQL = _er_steward_loop_oracle_sql()
 
 
+# ------------------------------- wave 7: modalities the blockers lacked
+# spatial blocking, per-pair score explanations, declarative data-
+# quality gates, and relational (collective-ER) evidence.
+
+
+# integer planar units; cell size = radius, so the 3x3 probe is exact
+SPATIAL_RADIUS = 5
+
+
+def q_er_spatial_block(spark, sf_dir) -> DataFrame:
+    """Spatial blocking join (operators/spatial.py): records live at
+    deterministic integer planar coordinates derived from the key;
+    every 10th record's dirty copy sits a small jitter away (|dx| <=
+    3, |dy| <= 2, so dist^2 <= 13 <= radius^2 = 25 — every planted
+    pair is IN range by construction), and the 10000x10000 plane makes
+    chance neighbors rare but present. Grid-cell 3x3 probe + integer
+    dist^2 verify — no trig, no float boundary, so the brute-force
+    DuckDB replica matches bit-for-bit."""
+    from ..operators.spatial import spatial_block_join
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    clean = c.select(
+        F.col("c_custkey").cast("long").alias("rec_id"),
+        ((F.col("c_custkey") * 7919) % 10000).cast("long").alias("x"),
+        ((F.col("c_custkey") * 104729) % 10000).cast("long").alias("y"),
+    )
+    dirty = clean.where(F.col("rec_id") % 10 == 0).select(
+        (F.col("rec_id") + 1000000).alias("rec_id"),
+        (F.col("x") + (F.col("rec_id") % 7) - 3).alias("x"),
+        (F.col("y") + (F.col("rec_id") % 5) - 2).alias("y"),
+    )
+    return spatial_block_join(
+        clean.unionByName(dirty), SPATIAL_RADIUS
+    )
+
+
+ER_SPATIAL_SQL = f"""
+    WITH clean AS (
+        SELECT c_custkey::BIGINT AS rec_id,
+               ((c_custkey * 7919) % 10000)::BIGINT AS x,
+               ((c_custkey * 104729) % 10000)::BIGINT AS y
+        FROM customer),
+    pts AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, x + (rec_id % 7) - 3, y + (rec_id % 5) - 2
+        FROM clean WHERE rec_id % 10 = 0)
+    SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+           ((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y))::BIGINT AS dist_sq
+    FROM pts a JOIN pts b ON a.rec_id < b.rec_id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= {SPATIAL_RADIUS * SPATIAL_RADIUS}
+"""
+
+
+def q_er_explain(spark, sf_dir) -> DataFrame:
+    """Match-weight waterfall for every FS-scored pair
+    (operators/fellegi_sunter.py fs_waterfall): one row per
+    (pair, field) with the agreement outcome, the field's weight
+    contribution, and the running total — the reviewer-facing
+    explanation of WHY a pair scored where it did. The running total's
+    last row lands exactly on the pair's score (same literals, same
+    addition order), which the oracle pins by replaying the cumulative
+    sums as explicit expressions."""
+    from ..operators.fellegi_sunter import (
+        fellegi_sunter_scores,
+        fs_waterfall,
+    )
+
+    records, truth, nonmatch = _fs_customers(spark, sf_dir, corrupt="city")
+    scored = fellegi_sunter_scores(
+        records,
+        truth.unionByName(nonmatch),
+        FS_PARAMS,
+        near=FS_NEAR,
+        upper=FS_UPPER,
+        lower=FS_LOWER,
+    )
+    return fs_waterfall(scored, FS_PARAMS)
+
+
+def _er_explain_oracle_sql() -> str:
+    """Replica: corpus + planted pairs + agreement CASEs, then one
+    SELECT per field UNION ALL'd, each carrying its contribution CASE
+    and the explicit cumulative sum of contributions up to its index
+    (left-assoc + in FS_PARAMS order — identical double sums)."""
+    from ..operators.fellegi_sunter import fs_weights
+
+    agrees, score = _fs_agree_score_sql()
+    contribs = []
+    for f, (m, u) in FS_PARAMS.items():
+        wa, wd = fs_weights(m, u)
+        contribs.append(
+            (
+                f,
+                f"CASE WHEN agree_{f} IS NULL THEN 0.0 "
+                f"WHEN agree_{f} = 1 THEN {wa!r} ELSE {wd!r} END",
+            )
+        )
+    selects = []
+    for i, (f, cexpr) in enumerate(contribs):
+        running = " + ".join(
+            ["0.0"] + [c for _, c in contribs[: i + 1]]
+        )
+        selects.append(
+            f"""SELECT id_a, id_b, {i} AS field_idx, '{f}' AS field,
+           agree_{f} AS agree,
+           {_spark_round(cexpr)} AS contrib,
+           {_spark_round(running)} AS running_total, score
+    FROM sc"""
+        )
+    body = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               CASE WHEN rec_id % 20 = 0 THEN 'unknown' ELSE city END,
+               phone
+        FROM clean WHERE rec_id % 10 = 0),
+    pairs AS (
+        SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id, rec_id + 3 FROM clean WHERE rec_id % 10 = 0),
+    ag AS (
+        SELECT p.id_a, p.id_b, {', '.join(agrees)}
+        FROM pairs p
+        JOIN records a ON p.id_a = a.rec_id
+        JOIN records b ON p.id_b = b.rec_id),
+    sc AS (SELECT *, round({score}, 6) AS score FROM ag)
+    {body}
+"""
+
+
+ER_EXPLAIN_SQL = _er_explain_oracle_sql()
+
+
+# declarative quality gate over the documents table: four passing
+# checks and one that FAILS by construction at every SF (source
+# cardinality is 20 regardless of row count) — the report must carry
+# real red rows, not only greens
+DOC_CHECKS = [
+    {"name": "text_complete", "col": "text", "kind": "completeness",
+     "threshold": 1.0},
+    {"name": "doc_id_unique", "col": "doc_id", "kind": "distinctness",
+     "threshold": 1.0},
+    {"name": "lang_known", "col": "lang", "kind": "in_set",
+     "threshold": 0.75, "allowed": ["en", "de", "fr", "es"]},
+    {"name": "chars_non_negative", "col": "n_chars",
+     "kind": "non_negative", "threshold": 1.0},
+    {"name": "source_cardinality", "col": "source",
+     "kind": "distinctness", "threshold": 0.5},
+]
+
+
+def q_docs_quality_checks(spark, sf_dir) -> DataFrame:
+    """Deequ-style declarative quality gate over documents
+    (operators/quality_checks.py): five checks — completeness,
+    key-distinctness, language allow-list coverage, numeric sanity,
+    and a deliberately failing source-cardinality bound — computed in
+    ONE aggregate pass and exploded into a per-check report with pass
+    flags a CI gate can act on."""
+    from ..operators.quality_checks import run_quality_checks
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return run_quality_checks(d, DOC_CHECKS)
+
+
+def _docs_quality_oracle_sql() -> str:
+    metric_exprs = {
+        "text_complete": "count(text)::DOUBLE / count(*)",
+        "doc_id_unique": "count(DISTINCT doc_id)::DOUBLE / count(*)",
+        "lang_known": (
+            "sum(CASE WHEN lang IN ('en', 'de', 'fr', 'es') THEN 1 "
+            "ELSE 0 END)::DOUBLE / count(*)"
+        ),
+        "chars_non_negative": (
+            "sum(CASE WHEN n_chars >= 0 THEN 1 ELSE 0 END)::DOUBLE "
+            "/ count(*)"
+        ),
+        "source_cardinality": "count(DISTINCT source)::DOUBLE / count(*)",
+    }
+    ms = ", ".join(
+        f"{_spark_round(metric_exprs[c['name']])} AS m{i}"
+        for i, c in enumerate(DOC_CHECKS)
+    )
+    rows = "\n    UNION ALL\n    ".join(
+        f"""SELECT '{c['name']}' AS "check", '{c['col']}' AS col_name,
+           '{c['kind']}' AS kind, m{i} AS metric,
+           {float(c['threshold'])!r}::DOUBLE AS threshold,
+           (m{i} >= {float(c['threshold'])!r})::INT AS passed FROM m"""
+        for i, c in enumerate(DOC_CHECKS)
+    )
+    return f"""
+    WITH m AS (SELECT {ms} FROM documents)
+    {rows}
+"""
+
+
+DOCS_QUALITY_SQL = _docs_quality_oracle_sql()
+
+
+# weight of the relational bonus in log2-odds units: a full part-set
+# match is worth about as much as a phone agreement
+REL_EVIDENCE_W = 6.0
+
+
+def q_er_relational_evidence(spark, sf_dir) -> DataFrame:
+    """One collective-ER refinement round (Bhattacharya & Getoor's
+    relational evidence, simplified to a single pass): after field-
+    level FS scoring, every candidate pair earns a bonus proportional
+    to the Dice overlap of the two records' PART SETS (what they
+    ordered — the relational neighborhood orders/lineitem provides).
+    The blanked-city twins sit at 11.71 bits, below the 12-bit link
+    threshold; their dirty copies inherit the parts of their even-
+    numbered orders, so the planted pairs carry high Dice and the
+    relational bonus flips them to link — recall recovered from the
+    GRAPH instead of from labels (contrast er_must_link) — while the
+    (k, k+3) distractors' part sets are disjoint and stay put.
+
+    Scale shape: part sets pre-filtered to the records under
+    comparison (two semi-joins), intersection via one pk-keyed
+    equi-join + pair-keyed count, sizes one aggregate — no cross
+    product, bounded by true part-set overlap."""
+    from ..operators.fellegi_sunter import fellegi_sunter_scores
+
+    records, truth, nonmatch = _fs_customers(spark, sf_dir, corrupt="city")
+    pairs = truth.unionByName(nonmatch)
+    scored = fellegi_sunter_scores(
+        records, pairs, FS_PARAMS, near=FS_NEAR, upper=FS_UPPER,
+        lower=FS_LOWER,
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_partkey"
+    )
+    base = o.join(li, "o_orderkey")
+    po = base.select(
+        F.col("o_custkey").cast("long").alias("rid"),
+        F.col("l_partkey").alias("pk"),
+    ).distinct()
+    po_dirty = (
+        base.where(
+            (F.col("o_custkey") % 10 == 0) & (F.col("o_orderkey") % 2 == 0)
+        )
+        .select(
+            (F.col("o_custkey") + 1000000).cast("long").alias("rid"),
+            F.col("l_partkey").alias("pk"),
+        )
+        .distinct()
+    )
+    rids = (
+        pairs.select(F.col("id_a").alias("rid"))
+        .unionByName(pairs.select(F.col("id_b").alias("rid")))
+        .distinct()
+    )
+    sets = po.unionByName(po_dirty).join(rids, "rid", "left_semi")
+    sizes = sets.groupBy("rid").agg(F.count("*").cast("long").alias("n"))
+    inter = (
+        sets.alias("a")
+        .join(sets.alias("b"), "pk")
+        .select(
+            F.col("a.rid").alias("id_a"), F.col("b.rid").alias("id_b")
+        )
+        .join(pairs, ["id_a", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("i"))
+    )
+    out = (
+        scored.join(
+            sizes.select(F.col("rid").alias("id_a"), F.col("n").alias("na")),
+            "id_a",
+            "left",
+        )
+        .join(
+            sizes.select(F.col("rid").alias("id_b"), F.col("n").alias("nb")),
+            "id_b",
+            "left",
+        )
+        .join(inter, ["id_a", "id_b"], "left")
+        .withColumn(
+            "dice",
+            F.round(
+                F.coalesce(
+                    (F.col("i") * 2) / (F.col("na") + F.col("nb")),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "score_rel",
+            F.round(
+                F.col("score") + F.lit(REL_EVIDENCE_W) * F.col("dice"), 6
+            ),
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "score",
+        "dice",
+        "score_rel",
+        "decision",
+        F.when(F.col("score_rel") >= FS_UPPER, F.lit("link"))
+        .when(F.col("score_rel") < FS_LOWER, F.lit("non_link"))
+        .otherwise(F.lit("possible"))
+        .alias("decision_rel"),
+    )
+
+
+def _er_relational_oracle_sql() -> str:
+    agrees, score = _fs_agree_score_sql()
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               CASE WHEN rec_id % 20 = 0 THEN 'unknown' ELSE city END,
+               phone
+        FROM clean WHERE rec_id % 10 = 0),
+    pairs AS (
+        SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id, rec_id + 3 FROM clean WHERE rec_id % 10 = 0),
+    ag AS (
+        SELECT p.id_a, p.id_b, {', '.join(agrees)}
+        FROM pairs p
+        JOIN records a ON p.id_a = a.rec_id
+        JOIN records b ON p.id_b = b.rec_id),
+    sc AS (SELECT *, round({score}, 6) AS score FROM ag),
+    base AS (SELECT o.o_orderkey, o.o_custkey, l.l_partkey
+             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    po AS (SELECT DISTINCT o_custkey::BIGINT AS rid, l_partkey AS pk
+           FROM base
+           UNION
+           SELECT DISTINCT (o_custkey + 1000000)::BIGINT, l_partkey
+           FROM base
+           WHERE o_custkey % 10 = 0 AND o_orderkey % 2 = 0),
+    sizes AS (SELECT rid, count(*)::BIGINT AS n FROM po GROUP BY rid),
+    inter AS (SELECT p.id_a, p.id_b, count(*)::BIGINT AS i
+              FROM pairs p
+              JOIN po a ON a.rid = p.id_a
+              JOIN po b ON b.rid = p.id_b AND b.pk = a.pk
+              GROUP BY 1, 2),
+    d AS (SELECT sc.*,
+                 {_spark_round(
+                     'coalesce((i.i * 2)::DOUBLE / (sa.n + sb.n), 0.0)'
+                 )} AS dice
+          FROM sc
+          LEFT JOIN sizes sa ON sa.rid = sc.id_a
+          LEFT JOIN sizes sb ON sb.rid = sc.id_b
+          LEFT JOIN inter i ON i.id_a = sc.id_a AND i.id_b = sc.id_b),
+    f AS (SELECT *,
+                 {_spark_round(f'score + {REL_EVIDENCE_W!r} * dice')}
+                     AS score_rel
+          FROM d)
+    SELECT id_a, id_b, score, dice, score_rel,
+           CASE WHEN score >= {FS_UPPER!r} THEN 'link'
+                WHEN score < {FS_LOWER!r} THEN 'non_link'
+                ELSE 'possible' END AS decision,
+           CASE WHEN score_rel >= {FS_UPPER!r} THEN 'link'
+                WHEN score_rel < {FS_LOWER!r} THEN 'non_link'
+                ELSE 'possible' END AS decision_rel
+    FROM f
+"""
+
+
+ER_RELATIONAL_SQL = _er_relational_oracle_sql()
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -8382,6 +8768,10 @@ QUERIES = {
     "docs_residual_dups": q_docs_residual_dups,
     "docs_host_filter": q_docs_host_filter,
     "er_steward_loop": q_er_steward_loop,
+    "er_spatial_block": q_er_spatial_block,
+    "er_explain": q_er_explain,
+    "docs_quality_checks": q_docs_quality_checks,
+    "er_relational_evidence": q_er_relational_evidence,
 }
 
 ORACLES = {
@@ -8524,6 +8914,10 @@ ORACLES = {
     "docs_residual_dups": DOCS_RESIDUAL_DUPS_SQL,
     "docs_host_filter": DOCS_HOST_FILTER_SQL,
     "er_steward_loop": ER_STEWARD_LOOP_SQL,
+    "er_spatial_block": ER_SPATIAL_SQL,
+    "er_explain": ER_EXPLAIN_SQL,
+    "docs_quality_checks": DOCS_QUALITY_SQL,
+    "er_relational_evidence": ER_RELATIONAL_SQL,
 }
 
 
@@ -8575,10 +8969,11 @@ _NEVER_DRIVER_CHECKED = [
 # 50-query window this round, PLUS the ten r4 fifth/sixth-slot
 # additions (er_profile, er_uncertainty_queue, er_capture_recapture,
 # er_constraints, crawl_host_stats, er_must_link, er_cluster_repair,
-# docs_residual_dups, docs_host_filter, er_steward_loop) remain
-# driver-unstamped (builder gate verifies all of them exactly at
-# sf0.01 meanwhile). Round 5: move those ~22 to the head — they all
-# fit one 50-query window.
+# docs_residual_dups, docs_host_filter, er_steward_loop) and the four
+# wave-7 entries (er_spatial_block, er_explain, docs_quality_checks,
+# er_relational_evidence) remain driver-unstamped (builder gate
+# verifies all of them exactly at sf0.01 meanwhile). Round 5: move
+# those ~26 to the head — they all fit one 50-query window.
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED},
     **QUERIES,
