@@ -217,6 +217,10 @@ HEADLINE = [
     "er_explain",
     "docs_quality_checks",
     "er_relational_evidence",
+    # wave 8: temporal-decay linkage, PSI drift monitor, frontier plan
+    "er_temporal_linkage",
+    "er_score_drift",
+    "crawl_frontier_schedule",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

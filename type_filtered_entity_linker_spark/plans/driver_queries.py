@@ -8626,6 +8626,212 @@ def _er_relational_oracle_sql() -> str:
 ER_RELATIONAL_SQL = _er_relational_oracle_sql()
 
 
+# -------------------- wave 8: time — decay, drift, and fetch scheduling
+
+
+def q_er_temporal_linkage(spark, sf_dir) -> DataFrame:
+    """Temporal record linkage (operators/temporal_linkage.py; Li,
+    Dong, Maurino & Srivastava VLDB'11): each record carries an
+    observation day derived from its key; the planted dirty copies
+    were 'seen' 400-1200 days later, so their evidence decays through
+    the 0.8/0.6/0.4 steps, while the (k, k+3) distractors land either
+    same-season (decay 1.0) or across the whole window (0.2) — the
+    full step table is exercised. Output carries both the static FS
+    score and the decayed one, so the decay's effect is itself a
+    column."""
+    from ..operators.temporal_linkage import temporal_fs_scores
+
+    records, truth, nonmatch = _fs_customers(spark, sf_dir, corrupt="city")
+    recs = records.withColumn(
+        "seen_ts",
+        (
+            F.lit(10000)
+            + (F.col("rec_id") % 1000000) * 37 % 3650
+            + F.when(
+                F.col("rec_id") >= 1000000,
+                F.lit(400) + (F.col("rec_id") % 1000000) % 5 * 200,
+            ).otherwise(F.lit(0))
+        ).cast("long"),
+    )
+    return temporal_fs_scores(
+        recs, truth.unionByName(nonmatch), FS_PARAMS, near=FS_NEAR
+    )
+
+
+def _er_temporal_oracle_sql() -> str:
+    agrees, score = _fs_agree_score_sql()
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               CASE WHEN rec_id % 20 = 0 THEN 'unknown' ELSE city END,
+               phone
+        FROM clean WHERE rec_id % 10 = 0),
+    recs AS (
+        SELECT *,
+               (10000 + (rec_id % 1000000) * 37 % 3650
+                + CASE WHEN rec_id >= 1000000
+                       THEN 400 + ((rec_id % 1000000) % 5) * 200
+                       ELSE 0 END)::BIGINT AS seen_ts
+        FROM records),
+    pairs AS (
+        SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id, rec_id + 3 FROM clean WHERE rec_id % 10 = 0),
+    ag AS (
+        SELECT p.id_a, p.id_b,
+               abs(a.seen_ts - b.seen_ts)::BIGINT AS gap_days,
+               {', '.join(agrees)}
+        FROM pairs p
+        JOIN recs a ON p.id_a = a.rec_id
+        JOIN recs b ON p.id_b = b.rec_id),
+    d AS (SELECT *,
+                 ([1.0, 0.8, 0.6, 0.4, 0.2])[
+                     least(gap_days // 365, 4) + 1] AS decay
+          FROM ag)
+    SELECT id_a, id_b, gap_days,
+           {_spark_round('decay::DOUBLE')} AS decay,
+           agree_name, agree_city, agree_phone,
+           {_spark_round(score)} AS score_static,
+           {_spark_round(f'(({score})::DOUBLE) * (decay::DOUBLE)')} AS score
+    FROM d
+"""
+
+
+ER_TEMPORAL_SQL = _er_temporal_oracle_sql()
+
+
+def q_er_score_drift(spark, sf_dir) -> DataFrame:
+    """PSI score-drift monitor (operators/drift.py): batch A scores
+    the city-corrupted corpus, batch B the phone-corrupted one — the
+    same pipeline fed a slice whose corruption moved (extraction
+    change, seasonal shift). Phone corruption drops every 30th true
+    pair from the top band to below zero, so mass shifts between the
+    fixed score bins and the per-bin PSI terms expose exactly where.
+    One binned aggregate per batch + a 6-row spine join."""
+    from ..operators.drift import score_drift_psi
+    from ..operators.fellegi_sunter import fellegi_sunter_scores
+
+    ra, ta, na = _fs_customers(spark, sf_dir, corrupt="city")
+    sa = fellegi_sunter_scores(
+        ra, ta.unionByName(na), FS_PARAMS, near=FS_NEAR, upper=FS_UPPER,
+        lower=FS_LOWER,
+    )
+    rb, tb, nb = _fs_customers(spark, sf_dir, corrupt="phone")
+    sb = fellegi_sunter_scores(
+        rb, tb.unionByName(nb), FS_PARAMS, near=FS_NEAR, upper=FS_UPPER,
+        lower=FS_LOWER,
+    )
+    return score_drift_psi(sa, sb)
+
+
+def _er_score_drift_oracle_sql() -> str:
+    agrees, score = _fs_agree_score_sql()
+    bin_case = ("CASE WHEN score < 0.0 THEN 0 WHEN score < 4.0 THEN 1 "
+                "WHEN score < 8.0 THEN 2 WHEN score < 12.0 THEN 3 "
+                "WHEN score < 16.0 THEN 4 ELSE 5 END")
+
+    def batch(tag: str, city_case: str, phone_case: str) -> str:
+        return f"""
+    records_{tag} AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               {city_case}, {phone_case}
+        FROM clean WHERE rec_id % 10 = 0),
+    ag_{tag} AS (
+        SELECT p.id_a, p.id_b, {', '.join(agrees)}
+        FROM pairs p
+        JOIN records_{tag} a ON p.id_a = a.rec_id
+        JOIN records_{tag} b ON p.id_b = b.rec_id),
+    sc_{tag} AS (SELECT round({score}, 6) AS score FROM ag_{tag}),
+    h_{tag} AS (SELECT {bin_case} AS bin_idx, count(*)::BIGINT AS c
+                FROM sc_{tag} WHERE score IS NOT NULL GROUP BY 1),
+    tot_{tag} AS (SELECT coalesce(sum(c), 0)::BIGINT AS tot FROM h_{tag})"""
+
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    pairs AS (
+        SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id, rec_id + 3 FROM clean WHERE rec_id % 10 = 0),
+    {batch('a', "CASE WHEN rec_id % 20 = 0 THEN 'unknown' ELSE city END",
+           'phone')},
+    {batch('b', 'city',
+           "CASE WHEN rec_id % 30 = 0 THEN '99' || substr(phone, 3) "
+           "ELSE phone END")},
+    spine AS (SELECT range::INT AS bin_idx FROM range(0, 6)),
+    j AS (SELECT s.bin_idx,
+                 coalesce(ha.c, 0)::BIGINT AS n_a,
+                 coalesce(hb.c, 0)::BIGINT AS n_b,
+                 ta.tot AS tot_a, tb.tot AS tot_b
+          FROM spine s
+          LEFT JOIN h_a ha ON ha.bin_idx = s.bin_idx
+          LEFT JOIN h_b hb ON hb.bin_idx = s.bin_idx
+          CROSS JOIN tot_a ta CROSS JOIN tot_b tb)
+    SELECT bin_idx, n_a, n_b,
+           {_spark_round('(n_a + 1)::DOUBLE / (tot_a + 6)')} AS p_a,
+           {_spark_round('(n_b + 1)::DOUBLE / (tot_b + 6)')} AS p_b,
+           {_spark_round(
+               '((n_a + 1)::DOUBLE / (tot_a + 6)'
+               ' - (n_b + 1)::DOUBLE / (tot_b + 6))'
+               ' * ln(((n_a + 1)::DOUBLE / (tot_a + 6))'
+               ' / ((n_b + 1)::DOUBLE / (tot_b + 6)))'
+           )} AS psi_term
+    FROM j
+"""
+
+
+ER_SCORE_DRIFT_SQL = _er_score_drift_oracle_sql()
+
+
+# seconds between fetches against one host — the politeness delay
+FRONTIER_DELAY = 10
+
+
+def q_crawl_frontier(spark, sf_dir) -> DataFrame:
+    """Crawl-frontier fetch plan (operators/crawl_frontier.py): the
+    documents table as a scored URL frontier (host = source, priority
+    = n_chars), scheduled per host under a 10 s politeness delay. The
+    per-host window is the CORRECT shape here — one host's queue is
+    serial by definition — and cross-host parallelism is unbounded."""
+    from ..operators.crawl_frontier import schedule_frontier
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    frontier = d.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.col("n_chars").cast("long").alias("priority"),
+    )
+    return schedule_frontier(frontier, FRONTIER_DELAY)
+
+
+CRAWL_FRONTIER_SQL = f"""
+    WITH f AS (SELECT doc_id, source AS host, n_chars::BIGINT AS priority
+               FROM documents),
+    r AS (SELECT doc_id, host, priority,
+                 row_number() OVER (PARTITION BY host
+                                    ORDER BY priority DESC, doc_id)::BIGINT
+                     AS host_rank
+          FROM f)
+    SELECT doc_id, host, priority, host_rank,
+           ((host_rank - 1) * {FRONTIER_DELAY})::BIGINT AS fetch_time
+    FROM r
+"""
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -8772,6 +8978,9 @@ QUERIES = {
     "er_explain": q_er_explain,
     "docs_quality_checks": q_docs_quality_checks,
     "er_relational_evidence": q_er_relational_evidence,
+    "er_temporal_linkage": q_er_temporal_linkage,
+    "er_score_drift": q_er_score_drift,
+    "crawl_frontier_schedule": q_crawl_frontier,
 }
 
 ORACLES = {
@@ -8918,6 +9127,9 @@ ORACLES = {
     "er_explain": ER_EXPLAIN_SQL,
     "docs_quality_checks": DOCS_QUALITY_SQL,
     "er_relational_evidence": ER_RELATIONAL_SQL,
+    "er_temporal_linkage": ER_TEMPORAL_SQL,
+    "er_score_drift": ER_SCORE_DRIFT_SQL,
+    "crawl_frontier_schedule": CRAWL_FRONTIER_SQL,
 }
 
 
@@ -8970,10 +9182,11 @@ _NEVER_DRIVER_CHECKED = [
 # additions (er_profile, er_uncertainty_queue, er_capture_recapture,
 # er_constraints, crawl_host_stats, er_must_link, er_cluster_repair,
 # docs_residual_dups, docs_host_filter, er_steward_loop) and the four
-# wave-7 entries (er_spatial_block, er_explain, docs_quality_checks,
-# er_relational_evidence) remain driver-unstamped (builder gate
+# wave-7/8 entries (er_spatial_block, er_explain, docs_quality_checks,
+# er_relational_evidence, er_temporal_linkage, er_score_drift,
+# crawl_frontier_schedule) remain driver-unstamped (builder gate
 # verifies all of them exactly at sf0.01 meanwhile). Round 5: move
-# those ~26 to the head — they all fit one 50-query window.
+# those ~29 to the head — they all fit one 50-query window.
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED},
     **QUERIES,
