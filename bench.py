@@ -221,6 +221,11 @@ HEADLINE = [
     "er_temporal_linkage",
     "er_score_drift",
     "crawl_frontier_schedule",
+    # wave 9: winnowing local fingerprints, per-source TF-IDF labels,
+    # streaming drift-histogram maintenance (6-row state forever)
+    "docs_winnowing",
+    "docs_source_keywords",
+    "er_stream_score_drift",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

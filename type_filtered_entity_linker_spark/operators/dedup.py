@@ -648,3 +648,55 @@ def repeated_spans(
             F.col("n_windows").cast("int").alias("n_windows"),
         )
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    window: int = 4,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    SIGMOD'03 — the MOSS local fingerprinting algorithm): hash every
+    word k-gram at its POSITION, slide a window over ``window``
+    consecutive k-gram hashes, keep each window's minimum, and dedupe
+    per document. The winnowing guarantee: any shared token run of at
+    least window + k - 1 words contributes at least one SHARED
+    fingerprint — position-aware local dedup evidence that whole-set
+    Jaccard (minhash) and global-vote fingerprints (simhash) both
+    lack; the excerpt/quotation detector of the family.
+
+    Documents shorter than ``window`` k-grams fingerprint their global
+    minimum (the pos-0 window already spans the whole doc). Returns
+    DISTINCT (id_col, fp). hash_fn as in shingle_hash: xxhash64
+    production / md5_60 for engine-exact oracles.
+
+    Scale shape: one posexplode + TWO windows per document partition
+    (the running min/count and the per-doc total) — bounded by
+    document length, the repeated_spans trade; then one distinct."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), r"\s+")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    pos = docs.select(
+        F.col(id_col), F.posexplode(grams).alias("pos", "g")
+    ).select(
+        id_col, "pos", shingle_hash(F.col("g"), hash_fn).alias("h")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    tot = Window.partitionBy(id_col)
+    sel = (
+        pos.withColumn("wmin", F.min("h").over(w))
+        .withColumn("wcnt", F.count("h").over(w))
+        .withColumn("tot", F.count("h").over(tot))
+        .where(F.col("wcnt") == F.least(F.lit(window), F.col("tot")))
+    )
+    return sel.select(F.col(id_col), F.col("wmin").alias("fp")).distinct()

@@ -16,17 +16,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _binned(df: DataFrame, value_col: str, edges: "list[float]") -> DataFrame:
-    """(bin_idx, cnt) histogram under half-open bins: bin 0 =
-    (-inf, edges[0]), bin i = [edges[i-1], edges[i]), last bin =
-    [edges[-1], inf). NULL values are dropped (they carry no score)."""
+def bin_index_expr(value_col: str, edges: "list[float]"):
+    """Column expression mapping a value to its half-open bin index:
+    bin 0 = (-inf, edges[0]), bin i = [edges[i-1], edges[i]), last =
+    [edges[-1], inf). Shared by the batch histogram and the streaming
+    histogram state (streaming/incremental.stream_binned_counts)."""
     e = F.col(value_col)
     idx = F.lit(len(edges))
     for i in range(len(edges) - 1, -1, -1):
         idx = F.when(e < F.lit(float(edges[i])), F.lit(i)).otherwise(idx)
+    return idx
+
+
+def binned_histogram(
+    df: DataFrame, value_col: str, edges: "list[float]"
+) -> DataFrame:
+    """(bin_idx, cnt) histogram of ``value_col`` under
+    ``bin_index_expr``'s bins. NULL values are dropped (they carry no
+    score)."""
     return (
-        df.where(e.isNotNull())
-        .select(idx.alias("bin_idx"))
+        df.where(F.col(value_col).isNotNull())
+        .select(bin_index_expr(value_col, edges).alias("bin_idx"))
         .groupBy("bin_idx")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
@@ -46,14 +56,26 @@ def score_drift_psi(
     appears (zero-count bins included), so sum(psi_term) IS the PSI
     and the row count is fixed at len(edges) + 1."""
     edges = list(edges)
-    bins = len(edges) + 1
-    spark = batch_a.sparkSession
+    return psi_from_histograms(
+        binned_histogram(batch_a, value_col, edges),
+        binned_histogram(batch_b, value_col, edges),
+        len(edges) + 1,
+    )
+
+
+def psi_from_histograms(
+    ha: DataFrame, hb: DataFrame, bins: int
+) -> DataFrame:
+    """PSI report from two (bin_idx, cnt) histograms (e.g. one batch
+    reference + one maintained by the streaming monitor) — the same
+    contract as score_drift_psi's output. Totals ride as single-row
+    aggregates crossJoined in (the repo's one-row metric fan-in
+    shape); no driver-side count() action, the whole PSI is one lazy
+    plan over bins-sized inputs."""
+    spark = ha.sparkSession
     spine = spark.range(bins).select(F.col("id").cast("int").alias("bin_idx"))
-    ha = _binned(batch_a, value_col, edges).withColumnRenamed("cnt", "ca")
-    hb = _binned(batch_b, value_col, edges).withColumnRenamed("cnt", "cb")
-    # batch totals as single-row aggregates crossJoined in (the repo's
-    # one-row metric fan-in shape) — no driver-side count() action, the
-    # whole PSI stays one lazy plan
+    ha = ha.select("bin_idx", F.col("cnt").alias("ca"))
+    hb = hb.select("bin_idx", F.col("cnt").alias("cb"))
     na = ha.agg(F.coalesce(F.sum("ca"), F.lit(0)).cast("long").alias("tot_a"))
     nb = hb.agg(F.coalesce(F.sum("cb"), F.lit(0)).cast("long").alias("tot_b"))
     j = (

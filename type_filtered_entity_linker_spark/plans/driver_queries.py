@@ -8832,6 +8832,223 @@ CRAWL_FRONTIER_SQL = f"""
 """
 
 
+# ------------- wave 9: local fingerprints, labeling, continuous monitor
+
+
+WINNOW_MIN_SHARED = 2
+
+
+def q_docs_winnowing(spark, sf_dir) -> DataFrame:
+    """Winnowing near-dup pairs (operators/dedup.py
+    winnowing_fingerprints; Schleimer/Wilkerson/Aiken MOSS): documents
+    sharing >= 2 winnowed local fingerprints over the near-dup corpus
+    — the position-aware excerpt detector whole-set Jaccard and
+    global-vote SimHash both lack. md5_60 hashes so the SQL replica
+    (window-min over positioned k-gram hashes) is bit-identical."""
+    from ..operators.dedup import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(
+        _neardup_corpus(spark, sf_dir), hash_fn="md5_60"
+    )
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+        .where(F.col("shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+DOCS_WINNOWING_SQL = f"""
+    WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+    toks AS (SELECT doc_id,
+                    regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l
+             FROM corpus),
+    ga AS (
+        -- build the positioned-gram array in a plain projection first:
+        -- the comprehension inside a lateral unnest trips DuckDB's
+        -- binder (struct_pack named-arg error)
+        SELECT doc_id,
+               CASE WHEN len(l) >= 3
+                    THEN [struct_pack(pos := i - 1,
+                                      gr := array_to_string(l[i:i+2], ' '))
+                          for i in generate_series(1, len(l) - 2)]
+                    ELSE [struct_pack(pos := 0::BIGINT,
+                                      gr := array_to_string(l, ' '))]
+                    END AS arr
+        FROM toks),
+    g AS (SELECT doc_id, u.s['pos'] AS pos, u.s['gr'] AS gr
+          FROM ga, unnest(arr) AS u(s)),
+    h AS (SELECT doc_id, pos, {_hex_fold('gr', 1, 15)} AS h FROM g),
+    sel AS (SELECT doc_id,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wmin,
+                   count(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wcnt,
+                   count(h) OVER (PARTITION BY doc_id) AS tot
+            FROM h),
+    fps AS (SELECT DISTINCT doc_id, wmin AS fp FROM sel
+            WHERE wcnt = least(4, tot))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+KEYWORD_TOP_K = 5
+
+
+def q_docs_source_keywords(spark, sf_dir) -> DataFrame:
+    """Cluster labeling: top-5 TF-IDF terms per source — the 'what is
+    this slice about' summary a curation reviewer reads next to the
+    host-health scorecard. TF from one (source, term) aggregate, DF
+    from one term aggregate, the source count rides as a one-row
+    crossJoin; rank on the ROUNDED score (ties -> term asc) so both
+    engines order identical doubles. The per-source window ranks only
+    that source's vocabulary (documented group-bounded sort)."""
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (
+        d.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias(
+                "term"
+            ),
+        )
+        .where(F.length("term") >= 3)
+    )
+    tf = toks.groupBy("source", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    g = tf.select("source").distinct().agg(
+        F.count("*").cast("long").alias("g")
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(g)
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("g") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= KEYWORD_TOP_K)
+        .select("source", "term", "tf", "df", "score", "rnk")
+    )
+
+
+DOCS_SOURCE_KEYWORDS_SQL = f"""
+    WITH toks AS (
+        SELECT source,
+               unnest(regexp_split_to_array(lower(text),
+                                            '[ \\t\\n\\x0b\\f\\r]+')) AS term
+        FROM documents),
+    ft AS (SELECT source, term FROM toks WHERE length(term) >= 3),
+    tf AS (SELECT source, term, count(*)::BIGINT AS tf
+           FROM ft GROUP BY 1, 2),
+    dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    gx AS (SELECT count(DISTINCT source)::BIGINT AS g FROM tf),
+    scored AS (SELECT tf.source, tf.term, tf.tf, dfx.df,
+                      {_spark_round(
+                          'tf.tf * ln(gx.g::DOUBLE / dfx.df)'
+                      )} AS score
+               FROM tf JOIN dfx USING (term) CROSS JOIN gx),
+    r AS (SELECT *, row_number() OVER (PARTITION BY source
+                                       ORDER BY score DESC, term)::BIGINT
+                        AS rnk
+          FROM scored)
+    SELECT source, term, tf, df, score, rnk
+    FROM r WHERE rnk <= {KEYWORD_TOP_K}
+"""
+
+
+def _staged_scores_dir(spark, sf_dir: str) -> str:
+    """Stage the phone-corrupted batch's FS scores as TWO parquet
+    halves in a scratch dir — the file-source feed for the streaming
+    drift monitor (two files -> two micro-batches accumulating in the
+    histogram state). Keyed by the customer table's identity so a
+    regenerated table invalidates the staged copy."""
+    import glob
+    import hashlib
+    import shutil
+    import tempfile
+
+    from ..operators.fellegi_sunter import fellegi_sunter_scores
+
+    src = f"{sf_dir}/customer.parquet"
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    stage = os.path.join(tempfile.gettempdir(), f"drift_stream_src_{key}")
+    marker = os.path.join(stage, "_READY")
+    if not os.path.exists(marker):
+        os.makedirs(stage, exist_ok=True)
+        rb, tb, nb = _fs_customers(spark, sf_dir, corrupt="phone")
+        sb = fellegi_sunter_scores(
+            rb, tb.unionByName(nb), FS_PARAMS, near=FS_NEAR,
+            upper=FS_UPPER, lower=FS_LOWER,
+        ).select("id_a", "score")
+        for half in (0, 1):
+            build = os.path.join(stage, f"_build_{half}")
+            sb.where(F.col("id_a") % 2 == half).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(build)
+            part = glob.glob(os.path.join(build, "part-*.parquet"))[0]
+            shutil.copy(part, os.path.join(stage, f"scores_{half}.parquet"))
+            shutil.rmtree(build)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return stage
+
+
+def q_er_stream_score_drift(spark, sf_dir) -> DataFrame:
+    """CONTINUOUS drift monitoring: the production deployment's scored
+    pairs arrive as files; the streaming histogram state
+    (streaming/incremental.stream_binned_counts — at most 6 rows
+    forever, the HLL-registers trade) accumulates across micro-batches
+    and, drained, feeds psi_from_histograms against the batch
+    reference histogram. The result must equal the all-batch PSI
+    exactly (same bins, exactly-once file source), so the oracle IS
+    er_score_drift's."""
+    from ..operators.drift import binned_histogram, psi_from_histograms
+    from ..operators.fellegi_sunter import fellegi_sunter_scores
+    from ..streaming.incremental import (
+        run_stream_once,
+        stream_binned_counts,
+    )
+
+    ra, ta, na = _fs_customers(spark, sf_dir, corrupt="city")
+    sa = fellegi_sunter_scores(
+        ra, ta.unionByName(na), FS_PARAMS, near=FS_NEAR, upper=FS_UPPER,
+        lower=FS_LOWER,
+    )
+    edges = [0.0, 4.0, 8.0, 12.0, 16.0]
+    ha = binned_histogram(sa, "score", edges)
+    stage = _staged_scores_dir(spark, sf_dir)
+    schema = spark.read.parquet(
+        os.path.join(stage, "scores_0.parquet")
+    ).schema
+    _STREAM_SEQ[0] += 1
+    hb = run_stream_once(
+        stream_binned_counts(spark, stage, schema, edges=tuple(edges)),
+        f"drift_hist_{_STREAM_SEQ[0]}",
+        output_mode="complete",
+    )
+    return psi_from_histograms(ha, hb, len(edges) + 1)
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -8981,6 +9198,9 @@ QUERIES = {
     "er_temporal_linkage": q_er_temporal_linkage,
     "er_score_drift": q_er_score_drift,
     "crawl_frontier_schedule": q_crawl_frontier,
+    "docs_winnowing": q_docs_winnowing,
+    "docs_source_keywords": q_docs_source_keywords,
+    "er_stream_score_drift": q_er_stream_score_drift,
 }
 
 ORACLES = {
@@ -9130,6 +9350,11 @@ ORACLES = {
     "er_temporal_linkage": ER_TEMPORAL_SQL,
     "er_score_drift": ER_SCORE_DRIFT_SQL,
     "crawl_frontier_schedule": CRAWL_FRONTIER_SQL,
+    "docs_winnowing": DOCS_WINNOWING_SQL,
+    "docs_source_keywords": DOCS_SOURCE_KEYWORDS_SQL,
+    # the drained streaming histogram must equal the batch histogram
+    # (exactly-once file source), so the PSI oracle is shared
+    "er_stream_score_drift": ER_SCORE_DRIFT_SQL,
 }
 
 
@@ -9182,11 +9407,13 @@ _NEVER_DRIVER_CHECKED = [
 # additions (er_profile, er_uncertainty_queue, er_capture_recapture,
 # er_constraints, crawl_host_stats, er_must_link, er_cluster_repair,
 # docs_residual_dups, docs_host_filter, er_steward_loop) and the four
-# wave-7/8 entries (er_spatial_block, er_explain, docs_quality_checks,
-# er_relational_evidence, er_temporal_linkage, er_score_drift,
-# crawl_frontier_schedule) remain driver-unstamped (builder gate
-# verifies all of them exactly at sf0.01 meanwhile). Round 5: move
-# those ~29 to the head — they all fit one 50-query window.
+# wave-7/8/9 entries (er_spatial_block, er_explain,
+# docs_quality_checks, er_relational_evidence, er_temporal_linkage,
+# er_score_drift, crawl_frontier_schedule, docs_winnowing,
+# docs_source_keywords, er_stream_score_drift) remain driver-unstamped
+# (builder gate verifies all of them exactly at sf0.01 meanwhile).
+# Round 5: move those ~32 to the head — they all fit one 50-query
+# window.
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED},
     **QUERIES,

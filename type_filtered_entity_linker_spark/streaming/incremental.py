@@ -591,3 +591,30 @@ def stream_hll_registers(
         .groupBy("grp", "bucket")
         .agg(F.max("rho").alias("r"))
     )
+
+
+def stream_binned_counts(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    value_col: str = "score",
+    edges: "tuple[float, ...]" = (0.0, 4.0, 8.0, 12.0, 16.0),
+) -> DataFrame:
+    """Streaming score-histogram maintenance — the state side of the
+    continuous drift monitor: scored pairs arrive as files, the binned
+    count table IS the streaming aggregation state (at most
+    len(edges) + 1 rows FOREVER — like the HLL registers, the state
+    never grows with stream length, so no watermark is needed).
+    Drained, the histogram equals the batch binned_histogram over the
+    same rows, and psi_from_histograms turns it + a batch reference
+    into the PSI report (operators/drift.py). NULL scores are dropped
+    on the way in, mirroring the batch path."""
+    from ..operators.drift import bin_index_expr
+
+    ev = spark.readStream.schema(schema).parquet(path)
+    return (
+        ev.where(F.col(value_col).isNotNull())
+        .select(bin_index_expr(value_col, list(edges)).alias("bin_idx"))
+        .groupBy("bin_idx")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
