@@ -32,7 +32,8 @@ def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
         for rows in [fps.where(F.col("doc_id") == r["doc_id"]).collect()]
     }
     assert sets[1] & sets[2], "shared 6-token run must share a fingerprint"
-    assert not (sets[1] & sets[3] and sets[2] & sets[3])
+    assert not (sets[1] & sets[3])
+    assert not (sets[2] & sets[3])
 
 
 def test_winnowing_short_doc_gets_global_min(spark):

@@ -38,6 +38,31 @@ def fs_weights(m: float, u: float) -> tuple[float, float]:
     return math.log2(m / u), math.log2((1.0 - m) / (1.0 - u))
 
 
+def fs_agree_expr(a_col, b_col, near_t: int):
+    """The ONE Python definition of the per-field agreement test every
+    FS-family operator shares (fellegi_sunter_scores, fs_waterfall,
+    temporal_linkage.temporal_fs_scores — the Python twin of the
+    oracle-side _fs_agree_score_sql): NULL on either side -> NULL,
+    Levenshtein <= near_t -> 1, else 0."""
+    return (
+        F.when(a_col.isNull() | b_col.isNull(), F.lit(None).cast("int"))
+        .when(F.levenshtein(a_col, b_col) <= near_t, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def fs_contrib_expr(agree_col, w_agree: float, w_dis: float):
+    """The per-field weight contribution under the missing-data
+    convention: NULL agreement contributes 0.0, agreement the reward,
+    disagreement the penalty. Shared for the same reason as
+    fs_agree_expr."""
+    return (
+        F.when(agree_col.isNull(), F.lit(0.0))
+        .when(agree_col == 1, F.lit(w_agree))
+        .otherwise(F.lit(w_dis))
+    )
+
+
 def fellegi_sunter_scores(
     records: DataFrame,
     pairs: DataFrame,
@@ -74,18 +99,13 @@ def fellegi_sunter_scores(
     for f in fields:
         w_agree, w_dis = fs_weights(*field_params[f])
         t = near.get(f, 0)
-        la, lb = F.col(f"a_{f}"), F.col(f"b_{f}")
-        agree = (
-            F.when(la.isNull() | lb.isNull(), F.lit(None).cast("int"))
-            .when(F.levenshtein(la, lb) <= t, F.lit(1))
-            .otherwise(F.lit(0))
+        j = j.withColumn(
+            f"agree_{f}",
+            fs_agree_expr(F.col(f"a_{f}"), F.col(f"b_{f}"), t),
         )
-        j = j.withColumn(f"agree_{f}", agree)
         agree_cols.append(f"agree_{f}")
-        score = score + (
-            F.when(F.col(f"agree_{f}").isNull(), F.lit(0.0))
-            .when(F.col(f"agree_{f}") == 1, F.lit(w_agree))
-            .otherwise(F.lit(w_dis))
+        score = score + fs_contrib_expr(
+            F.col(f"agree_{f}"), w_agree, w_dis
         )
     j = j.withColumn("score", F.round(score, 6))
     return j.select(
@@ -363,6 +383,11 @@ def fs_waterfall(
     exactly on ``score`` at the last field — contributions accumulate
     as raw weight literals and round only for display).
 
+    PRECONDITION: one row per unordered pair (the calibration_table
+    convention) — a duplicate (id_a, id_b) row would interleave its
+    field rows into the same running-total window and the final row
+    would sum BOTH copies.
+
     Scale shape: one explode(k fields) + one window partitioned by the
     PAIR key ordered over k rows — bounded by the field count, never
     by data volume."""
@@ -376,10 +401,9 @@ def fs_waterfall(
                 F.lit(i).alias("field_idx"),
                 F.lit(f).alias("field"),
                 F.col(f"agree_{f}").alias("agree"),
-                F.when(F.col(f"agree_{f}").isNull(), F.lit(0.0))
-                .when(F.col(f"agree_{f}") == 1, F.lit(wa))
-                .otherwise(F.lit(wd))
-                .alias("contrib"),
+                fs_contrib_expr(F.col(f"agree_{f}"), wa, wd).alias(
+                    "contrib"
+                ),
             )
         )
     ex = scored.select(

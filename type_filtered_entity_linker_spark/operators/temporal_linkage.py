@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .fellegi_sunter import fs_weights
+from .fellegi_sunter import fs_agree_expr, fs_contrib_expr, fs_weights
 
 
 def temporal_fs_scores(
@@ -62,20 +62,14 @@ def temporal_fs_scores(
     static_terms = [F.lit(0.0)]
     for f in fields:
         t = near.get(f, 0)
-        ag = (
-            F.when(
-                F.col(f"a_{f}").isNull() | F.col(f"b_{f}").isNull(),
-                F.lit(None).cast("int"),
-            )
-            .when(F.levenshtein(f"a_{f}", f"b_{f}") <= t, F.lit(1))
-            .otherwise(F.lit(0))
+        agrees.append(
+            fs_agree_expr(
+                F.col(f"a_{f}"), F.col(f"b_{f}"), t
+            ).alias(f"agree_{f}")
         )
-        agrees.append(ag.alias(f"agree_{f}"))
         wa, wd = fs_weights(*field_params[f])
         static_terms.append(
-            F.when(F.col(f"agree_{f}").isNull(), F.lit(0.0))
-            .when(F.col(f"agree_{f}") == 1, F.lit(wa))
-            .otherwise(F.lit(wd))
+            fs_contrib_expr(F.col(f"agree_{f}"), wa, wd)
         )
     j = j.select("id_a", "id_b", "ts_a", "ts_b", *agrees)
     static = static_terms[0]

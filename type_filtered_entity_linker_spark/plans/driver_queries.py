@@ -8437,7 +8437,8 @@ def _docs_quality_oracle_sql() -> str:
         f"""SELECT '{c['name']}' AS "check", '{c['col']}' AS col_name,
            '{c['kind']}' AS kind, m{i} AS metric,
            {float(c['threshold'])!r}::DOUBLE AS threshold,
-           (m{i} >= {float(c['threshold'])!r})::INT AS passed FROM m"""
+           coalesce((m{i} >= {float(c['threshold'])!r})::INT, 0)
+               AS passed FROM m"""
         for i, c in enumerate(DOC_CHECKS)
     )
     return f"""
@@ -8507,13 +8508,18 @@ def q_er_relational_evidence(spark, sf_dir) -> DataFrame:
     )
     sets = po.unionByName(po_dirty).join(rids, "rid", "left_semi")
     sizes = sets.groupBy("rid").agg(F.count("*").cast("long").alias("n"))
+    # pairs -> A's parts -> equi-probe B on (id_b, pk): the row count is
+    # bounded by per-pair |A ∩ B| (the oracle's own shape) — NEVER the
+    # per-part m^2 fanout a sets-self-join on pk would create for a
+    # popular part (code-review r04)
     inter = (
-        sets.alias("a")
-        .join(sets.alias("b"), "pk")
-        .select(
-            F.col("a.rid").alias("id_a"), F.col("b.rid").alias("id_b")
+        pairs.join(
+            sets.select(F.col("rid").alias("id_a"), "pk"), "id_a"
         )
-        .join(pairs, ["id_a", "id_b"])
+        .join(
+            sets.select(F.col("rid").alias("id_b"), "pk"),
+            ["id_b", "pk"],
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("long").alias("i"))
     )
@@ -8973,6 +8979,9 @@ DOCS_SOURCE_KEYWORDS_SQL = f"""
 """
 
 
+_DRIFT_GEN = "v2"
+
+
 def _staged_scores_dir(spark, sf_dir: str) -> str:
     """Stage the phone-corrupted batch's FS scores as TWO parquet
     halves in a scratch dir — the file-source feed for the streaming
@@ -8988,8 +8997,10 @@ def _staged_scores_dir(spark, sf_dir: str) -> str:
 
     src = f"{sf_dir}/customer.parquet"
     st = os.stat(src)
+    # _DRIFT_GEN: bump when the scoring logic/params behind the staged
+    # files change — the file identity alone can't see code changes
     key = hashlib.md5(
-        f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+        f"drift:{_DRIFT_GEN}:{src}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:10]
     stage = os.path.join(tempfile.gettempdir(), f"drift_stream_src_{key}")
     marker = os.path.join(stage, "_READY")
@@ -9002,7 +9013,9 @@ def _staged_scores_dir(spark, sf_dir: str) -> str:
         ).select("id_a", "score")
         for half in (0, 1):
             build = os.path.join(stage, f"_build_{half}")
-            sb.where(F.col("id_a") % 2 == half).coalesce(1).write.mode(
+            # id_a is always a multiple of 10 (the planted-pair ids),
+            # so split on the TENS digit parity — both halves non-empty
+            sb.where((F.col("id_a") / 10) % 2 == half).coalesce(1).write.mode(
                 "overwrite"
             ).parquet(build)
             part = glob.glob(os.path.join(build, "part-*.parquet"))[0]
@@ -9407,7 +9420,7 @@ _NEVER_DRIVER_CHECKED = [
 # additions (er_profile, er_uncertainty_queue, er_capture_recapture,
 # er_constraints, crawl_host_stats, er_must_link, er_cluster_repair,
 # docs_residual_dups, docs_host_filter, er_steward_loop) and the four
-# wave-7/8/9 entries (er_spatial_block, er_explain,
+# fourteen wave-7/8/9 entries (er_spatial_block, er_explain,
 # docs_quality_checks, er_relational_evidence, er_temporal_linkage,
 # er_score_drift, crawl_frontier_schedule, docs_winnowing,
 # docs_source_keywords, er_stream_score_drift) remain driver-unstamped

@@ -599,6 +599,7 @@ def stream_binned_counts(
     schema: StructType,
     value_col: str = "score",
     edges: "tuple[float, ...]" = (0.0, 4.0, 8.0, 12.0, 16.0),
+    max_files_per_trigger: "int | None" = 1,
 ) -> DataFrame:
     """Streaming score-histogram maintenance — the state side of the
     continuous drift monitor: scored pairs arrive as files, the binned
@@ -611,7 +612,12 @@ def stream_binned_counts(
     on the way in, mirroring the batch path."""
     from ..operators.drift import bin_index_expr
 
-    ev = spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        # one file per micro-batch by default, so a multi-file staging
+        # dir genuinely exercises cross-batch state accumulation
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(path)
     return (
         ev.where(F.col(value_col).isNotNull())
         .select(bin_index_expr(value_col, list(edges)).alias("bin_idx"))
