@@ -226,6 +226,9 @@ HEADLINE = [
     "docs_winnowing",
     "docs_source_keywords",
     "er_stream_score_drift",
+    # wave 10: declarative rule matcher + R-Swoosh merge-based ER
+    "er_match_rules",
+    "er_swoosh",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

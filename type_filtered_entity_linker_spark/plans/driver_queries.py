@@ -9062,6 +9062,230 @@ def q_er_stream_score_drift(spark, sf_dir) -> DataFrame:
     return psi_from_histograms(ha, hb, len(edges) + 1)
 
 
+# --------------------- wave 10: rule-based matching & merge-based ER
+
+SWOOSH_RULES = [
+    [
+        {"field": "name", "op": "lev", "t": 1},
+        {"field": "city", "op": "exact"},
+    ],
+    [
+        {"field": "name", "op": "exact"},
+        {"field": "phone", "op": "exact"},
+    ],
+]
+
+
+def _swoosh_records(spark, sf_dir) -> DataFrame:
+    """The merge-dependence corpus: per every-10th customer, three
+    observations of one entity — A (full name, unique city c<k>, NO
+    phone), B (name minus last char, same city, phone), C (full name,
+    different unique city u<k>, same phone). A-B match on
+    (name lev<=1 AND city); C matches NEITHER alone (A has no phone,
+    B's name is not exact) — only the A+B merge carries (full name,
+    phone) and matches C. Per-family-unique cities and the injective
+    phone map make cross-family matches impossible, so convergence is
+    exactly two productive rounds at every SF."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_custkey") % 10 == 0
+    )
+    k = F.col("c_custkey").cast("long")
+    phone = F.lpad(
+        ((F.col("c_custkey") * 7919) % 10000000).cast("string"), 7, "0"
+    )
+    name = F.col("c_name")
+    a = c.select(
+        k.alias("rec_id"),
+        name.alias("name"),
+        F.concat(F.lit("c"), k.cast("string")).alias("city"),
+        F.lit(None).cast("string").alias("phone"),
+    )
+    b = c.select(
+        (k + 1000000).alias("rec_id"),
+        F.expr("substring(c_name, 1, length(c_name) - 1)").alias("name"),
+        F.concat(F.lit("c"), k.cast("string")).alias("city"),
+        phone.alias("phone"),
+    )
+    cc = c.select(
+        (k + 2000000).alias("rec_id"),
+        name.alias("name"),
+        F.concat(F.lit("u"), k.cast("string")).alias("city"),
+        phone.alias("phone"),
+    )
+    return a.unionByName(b).unionByName(cc)
+
+
+def q_er_match_rules(spark, sf_dir) -> DataFrame:
+    """Declarative rule-based matching (operators/rules.py — the
+    Magellan/dedupe.io school, complementing probabilistic FS): every
+    within-family pair of the merge-dependence corpus evaluated under
+    the two-arm rule set, per-arm fire flags as audit columns. A-B
+    fires the (lev-name AND city) arm; A-C and B-C fire NOTHING — the
+    negative rows er_swoosh exists to convert."""
+    from ..operators.rules import rule_based_matches
+
+    records = _swoosh_records(spark, sf_dir)
+    base = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_custkey") % 10 == 0
+    )
+    k = F.col("c_custkey").cast("long")
+    pairs = (
+        base.select(k.alias("id_a"), (k + 1000000).alias("id_b"))
+        .unionByName(
+            base.select(k.alias("id_a"), (k + 2000000).alias("id_b"))
+        )
+        .unionByName(
+            base.select(
+                (k + 1000000).alias("id_a"), (k + 2000000).alias("id_b")
+            )
+        )
+    )
+    return rule_based_matches(records, pairs, SWOOSH_RULES)
+
+
+def _rule_sql(a: str, b: str) -> "tuple[str, str]":
+    """SWOOSH_RULES as SQL predicates over aliases ``a``/``b`` —
+    (rule_0_expr, rule_1_expr) with the NULL-is-false convention."""
+    r0 = (
+        f"({a}.name IS NOT NULL AND {b}.name IS NOT NULL "
+        f"AND levenshtein({a}.name, {b}.name) <= 1 "
+        f"AND {a}.city IS NOT NULL AND {b}.city IS NOT NULL "
+        f"AND {a}.city = {b}.city)"
+    )
+    r1 = (
+        f"({a}.name IS NOT NULL AND {b}.name IS NOT NULL "
+        f"AND {a}.name = {b}.name "
+        f"AND {a}.phone IS NOT NULL AND {b}.phone IS NOT NULL "
+        f"AND {a}.phone = {b}.phone)"
+    )
+    return r0, r1
+
+
+_SWOOSH_RECS_SQL = """
+    base AS (SELECT c_custkey::BIGINT AS k, c_name AS name,
+                    lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0')
+                        AS phone
+             FROM customer WHERE c_custkey % 10 = 0),
+    recs0 AS (
+        SELECT k AS rec_id, name, 'c' || k::VARCHAR AS city,
+               NULL::VARCHAR AS phone
+        FROM base
+        UNION ALL
+        SELECT k + 1000000, substr(name, 1, length(name) - 1),
+               'c' || k::VARCHAR, phone
+        FROM base
+        UNION ALL
+        SELECT k + 2000000, name, 'u' || k::VARCHAR, phone
+        FROM base)"""
+
+
+def _er_match_rules_oracle_sql() -> str:
+    r0, r1 = _rule_sql("a", "b")
+    return f"""
+    WITH {_SWOOSH_RECS_SQL},
+    pairs AS (
+        SELECT k AS id_a, k + 1000000 AS id_b FROM base
+        UNION ALL
+        SELECT k, k + 2000000 FROM base
+        UNION ALL
+        SELECT k + 1000000, k + 2000000 FROM base)
+    SELECT p.id_a, p.id_b,
+           {r0}::INT AS rule_0,
+           {r1}::INT AS rule_1,
+           greatest({r0}::INT, {r1}::INT) AS matched
+    FROM pairs p
+    JOIN recs0 a ON p.id_a = a.rec_id
+    JOIN recs0 b ON p.id_b = b.rec_id
+"""
+
+
+ER_MATCH_RULES_SQL = _er_match_rules_oracle_sql()
+
+
+def q_er_swoosh(spark, sf_dir) -> DataFrame:
+    """Merge-based ER to its fixpoint (operators/swoosh.py, R-Swoosh):
+    A+B merge in round 1; the MERGED record carries A's full name and
+    B's phone and matches C in round 2 — every family resolves to one
+    entity id k only because merged values fed the next round's
+    matching. The oracle unrolls both productive rounds (blocks ->
+    rule match -> CC fixpoint -> survivor merge, twice) and the
+    operator raises if a third productive round ever appears."""
+    from ..operators.swoosh import swoosh_er
+
+    return swoosh_er(
+        _swoosh_records(spark, sf_dir),
+        SWOOSH_RULES,
+        ["name", "city", "phone"],
+        max_rounds=4,
+    )
+
+
+def _swoosh_round_sql(i: int, src: str) -> str:
+    """One unrolled Swoosh round over the ``src`` records CTE:
+    equality blocks on city (arm 0) and name (arm 1), rule match, CC
+    fixpoint, survivor merge, pass-through — emitting comp{i} (the
+    round's cluster map) and recs{i} (the next round's records)."""
+    r0, r1 = _rule_sql("a", "b")
+    surv = (
+        "max(CASE WHEN {f} IS NOT NULL THEN "
+        "struct_pack(l := length({f}), v := {f}) END)['v'] AS {f}"
+    )
+    survivors = ", ".join(
+        surv.format(f=f) for f in ("name", "city", "phone")
+    )
+    return f"""
+    p{i} AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM {src} a JOIN {src} b
+          ON a.city = b.city AND a.rec_id < b.rec_id
+        UNION
+        SELECT a.rec_id, b.rec_id
+        FROM {src} a JOIN {src} b
+          ON a.name = b.name AND a.rec_id < b.rec_id),
+    m{i} AS (
+        SELECT p.id_a, p.id_b
+        FROM p{i} p
+        JOIN {src} a ON p.id_a = a.rec_id
+        JOIN {src} b ON p.id_b = b.rec_id
+        WHERE {r0} OR {r1}),
+    e{i} AS (SELECT id_a AS src, id_b AS dst FROM m{i}
+             UNION SELECT id_b, id_a FROM m{i}),
+    walk{i}(node, lbl) AS (
+        SELECT src, src FROM e{i}
+        UNION
+        SELECT e{i}.dst, w.lbl FROM walk{i} w
+        JOIN e{i} ON e{i}.src = w.node),
+    comp{i} AS (SELECT node, min(lbl) AS cluster_id FROM walk{i}
+                GROUP BY node),
+    merged{i} AS (
+        SELECT c.cluster_id AS rec_id, {survivors}
+        FROM {src} r JOIN comp{i} c ON r.rec_id = c.node
+        GROUP BY c.cluster_id),
+    recs{i} AS (
+        SELECT * FROM merged{i}
+        UNION ALL
+        SELECT r.* FROM {src} r
+        WHERE r.rec_id NOT IN (SELECT node FROM comp{i}))"""
+
+
+def _er_swoosh_oracle_sql() -> str:
+    return f"""
+    WITH RECURSIVE {_SWOOSH_RECS_SQL},
+    {_swoosh_round_sql(1, 'recs0')},
+    {_swoosh_round_sql(2, 'recs1')},
+    map1 AS (
+        SELECT r.rec_id AS orig,
+               coalesce(c.cluster_id, r.rec_id) AS cur
+        FROM recs0 r LEFT JOIN comp1 c ON r.rec_id = c.node)
+    SELECT m.orig AS rec_id,
+           coalesce(c2.cluster_id, m.cur)::BIGINT AS entity_id
+    FROM map1 m LEFT JOIN comp2 c2 ON m.cur = c2.node
+"""
+
+
+ER_SWOOSH_SQL = _er_swoosh_oracle_sql()
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -9214,6 +9438,8 @@ QUERIES = {
     "docs_winnowing": q_docs_winnowing,
     "docs_source_keywords": q_docs_source_keywords,
     "er_stream_score_drift": q_er_stream_score_drift,
+    "er_match_rules": q_er_match_rules,
+    "er_swoosh": q_er_swoosh,
 }
 
 ORACLES = {
@@ -9368,6 +9594,8 @@ ORACLES = {
     # the drained streaming histogram must equal the batch histogram
     # (exactly-once file source), so the PSI oracle is shared
     "er_stream_score_drift": ER_SCORE_DRIFT_SQL,
+    "er_match_rules": ER_MATCH_RULES_SQL,
+    "er_swoosh": ER_SWOOSH_SQL,
 }
 
 
@@ -9423,10 +9651,10 @@ _NEVER_DRIVER_CHECKED = [
 # fourteen wave-7/8/9 entries (er_spatial_block, er_explain,
 # docs_quality_checks, er_relational_evidence, er_temporal_linkage,
 # er_score_drift, crawl_frontier_schedule, docs_winnowing,
-# docs_source_keywords, er_stream_score_drift) remain driver-unstamped
-# (builder gate verifies all of them exactly at sf0.01 meanwhile).
-# Round 5: move those ~32 to the head — they all fit one 50-query
-# window.
+# docs_source_keywords, er_stream_score_drift) plus the wave-10 pair
+# (er_match_rules, er_swoosh) remain driver-unstamped (builder gate
+# verifies all of them exactly at sf0.01 meanwhile). Round 5: move
+# those ~34 to the head — they all fit one 50-query window.
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED},
     **QUERIES,
