@@ -229,6 +229,9 @@ HEADLINE = [
     # wave 10: declarative rule matcher + R-Swoosh merge-based ER
     "er_match_rules",
     "er_swoosh",
+    # wave 11: robots-policy frontier audit + contrastive pair mining
+    "crawl_robots_filter",
+    "docs_contrastive_pairs",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

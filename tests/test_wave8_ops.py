@@ -107,3 +107,46 @@ def test_schedule_frontier_rejects_bad_delay(spark):
     f = spark.createDataFrame([(1, "h", 1)], "doc_id long, host string, priority long")
     with pytest.raises(ValueError):
         schedule_frontier(f, 0)
+
+
+def test_robots_filter_prefix_and_empty_rule(spark):
+    from type_filtered_entity_linker_spark.operators.crawl_frontier import (
+        robots_filter,
+    )
+
+    frontier = spark.createDataFrame(
+        [
+            (1, "h1", "/private/x"),
+            (2, "h1", "/public/x"),
+            (3, "h2", "/private/x"),   # h2 has only an EMPTY rule
+            (4, "h3", "/private/x"),   # h3 has no rules at all
+        ],
+        "doc_id long, host string, path string",
+    )
+    rules = spark.createDataFrame(
+        [("h1", "/private"), ("h2", "")],
+        "host string, disallow_prefix string",
+    )
+    got = {
+        r["doc_id"]: r["allowed"]
+        for r in robots_filter(frontier, rules).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 1}
+
+
+def test_contrastive_pairs_labels(spark):
+    from type_filtered_entity_linker_spark.operators.curation import (
+        contrastive_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1,), (2,), (3,), (10,)], "doc_id long"
+    )
+    pos = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["label"]
+        for r in contrastive_pairs(docs, pos).collect()
+    }
+    # (1,2) positive wins over adjacency; (2,3) adjacent negative;
+    # (3,4)/(10,11) partners absent -> dropped
+    assert got == {(1, 2): 1, (2, 3): 0}

@@ -43,3 +43,48 @@ def schedule_frontier(
         "fetch_time",
         ((F.col("host_rank") - 1) * F.lit(int(delay))).cast("long"),
     )
+
+
+def robots_filter(
+    frontier: DataFrame,
+    rules: DataFrame,
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Robots-policy audit of a URL frontier — the crawl-side
+    counterpart of the politeness scheduler: ``rules`` is the parsed
+    robots.txt table (host, disallow_prefix — one row per Disallow
+    line, prefix semantics per the robots.txt de-facto standard), and
+    every frontier row comes back with ``allowed`` = 0 iff ANY of its
+    host's prefixes matches the URL path. An audit column rather than
+    a silent filter: curation reviews the blocked set before dropping
+    it (same philosophy as the quality gate's pass flags).
+
+    Hosts with no rules are fully allowed (LEFT join). Empty-string
+    prefixes are ignored (an empty Disallow line means allow-all in
+    robots.txt). Scale shape: one host-keyed join (rules tables are
+    small — broadcast) + one (id, host, path)-keyed aggregate; no UDF,
+    prefix test is a codegen startswith."""
+    r = rules.where(
+        F.col("disallow_prefix").isNotNull()
+        & (F.col("disallow_prefix") != "")
+    ).select(
+        F.col(host_col).alias("_rh"), F.col("disallow_prefix").alias("_rp")
+    )
+    j = frontier.join(
+        r, frontier[host_col] == F.col("_rh"), "left"
+    ).withColumn(
+        "_hit",
+        F.when(
+            F.col("_rp").isNotNull()
+            & F.col(path_col).startswith(F.col("_rp")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    keys = [c for c in frontier.columns]
+    return (
+        j.groupBy(*keys)
+        .agg(
+            (F.lit(1) - F.max("_hit")).cast("int").alias("allowed")
+        )
+    )

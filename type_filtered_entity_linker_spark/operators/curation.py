@@ -706,3 +706,30 @@ def weighted_sample(
             F.round(F.col("_skey"), 6).alias("sample_key"),
         )
     )
+
+
+def contrastive_pairs(
+    docs: DataFrame, positives: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Contrastive training-pair mining for embedding models (the
+    SimCSE/E5-style data prep a web corpus feeds a bi-encoder):
+    positives are the corpus's VERIFIED near-dup pairs (doc_a, doc_b —
+    from any detector in the dedup family), negatives the
+    deterministic id-adjacency heuristic — (d, d+1) pairs present in
+    the corpus that are NOT near-dups (adjacent crawl records share
+    fetch context but rarely content, making them mildly hard
+    negatives; and the rule is reproducible, unlike random sampling).
+    Output (doc_a, doc_b, label) with label 1/0.
+
+    Scale shape: one self-join on the shifted id (equi, no skew — ids
+    are unique) + one anti-join against the positives; linear in the
+    corpus."""
+    ids = docs.select(F.col(id_col))
+    adj = ids.select(
+        F.col(id_col).alias("doc_a"), (F.col(id_col) + 1).alias("doc_b")
+    ).join(ids.select(F.col(id_col).alias("doc_b")), "doc_b")
+    pos = positives.select("doc_a", "doc_b").distinct()
+    neg = adj.join(pos, ["doc_a", "doc_b"], "left_anti")
+    return pos.withColumn("label", F.lit(1)).unionByName(
+        neg.withColumn("label", F.lit(0))
+    )

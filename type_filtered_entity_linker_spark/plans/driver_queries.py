@@ -9286,6 +9286,112 @@ def _er_swoosh_oracle_sql() -> str:
 ER_SWOOSH_SQL = _er_swoosh_oracle_sql()
 
 
+# ------------------- wave 11: crawl policy & contrastive pair mining
+
+
+def q_crawl_robots(spark, sf_dir) -> DataFrame:
+    """Robots-policy audit (operators/crawl_frontier.py robots_filter):
+    the frontier gets deterministic URL paths (/public, /private,
+    /data, /private/sub by doc_id mod 4); even-numbered hosts disallow
+    /private (which also covers /private/sub — prefix semantics),
+    every-4th hosts additionally disallow /data, and every-5th hosts
+    carry an EMPTY Disallow line that must be ignored (robots.txt
+    allow-all). One broadcast-sized rules join + one frontier-keyed
+    aggregate; allowed is an audit column, not a silent filter."""
+    from ..operators.crawl_frontier import robots_filter
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seg = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("public"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("private"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("data"))
+        .otherwise(F.lit("private/sub"))
+    )
+    frontier = d.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("/"), seg, F.lit("/"), F.col("doc_id").cast("string")
+        ).alias("path"),
+    )
+    hosts = d.select(F.col("source").alias("host")).distinct().withColumn(
+        "hn", F.substring("host", 4, 10).cast("int")
+    )
+    rules = (
+        hosts.where(F.col("hn") % 2 == 0)
+        .select("host", F.lit("/private").alias("disallow_prefix"))
+        .unionByName(
+            hosts.where(F.col("hn") % 4 == 0).select(
+                "host", F.lit("/data").alias("disallow_prefix")
+            )
+        )
+        .unionByName(
+            hosts.where(F.col("hn") % 5 == 0).select(
+                "host", F.lit("").alias("disallow_prefix")
+            )
+        )
+    )
+    return robots_filter(frontier, rules)
+
+
+CRAWL_ROBOTS_SQL = """
+    WITH f AS (SELECT doc_id, source AS host,
+                      '/' || CASE doc_id % 4
+                                 WHEN 0 THEN 'public'
+                                 WHEN 1 THEN 'private'
+                                 WHEN 2 THEN 'data'
+                                 ELSE 'private/sub' END
+                          || '/' || doc_id::VARCHAR AS path
+               FROM documents),
+    hosts AS (SELECT DISTINCT source AS host, substr(source, 4)::INT AS hn
+              FROM documents),
+    rules AS (
+        SELECT host, '/private' AS p FROM hosts WHERE hn % 2 = 0
+        UNION ALL
+        SELECT host, '/data' FROM hosts WHERE hn % 4 = 0
+        UNION ALL
+        SELECT host, '' FROM hosts WHERE hn % 5 = 0),
+    j AS (SELECT f.doc_id, f.host, f.path,
+                 CASE WHEN r.p IS NOT NULL AND r.p <> ''
+                           AND starts_with(f.path, r.p)
+                      THEN 1 ELSE 0 END AS hit
+          FROM f LEFT JOIN rules r ON f.host = r.host)
+    SELECT doc_id, host, path, (1 - max(hit))::INT AS allowed
+    FROM j GROUP BY 1, 2, 3
+"""
+
+
+def q_docs_contrastive_pairs(spark, sf_dir) -> DataFrame:
+    """Contrastive pair mining (operators/curation.py
+    contrastive_pairs): positives = the MinHash-verified near-dup
+    pairs of the planted-dup corpus, negatives = id-adjacent pairs
+    that are NOT near-dups — the deterministic bi-encoder training-set
+    prep (label 1/0) a web corpus feeds SimCSE/E5-style training."""
+    from ..operators.curation import contrastive_pairs
+    from ..operators.dedup import near_duplicates_minhash
+
+    corpus = _neardup_corpus(spark, sf_dir)
+    pos = near_duplicates_minhash(corpus, threshold=0.6).select(
+        "doc_a", "doc_b"
+    )
+    return contrastive_pairs(corpus, pos)
+
+
+DOCS_CONTRASTIVE_SQL = f"""
+    WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+    pos AS (SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL})),
+    adj AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM corpus a JOIN corpus b ON b.doc_id = a.doc_id + 1),
+    neg AS (SELECT doc_a, doc_b FROM adj
+            WHERE NOT EXISTS (SELECT 1 FROM pos p
+                              WHERE p.doc_a = adj.doc_a
+                                AND p.doc_b = adj.doc_b))
+    SELECT doc_a, doc_b, 1 AS label FROM pos
+    UNION ALL
+    SELECT doc_a, doc_b, 0 FROM neg
+"""
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -9440,6 +9546,8 @@ QUERIES = {
     "er_stream_score_drift": q_er_stream_score_drift,
     "er_match_rules": q_er_match_rules,
     "er_swoosh": q_er_swoosh,
+    "crawl_robots_filter": q_crawl_robots,
+    "docs_contrastive_pairs": q_docs_contrastive_pairs,
 }
 
 ORACLES = {
@@ -9596,6 +9704,8 @@ ORACLES = {
     "er_stream_score_drift": ER_SCORE_DRIFT_SQL,
     "er_match_rules": ER_MATCH_RULES_SQL,
     "er_swoosh": ER_SWOOSH_SQL,
+    "crawl_robots_filter": CRAWL_ROBOTS_SQL,
+    "docs_contrastive_pairs": DOCS_CONTRASTIVE_SQL,
 }
 
 
@@ -9651,10 +9761,11 @@ _NEVER_DRIVER_CHECKED = [
 # fourteen wave-7/8/9 entries (er_spatial_block, er_explain,
 # docs_quality_checks, er_relational_evidence, er_temporal_linkage,
 # er_score_drift, crawl_frontier_schedule, docs_winnowing,
-# docs_source_keywords, er_stream_score_drift) plus the wave-10 pair
-# (er_match_rules, er_swoosh) remain driver-unstamped (builder gate
+# docs_source_keywords, er_stream_score_drift) plus the wave-10/11
+# additions (er_match_rules, er_swoosh, crawl_robots_filter,
+# docs_contrastive_pairs) remain driver-unstamped (builder gate
 # verifies all of them exactly at sf0.01 meanwhile). Round 5: move
-# those ~34 to the head — they all fit one 50-query window.
+# those ~36 to the head — they all fit one 50-query window.
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED},
     **QUERIES,
