@@ -232,6 +232,8 @@ HEADLINE = [
     # wave 11: robots-policy frontier audit + contrastive pair mining
     "crawl_robots_filter",
     "docs_contrastive_pairs",
+    # wave 12: adaptive blocking-scheme selection (coverage per cost)
+    "er_blocking_learn",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

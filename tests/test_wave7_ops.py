@@ -129,3 +129,51 @@ def test_run_quality_checks_empty_table_passes_nothing(spark):
     ).collect()
     assert len(got) == 1
     assert got[0]["metric"] is None and got[0]["passed"] == 0
+
+
+def test_rank_blocking_rules_order_and_cumulative(spark):
+    from type_filtered_entity_linker_spark.operators.blocking_learn import (
+        rank_blocking_rules,
+    )
+
+    # rule 0: covers 2/4 truth pairs at cost 2 (ratio 1.0)
+    # rule 1: covers all 4 at cost 100 (ratio 0.04)
+    flags = spark.createDataFrame(
+        [
+            (1, 11, 1, 1),
+            (2, 12, 1, 1),
+            (3, 13, 0, 1),
+            (4, 14, 0, 1),
+        ],
+        "id_a long, id_b long, f_0 int, f_1 int",
+    )
+    costs = spark.createDataFrame(
+        [(0, "phone", 2), (1, "prefix", 100)],
+        "rule_idx int, rule string, cost_pairs long",
+    )
+    rows = {
+        r["step"]: r
+        for r in rank_blocking_rules(flags, costs, 2).collect()
+    }
+    assert rows[1]["rule"] == "phone"
+    assert (rows[1]["covered_alone"], rows[1]["cum_covered"]) == (2, 2)
+    assert rows[1]["cum_pc"] == 0.5
+    assert rows[2]["rule"] == "prefix"
+    assert (rows[2]["cum_covered"], rows[2]["cum_pc"]) == (4, 1.0)
+
+
+def test_rank_blocking_rules_uncovered_pairs_stay_uncovered(spark):
+    from type_filtered_entity_linker_spark.operators.blocking_learn import (
+        rank_blocking_rules,
+    )
+
+    flags = spark.createDataFrame(
+        [(1, 11, 1), (2, 12, 0)], "id_a long, id_b long, f_0 int"
+    )
+    costs = spark.createDataFrame(
+        [(0, "only", 5)], "rule_idx int, rule string, cost_pairs long"
+    )
+    r = rank_blocking_rules(flags, costs, 1).collect()[0]
+    # pair 2 is covered by NOTHING: final cum_pc < 1 tells the designer
+    # the rule set has a recall hole
+    assert (r["cum_covered"], r["n_truth"], r["cum_pc"]) == (1, 2, 0.5)

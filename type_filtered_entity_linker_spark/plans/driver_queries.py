@@ -9392,6 +9392,190 @@ DOCS_CONTRASTIVE_SQL = f"""
 """
 
 
+# ---------------- wave 12: adaptive blocking-scheme selection (BSL)
+
+
+def q_er_blocking_learn(spark, sf_dir) -> DataFrame:
+    """Adaptive blocking-scheme selection (operators/blocking_learn.py;
+    Bilenko et al. ICDM'06 / Michelson-Knoblock BSL standalone-utility
+    pass): rules ranked by truth-coverage per candidate-pair COST over
+    a both-corruptions corpus (name always truncated, city blanked on
+    every 20th, phone rewritten on every 30th). The tiny-but-precise
+    phone blocks win rank 1 (~0.67 standalone PC at unit-ish cost),
+    city adds the phone-corrupted tail at medium cost, and the
+    catch-all name-prefix block (coverage 1.0, quadratic cost) is
+    correctly ranked LAST — the budget chart a blocking designer
+    actually reads."""
+    from ..operators.blocking_learn import rank_blocking_rules
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey").cast("long")
+    phone = F.lpad(
+        ((F.col("c_custkey") * 7919) % 10000000).cast("string"), 7, "0"
+    )
+    clean = c.select(
+        k.alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.concat(F.lit("city_"), F.col("c_nationkey").cast("string")).alias(
+            "city"
+        ),
+        phone.alias("phone"),
+    )
+    dirty = clean.where(F.col("rec_id") % 10 == 0).select(
+        (F.col("rec_id") + 1000000).alias("rec_id"),
+        F.expr("substring(name, 1, length(name) - 1)").alias("name"),
+        F.when(F.col("rec_id") % 20 == 0, F.lit("unknown"))
+        .otherwise(F.col("city"))
+        .alias("city"),
+        F.when(
+            F.col("rec_id") % 30 == 0,
+            F.concat(F.lit("99"), F.expr("substring(phone, 3)")),
+        )
+        .otherwise(F.col("phone"))
+        .alias("phone"),
+    )
+    records = clean.unionByName(dirty)
+    truth = clean.where(F.col("rec_id") % 10 == 0).select(
+        F.col("rec_id").alias("id_a"),
+        (F.col("rec_id") + 1000000).alias("id_b"),
+    )
+    a = records.select(
+        F.col("rec_id").alias("id_a"),
+        F.col("name").alias("na"),
+        F.col("city").alias("ca"),
+        F.col("phone").alias("pa"),
+    )
+    b = records.select(
+        F.col("rec_id").alias("id_b"),
+        F.col("name").alias("nb"),
+        F.col("city").alias("cb"),
+        F.col("phone").alias("pb"),
+    )
+    flags = (
+        truth.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("pa") == F.col("pb")).cast("int").alias("f_0"),
+            (F.col("ca") == F.col("cb")).cast("int").alias("f_1"),
+            (
+                F.substring("na", 1, 5) == F.substring("nb", 1, 5)
+            )
+            .cast("int")
+            .alias("f_2"),
+        )
+    )
+
+    def cost(key, idx: int, rule: str) -> DataFrame:
+        return (
+            records.groupBy(key.alias("k"))
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("CAST(c * (c - 1) AS BIGINT) div 2")),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("cost_pairs")
+            )
+            .select(
+                F.lit(idx).alias("rule_idx"),
+                F.lit(rule).alias("rule"),
+                "cost_pairs",
+            )
+        )
+
+    costs = (
+        cost(F.col("phone"), 0, "phone")
+        .unionByName(cost(F.col("city"), 1, "city"))
+        .unionByName(
+            cost(F.substring("name", 1, 5), 2, "name_prefix5")
+        )
+    )
+    return rank_blocking_rules(flags, costs, 3)
+
+
+def _er_blocking_learn_oracle_sql() -> str:
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               CASE WHEN rec_id % 20 = 0 THEN 'unknown' ELSE city END,
+               CASE WHEN rec_id % 30 = 0 THEN '99' || substr(phone, 3)
+                    ELSE phone END
+        FROM clean WHERE rec_id % 10 = 0),
+    truth AS (SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+              FROM clean WHERE rec_id % 10 = 0),
+    fl AS (SELECT t.id_a, t.id_b,
+                  (a.phone = b.phone)::INT AS f0,
+                  (a.city = b.city)::INT AS f1,
+                  (substr(a.name, 1, 5) = substr(b.name, 1, 5))::INT AS f2
+           FROM truth t
+           JOIN records a ON t.id_a = a.rec_id
+           JOIN records b ON t.id_b = b.rec_id),
+    pr AS (
+        SELECT 0 AS rule_idx, 'phone' AS rule,
+               coalesce(sum(f0), 0)::BIGINT AS covered FROM fl
+        UNION ALL
+        SELECT 1, 'city', coalesce(sum(f1), 0)::BIGINT FROM fl
+        UNION ALL
+        SELECT 2, 'name_prefix5', coalesce(sum(f2), 0)::BIGINT FROM fl),
+    costs AS (
+        SELECT 0 AS rule_idx, sum((c * (c - 1)) // 2)::BIGINT AS cost
+        FROM (SELECT count(*) AS c FROM records GROUP BY phone)
+        UNION ALL
+        SELECT 1, sum((c * (c - 1)) // 2)::BIGINT
+        FROM (SELECT count(*) AS c FROM records GROUP BY city)
+        UNION ALL
+        SELECT 2, sum((c * (c - 1)) // 2)::BIGINT
+        FROM (SELECT count(*) AS c FROM records
+              GROUP BY substr(name, 1, 5))),
+    ranked AS (
+        SELECT pr.rule_idx, pr.rule, pr.covered, c.cost,
+               pr.covered::DOUBLE / c.cost AS ratio,
+               row_number() OVER (
+                   ORDER BY pr.covered::DOUBLE / c.cost DESC,
+                            pr.rule_idx) AS step
+        FROM pr JOIN costs c USING (rule_idx)),
+    firsts AS (
+        SELECT x.id_a, x.id_b, min(r.step) AS first_step
+        FROM (SELECT id_a, id_b, 0 AS rule_idx FROM fl WHERE f0 = 1
+              UNION ALL
+              SELECT id_a, id_b, 1 FROM fl WHERE f1 = 1
+              UNION ALL
+              SELECT id_a, id_b, 2 FROM fl WHERE f2 = 1) x
+        JOIN ranked r USING (rule_idx)
+        GROUP BY 1, 2),
+    bystep AS (SELECT first_step, count(*)::BIGINT AS newly
+               FROM firsts GROUP BY 1),
+    nt AS (SELECT count(*)::BIGINT AS n_truth FROM fl),
+    rolled AS (
+        SELECT r.step, r.rule, r.covered AS covered_alone,
+               r.cost AS cost_pairs, r.ratio,
+               sum(coalesce(b.newly, 0)) OVER (
+                   ORDER BY r.step)::BIGINT AS cum_covered,
+               nt.n_truth
+        FROM ranked r
+        LEFT JOIN bystep b ON b.first_step = r.step
+        CROSS JOIN nt)
+    SELECT step, rule, covered_alone, cost_pairs,
+           {_spark_round('ratio')} AS ratio,
+           cum_covered, n_truth,
+           {_spark_round('cum_covered::DOUBLE / n_truth')} AS cum_pc
+    FROM rolled
+"""
+
+
+ER_BLOCKING_LEARN_SQL = _er_blocking_learn_oracle_sql()
+
+
 # --------------------------------------------------------------- registries
 
 QUERIES = {
@@ -9548,6 +9732,7 @@ QUERIES = {
     "er_swoosh": q_er_swoosh,
     "crawl_robots_filter": q_crawl_robots,
     "docs_contrastive_pairs": q_docs_contrastive_pairs,
+    "er_blocking_learn": q_er_blocking_learn,
 }
 
 ORACLES = {
@@ -9706,6 +9891,7 @@ ORACLES = {
     "er_swoosh": ER_SWOOSH_SQL,
     "crawl_robots_filter": CRAWL_ROBOTS_SQL,
     "docs_contrastive_pairs": DOCS_CONTRASTIVE_SQL,
+    "er_blocking_learn": ER_BLOCKING_LEARN_SQL,
 }
 
 
@@ -9763,9 +9949,10 @@ _NEVER_DRIVER_CHECKED = [
 # er_score_drift, crawl_frontier_schedule, docs_winnowing,
 # docs_source_keywords, er_stream_score_drift) plus the wave-10/11
 # additions (er_match_rules, er_swoosh, crawl_robots_filter,
-# docs_contrastive_pairs) remain driver-unstamped (builder gate
-# verifies all of them exactly at sf0.01 meanwhile). Round 5: move
-# those ~36 to the head — they all fit one 50-query window.
+# docs_contrastive_pairs, er_blocking_learn) remain driver-unstamped
+# (builder gate verifies all of them exactly at sf0.01 meanwhile).
+# Round 5: move those ~37 to the head — they all fit one 50-query
+# window.
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED},
     **QUERIES,
