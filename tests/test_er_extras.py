@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from type_filtered_entity_linker_spark.operators.evaluation import (
     bcubed_metrics,
+    gmd_metrics,
 )
 from type_filtered_entity_linker_spark.operators.matching import (
     mutual_best_match,
@@ -106,6 +107,43 @@ def test_bcubed_perfect_clustering(spark):
     )
     m = bcubed_metrics(df).collect()[0]
     assert (m.bcubed_precision, m.bcubed_recall, m.bcubed_f1) == (1.0, 1.0, 1.0)
+
+
+def test_gmd_hand_example(spark):
+    # clusters {1,2,3},{4,5}; classes {1,2},{3,4},{5} — cluster 10
+    # splits into cells ({1,2},{3}), cluster 20 into ({4},{5}); class
+    # 200 merges back from cells ({3},{4}). Menestrina slice, unit
+    # costs: splits = (2-1)+(2-1) = 2, merges = (1-1)+(2-1)+(1-1) = 1.
+    rows = [(1, 10, 100), (2, 10, 100), (3, 10, 200), (4, 20, 200), (5, 20, 300)]
+    df = spark.createDataFrame(
+        rows, "rec_id long, cluster_id long, class_id long"
+    )
+    m = gmd_metrics(df).collect()[0]
+    assert (m.n_records, m.n_clusters, m.n_classes) == (5, 2, 3)
+    assert (m.splits, m.merges, m.gmd) == (2, 1, 3)
+
+
+def test_gmd_zero_iff_identical_partitions(spark):
+    rows = [(i, i % 3, i % 3) for i in range(9)]
+    df = spark.createDataFrame(
+        rows, "rec_id long, cluster_id long, class_id long"
+    )
+    m = gmd_metrics(df).collect()[0]
+    assert (m.splits, m.merges, m.gmd) == (0, 0, 0)
+    # and the degenerate directions: all-singletons needs n_cells −
+    # n_classes merges and 0 splits; one-big-cluster the transpose
+    singles = spark.createDataFrame(
+        [(i, i, i % 3) for i in range(9)],
+        "rec_id long, cluster_id long, class_id long",
+    )
+    ms = gmd_metrics(singles).collect()[0]
+    assert (ms.splits, ms.merges) == (0, 6)
+    lump = spark.createDataFrame(
+        [(i, 0, i % 3) for i in range(9)],
+        "rec_id long, cluster_id long, class_id long",
+    )
+    ml = gmd_metrics(lump).collect()[0]
+    assert (ml.splits, ml.merges) == (2, 0)
 
 
 def test_mutual_best_reciprocal_and_ties(spark):

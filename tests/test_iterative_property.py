@@ -199,3 +199,53 @@ def test_merge_upsert_matches_dict_semantics(spark, target, source):
         r.k: r.v for r in merge_upsert(t, s, "k", delete_col="dead").collect()
     }
     assert got == ref_merge(target, source)
+
+
+# ----------------------------------------------------------------- k-core
+
+from type_filtered_entity_linker_spark.operators.graph import kcore  # noqa: E402
+
+
+def ref_kcore(edge_list, k):
+    """Sequential peel (Batagelj–Zaveršnik) — order-independent, so it
+    is the fixpoint the synchronous distributed peel must reach."""
+    adj = {}
+    for s, t in edge_list:
+        if s != t:
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+    alive = set(adj)
+    while True:
+        drop = {v for v in alive if len(adj[v] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {v: len(adj[v] & alive) for v in alive}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(EDGES, st.integers(min_value=1, max_value=4))
+def test_kcore_matches_reference(spark, edge_list, k):
+    df = spark.createDataFrame(
+        [(s, t) for s, t in edge_list], "src long, dst long"
+    )
+    got = {r.node: r.core_degree for r in kcore(df, k=k).collect()}
+    assert got == ref_kcore(edge_list, k)
+
+
+def test_kcore_chain_cascade(spark):
+    # a 6-cycle with a 5-node tail: at k=2 the tail peels one node per
+    # synchronous round (5 rounds), the cycle survives at degree 2 —
+    # pins that the loop really iterates to the fixpoint rather than
+    # stopping after the first peel
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    tail = [(6, 0), (7, 6), (8, 7), (9, 8), (10, 9)]
+    df = spark.createDataFrame(cyc + tail, "src long, dst long")
+    got = {r.node: r.core_degree for r in kcore(df, k=2).collect()}
+    assert got == {i: 2 for i in range(6)}
+    # and a too-high k empties the graph entirely
+    assert kcore(df, k=4).count() == 0

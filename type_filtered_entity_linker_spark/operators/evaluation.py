@@ -454,3 +454,60 @@ def capture_recapture(pairs_a: DataFrame, pairs_b: DataFrame) -> DataFrame:
         F.round(F.col("n_a") / chapman, 6).alias("coverage_a"),
         F.round(F.col("n_b") / chapman, 6).alias("coverage_b"),
     )
+
+
+def gmd_metrics(assignments: DataFrame) -> DataFrame:
+    """Generalized Merge Distance with unit costs (Menestrina, Whang &
+    Garcia-Molina, VLDB 2010 "Evaluating entity resolution results"):
+    the minimum number of cluster SPLIT + MERGE edit operations that
+    transform the predicted clustering into the gold one — the fourth
+    grading axis next to pairwise F1 / B-cubed / (A)RI+NMI, and the
+    one a data steward actually experiences ("how many repair actions
+    until this is right?").
+
+    ``assignments``: one row per record with (rec_id, cluster_id,
+    class_id) — predicted cluster and gold class.
+
+    The paper's Slice algorithm collapses to contingency-cell counts
+    for unit costs: every predicted cluster must first split into its
+    nonempty (cluster ∩ class) cells (k cells → k-1 splits), then the
+    cells merge back into each class (k cells → k-1 merges):
+
+        splits = Σ_clusters (distinct classes in cluster − 1)
+        merges = Σ_classes  (distinct clusters in class  − 1)
+        GMD    = splits + merges
+
+    Plan: ONE hash aggregation to the distinct cells, then two
+    aggregations over the cell table — no self-join, no per-record
+    fanout, all integer arithmetic (the only metric on the sheet with
+    an exactness guarantee independent of float summation order).
+    Returns one row (n_records, n_clusters, n_classes, splits, merges,
+    gmd) — all BIGINT."""
+    cells = assignments.groupBy("cluster_id", "class_id").agg(
+        F.count("*").alias("m")
+    )
+    by_cluster = cells.groupBy("cluster_id").agg(
+        F.count("*").alias("parts")
+    )
+    by_class = cells.groupBy("class_id").agg(F.count("*").alias("parts"))
+    splits = by_cluster.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.sum("parts") - F.count("*")).cast("long").alias("splits"),
+    )
+    merges = by_class.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        (F.sum("parts") - F.count("*")).cast("long").alias("merges"),
+    )
+    n = cells.agg(F.sum("m").cast("long").alias("n_records"))
+    return (
+        n.crossJoin(splits)
+        .crossJoin(merges)
+        .select(
+            "n_records",
+            "n_clusters",
+            "n_classes",
+            "splits",
+            "merges",
+            (F.col("splits") + F.col("merges")).cast("long").alias("gmd"),
+        )
+    )

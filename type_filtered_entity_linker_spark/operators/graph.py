@@ -315,3 +315,68 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             F.round(F.sum(term), 6).alias("modularity"),
         )
     )
+
+
+def kcore(edges: DataFrame, k: int, max_iter: int = 20) -> DataFrame:
+    """k-core extraction by iterative peeling (Batagelj–Zaveršnik
+    semantics, distributed as the synchronous "peel all under-k nodes
+    each round" fixpoint — the Scalable K-Core shape of the
+    Pregel/GraphX literature): repeatedly delete every node whose
+    degree in the SURVIVING subgraph is < k until none is deleted.
+    The k-core is the web-graph's spam/cohesion backbone filter —
+    link farms and drive-by pages fall out of low cores, dense genuine
+    communities persist (Alvarez-Hamelin et al., NIPS'05).
+
+    ``edges(src, dst)`` is treated as an undirected simple graph
+    (self-loops dropped, direction/multiplicity collapsed). Returns
+    (node, core_degree) for every node of the k-core, core_degree =
+    its degree within the core (≥ k by construction).
+
+    Scale shape: each round is two LEFT-SEMI joins of the surviving
+    edge set against the surviving node set (equi on src, then dst)
+    plus one partial-aggregated degree count — no window, no sort, no
+    per-node state beyond one count row; a mega-degree hub collapses
+    map-side exactly like pagerank's contribution sum. The edge set
+    only ever SHRINKS, so round cost is monotone non-increasing;
+    ``localCheckpoint`` per round truncates the iterative lineage.
+    Rounds to fixpoint ≤ the longest peel chain (O(diameter)-ish in
+    practice; the classic pathological path graph needs O(n) — the
+    same bound every synchronous peel implementation carries).
+    Early-stops when a round deletes nothing: the alive-count check is
+    one O(1)-row aggregate per round (same cadence policy as
+    clustering.connected_components)."""
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    sym = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("core_degree"))
+    alive = deg.where(F.col("core_degree") >= k).localCheckpoint(eager=True)
+    n_alive = alive.count()
+    for _ in range(max_iter):
+        if n_alive == 0:
+            break
+        surv = (
+            sym.join(alive.select("src"), "src", "left_semi")
+            .join(
+                alive.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+        )
+        nxt = (
+            surv.groupBy("src")
+            .agg(F.count("*").alias("core_degree"))
+            .where(F.col("core_degree") >= k)
+            .localCheckpoint(eager=True)
+        )
+        n_next = nxt.count()
+        sym = surv.localCheckpoint(eager=True)
+        alive = nxt
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+    return alive.select(F.col("src").alias("node"), "core_degree")

@@ -342,6 +342,51 @@ EL_LINKS_SQL = f"""
 """
 
 
+def q_el_collective(spark, sf_dir) -> DataFrame:
+    """Collective disambiguation (operators/collective.py): re-rank
+    each mention's top-K candidates by document-level TYPE COHERENCE —
+    candidates whose ontology types are echoed by other mentions in
+    the same document beat string-closer isolated ones (score =
+    2·coherence − levenshtein, all-integer). The quadratic
+    mention×mention candidate graph of classic collective EL is
+    factored through a linear (doc, type)-support table, so the
+    whole query is two hash aggregations + two equi-joins — the
+    10^12-document-safe shape of the AIDA idea. Exact integer oracle
+    (no round(6) anywhere)."""
+    from ..operators.collective import collective_rerank
+
+    return collective_rerank(
+        _el_topk(spark, sf_dir), _el_types(spark, sf_dir)
+    )
+
+
+EL_COLLECTIVE_SQL = f"""
+    WITH k AS ({EL_TOPK_SQL}),
+    t AS ({EL_TYPES_SQL}),
+    ct AS (SELECT DISTINCT k.doc_id, k.sf, k.item_id, t.type_id
+           FROM k JOIN t USING (item_id)),
+    sup AS (SELECT doc_id, type_id, count(DISTINCT sf) AS sup
+            FROM ct GROUP BY 1, 2),
+    coh AS (SELECT ct.doc_id, ct.sf, ct.item_id,
+                   sum(sup - 1)::BIGINT AS coherence
+            FROM ct JOIN sup USING (doc_id, type_id)
+            GROUP BY 1, 2, 3),
+    sc AS (SELECT k.doc_id, k.sf, k.item_id,
+                  levenshtein(k.sf, k.name) AS lev,
+                  coalesce(c.coherence, 0)::BIGINT AS coherence
+           FROM k LEFT JOIN coh c
+             ON c.doc_id = k.doc_id AND c.sf = k.sf
+            AND c.item_id = k.item_id)
+    SELECT doc_id, sf, item_id, lev, coherence,
+           (2 * coherence - lev)::BIGINT AS score
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY doc_id, sf
+              ORDER BY 2 * coherence - lev DESC, item_id) AS rn
+          FROM sc)
+    WHERE rn = 1
+"""
+
+
 def _el_clusters(spark, sf_dir) -> DataFrame:
     """O33 analog: mentions linked to one entity form a cluster;
     cluster_id = min mention key."""
@@ -3490,6 +3535,43 @@ ER_AGREEMENT_SQL = f"""
 """
 
 
+def q_er_gmd(spark, sf_dir) -> DataFrame:
+    """Generalized Merge Distance (unit split/merge costs) of the
+    composite ER pipeline's clusters vs the planted gold classes —
+    the edit-distance grading axis (Menestrina et al., VLDB 2010):
+    how many steward split/merge actions separate the output from the
+    truth. Same assignment table as er_bcubed; unlike every other
+    metric on the eval sheet this one is ALL-INTEGER, so the oracle
+    parity is exact with no round(6) escape hatch at all."""
+    from ..operators.evaluation import gmd_metrics
+
+    assign = q_er_pipeline_clusters(spark, sf_dir).select(
+        "rec_id",
+        "cluster_id",
+        (F.col("rec_id") % 1000000).alias("class_id"),
+    )
+    return gmd_metrics(assign)
+
+
+ER_GMD_SQL = f"""
+    WITH asn AS (
+        SELECT rec_id, cluster_id, rec_id % 1000000 AS class_id
+        FROM ({ER_PIPELINE_SQL})),
+    cells AS (SELECT cluster_id, class_id, count(*) AS m
+              FROM asn GROUP BY 1, 2),
+    sp AS (SELECT count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+                  (count(*) - count(DISTINCT cluster_id))::BIGINT AS splits
+           FROM cells),
+    mg AS (SELECT count(DISTINCT class_id)::BIGINT AS n_classes,
+                  (count(*) - count(DISTINCT class_id))::BIGINT AS merges
+           FROM cells),
+    nn AS (SELECT sum(m)::BIGINT AS n_records FROM cells)
+    SELECT n_records, n_clusters, n_classes, splits, merges,
+           (splits + merges)::BIGINT AS gmd
+    FROM nn, sp, mg
+"""
+
+
 def _fs_bipartite_pairs(spark, sf_dir) -> DataFrame:
     """The shared Spark-side pipeline mirroring _fs_bipartite_ctes:
     corrupt-customer records, blocked pairs (phone equi ∪ name SNM),
@@ -5879,6 +5961,95 @@ def _pagerank_sql(n_iter: int, damping: float) -> str:
 
 
 GRAPH_PAGERANK_SQL = _pagerank_sql(PR_ITER, PR_DAMPING)
+
+
+KCORE_K = 2
+KCORE_ORACLE_ROUNDS = 12
+
+
+def q_graph_kcore(spark, sf_dir) -> DataFrame:
+    """k-core backbone extraction (operators/graph.py::kcore) — the
+    web-graph spam/cohesion filter: peel every node whose surviving
+    degree is < k until fixpoint; link farms and tail pages fall out,
+    the dense backbone stays. Fixture graph engineered to make the
+    ITERATION itself the thing under test: ring nodes (doc_id%10==0)
+    link +10/+20/+30 around the ring (a 6-regular backbone), every
+    other doc chains to doc_id−1 — nine-node tails whose tips peel
+    first, exposing the next node as the new tip, so the k=2 peel
+    takes NINE synchronous rounds before the ring-only fixpoint
+    (core_degree 6; the chain length is scale-invariant, so the round
+    count is identical at every SF). Oracle: the same peel unrolled as
+    12 chained HAVING-count CTEs — past the fixpoint extra rounds are
+    idempotent, so Spark's early-stop and the fixed unroll agree
+    exactly (same convention as the pagerank/CC oracles)."""
+    from ..operators.graph import kcore
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    ring = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(*[(F.col("doc_id") + F.lit(j)) % F.lit(n)
+                          for j in (10, 20, 30)])
+            ).alias("dst"),
+        )
+    )
+    chain = (
+        docs.where(F.col("doc_id") % 10 != 0)
+        .select(
+            F.col("doc_id").alias("src"),
+            (F.col("doc_id") - 1).alias("dst"),
+        )
+    )
+    return kcore(
+        ring.unionByName(chain), k=KCORE_K, max_iter=KCORE_ORACLE_ROUNDS + 4
+    )
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    # every round references the previous alive set TWICE — without
+    # MATERIALIZED, DuckDB inlines the CTE chain into a 2^rounds-leaf
+    # plan tree that reopens the parquet file once per leaf ("Too many
+    # open files" at 12 rounds); materializing each round keeps the
+    # oracle linear, exactly like the engine's localCheckpoint
+    parts = [
+        "nd AS MATERIALIZED (SELECT count(*) AS n FROM documents)",
+        "e0 AS MATERIALIZED ("
+        "SELECT doc_id AS src, (doc_id + j) % (SELECT n FROM nd) AS dst "
+        "FROM documents CROSS JOIN (VALUES (10), (20), (30)) t(j) "
+        "WHERE doc_id % 10 = 0 "
+        "UNION ALL "
+        "SELECT doc_id, doc_id - 1 FROM documents WHERE doc_id % 10 <> 0)",
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM ("
+        "SELECT src, dst FROM e0 WHERE src <> dst "
+        "UNION ALL SELECT dst, src FROM e0 WHERE src <> dst))",
+        f"a0 AS MATERIALIZED (SELECT src AS node FROM sym "
+        f"GROUP BY src HAVING count(*) >= {k})",
+    ]
+    prev = "a0"
+    for it in range(1, rounds + 1):
+        parts.append(
+            f"a{it} AS MATERIALIZED (SELECT src AS node FROM sym "
+            f"WHERE src IN (SELECT node FROM {prev}) "
+            f"AND dst IN (SELECT node FROM {prev}) "
+            f"GROUP BY src HAVING count(*) >= {k})"
+        )
+        prev = f"a{it}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT src AS node, count(*)::BIGINT AS core_degree FROM sym
+    WHERE src IN (SELECT node FROM {prev})
+      AND dst IN (SELECT node FROM {prev})
+    GROUP BY src HAVING count(*) >= {k}
+"""
+    )
+
+
+GRAPH_KCORE_SQL = _kcore_sql(KCORE_K, KCORE_ORACLE_ROUNDS)
 
 
 def q_lm_perplexity(spark, sf_dir) -> DataFrame:
@@ -9586,6 +9757,7 @@ QUERIES = {
     "el_type_filter": _el_filtered,
     "el_topk": _el_topk,
     "el_links": _el_links,
+    "el_collective": q_el_collective,
     "el_clusters": _el_clusters,
     "el_cluster_sizes": _el_cluster_sizes,
     "el_golden_records": q_el_golden_records,
@@ -9606,6 +9778,7 @@ QUERIES = {
     "embed_kmeans": q_embed_kmeans,
     "embed_kmeans_stats": q_embed_kmeans_stats,
     "graph_pagerank": q_graph_pagerank,
+    "graph_kcore": q_graph_kcore,
     "docs_pack_sequences": q_docs_pack_sequences,
     "docs_token_budget_mix": q_docs_token_budget_mix,
     "crawl_snapshot_diff": q_crawl_snapshot_diff,
@@ -9660,6 +9833,7 @@ QUERIES = {
     "er_sorted_neighborhood": q_er_sorted_neighborhood,
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "er_bcubed": q_er_bcubed,
+    "er_gmd": q_er_gmd,
     "er_mutual_best": q_er_mutual_best,
     "er_monge_elkan": q_er_monge_elkan,
     "er_soft_tfidf": q_er_soft_tfidf,
@@ -9743,6 +9917,7 @@ ORACLES = {
     "el_type_filter": EL_FILTERED_SQL,
     "el_topk": EL_TOPK_SQL,
     "el_links": EL_LINKS_SQL,
+    "el_collective": EL_COLLECTIVE_SQL,
     "el_clusters": EL_CLUSTERS_SQL,
     "el_cluster_sizes": EL_CLUSTER_SIZES_SQL,
     "el_golden_records": EL_GOLDEN_RECORDS_SQL,
@@ -9763,6 +9938,7 @@ ORACLES = {
     "embed_kmeans": EMBED_KMEANS_SQL,
     "embed_kmeans_stats": EMBED_KMEANS_STATS_SQL,
     "graph_pagerank": GRAPH_PAGERANK_SQL,
+    "graph_kcore": GRAPH_KCORE_SQL,
     "docs_pack_sequences": DOCS_PACK_SQL,
     "docs_token_budget_mix": DOCS_MIX_SQL,
     "crawl_snapshot_diff": SNAPSHOT_DIFF_SQL,
@@ -9817,6 +9993,7 @@ ORACLES = {
     "er_sorted_neighborhood": ER_SNM_SQL,
     "er_pipeline_clusters": ER_PIPELINE_SQL,
     "er_bcubed": ER_BCUBED_SQL,
+    "er_gmd": ER_GMD_SQL,
     "er_mutual_best": ER_MUTUAL_BEST_SQL,
     "er_monge_elkan": ER_MONGE_ELKAN_SQL,
     "er_soft_tfidf": ER_SOFT_TFIDF_SQL,
@@ -9949,10 +10126,11 @@ _NEVER_DRIVER_CHECKED = [
 # er_score_drift, crawl_frontier_schedule, docs_winnowing,
 # docs_source_keywords, er_stream_score_drift) plus the wave-10/11
 # additions (er_match_rules, er_swoosh, crawl_robots_filter,
-# docs_contrastive_pairs, er_blocking_learn) remain driver-unstamped
-# (builder gate verifies all of them exactly at sf0.01 meanwhile).
-# Round 5: move those ~37 to the head — they all fit one 50-query
-# window.
+# docs_contrastive_pairs, er_blocking_learn) and the wave-13
+# additions (er_gmd, el_collective, graph_kcore, er_hac) remain
+# driver-unstamped (builder gate verifies all of them exactly at
+# sf0.01 meanwhile). Round 5: move those ~41 to the head — they all
+# fit one 50-query window.
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED},
     **QUERIES,
