@@ -3572,6 +3572,120 @@ ER_GMD_SQL = f"""
 """
 
 
+ER_HAC_THRESHOLD = 28.0
+ER_HAC_ROUNDS = 6
+
+
+def q_er_hac(spark, sf_dir) -> DataFrame:
+    """Per-block average-linkage HAC (operators/hac.py) over the
+    two-copy dirty corpus, blocked by phone, sim = 30 −
+    levenshtein(name): the cluster-QUALITY alternative to transitive
+    closure — a single stray edge cannot glue two dense groups whose
+    cross-pair AVERAGE stays under the threshold. On this corpus a
+    {orig, copyA, copyB} phone block takes two genuine dendrogram
+    steps: the tie between (orig,A) and (A,B) at sim 29 resolves to
+    the lower cluster-id pair, then {orig,A}–B merges at the
+    recomputed average (29+28)/2 = 28.5 ≥ 28 — so the oracle pins the
+    tie-break AND the average recomputation, not just the final
+    partition. Phone-collision distractor blocks (a rewritten '99…'
+    phone landing on a real one) stay un-merged when their name
+    average misses the threshold — threshold rejection exercised by
+    the corpus itself. Oracle: rounds unrolled as MATERIALIZED CTEs
+    (each round references the previous assignment twice — the same
+    exponential-inlining guard as graph_kcore); averages are one IEEE
+    division of two exact integers, bit-identical across engines, so
+    the parity is exact with no round(6)."""
+    from ..operators.hac import hac_clusters
+
+    records, _ = _conflict_records_scored(spark, sf_dir)
+    nodes = records.select(
+        F.col("phone").alias("block_key"), F.col("rec_id").cast("long")
+    )
+    r = records.select("rec_id", "phone", "name")
+    pairs = (
+        r.alias("a")
+        .join(r.alias("b"), "phone")
+        .where(F.col("a.rec_id") < F.col("b.rec_id"))
+        .select(
+            F.col("phone").alias("block_key"),
+            F.col("a.rec_id").cast("long").alias("id_a"),
+            F.col("b.rec_id").cast("long").alias("id_b"),
+            (F.lit(30) - F.levenshtein("a.name", "b.name"))
+            .cast("long")
+            .alias("sim"),
+        )
+    )
+    return hac_clusters(
+        nodes, pairs, threshold=ER_HAC_THRESHOLD, max_rounds=ER_HAC_ROUNDS
+    )
+
+
+def _er_hac_sql(threshold: float, rounds: int) -> str:
+    parts = [
+        """clean AS MATERIALIZED (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer)""",
+        """records AS MATERIALIZED (
+        SELECT rec_id, name, phone FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1), phone
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id + 2000000, substr(name, 1, length(name) - 2),
+               CASE WHEN rec_id % 30 = 0 THEN '99' || substr(phone, 3)
+                    ELSE phone END
+        FROM clean WHERE rec_id % 10 = 0)""",
+        """prs AS MATERIALIZED (
+        SELECT a.phone AS block_key, a.rec_id AS id_a, b.rec_id AS id_b,
+               30 - levenshtein(a.name, b.name) AS sim
+        FROM records a JOIN records b
+          ON a.phone = b.phone AND a.rec_id < b.rec_id)""",
+        "asn0 AS MATERIALIZED (SELECT phone AS block_key, rec_id, "
+        "rec_id AS cluster_id FROM records)",
+    ]
+    prev = "asn0"
+    for it in range(1, rounds + 1):
+        parts.append(
+            f"""cp{it} AS MATERIALIZED (
+        SELECT p.block_key, least(x.cluster_id, y.cluster_id) AS ca,
+               greatest(x.cluster_id, y.cluster_id) AS cb,
+               sum(p.sim)::DOUBLE / count(*) AS avg_sim
+        FROM prs p
+        JOIN {prev} x ON x.block_key = p.block_key AND x.rec_id = p.id_a
+        JOIN {prev} y ON y.block_key = p.block_key AND y.rec_id = p.id_b
+        WHERE x.cluster_id <> y.cluster_id
+        GROUP BY 1, 2, 3)"""
+        )
+        parts.append(
+            f"""best{it} AS MATERIALIZED (
+        SELECT block_key, ca, cb FROM (
+            SELECT *, row_number() OVER (PARTITION BY block_key
+                ORDER BY avg_sim DESC, ca, cb) AS rn
+            FROM cp{it} WHERE avg_sim >= {threshold!r}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""asn{it} AS MATERIALIZED (
+        SELECT a.block_key, a.rec_id,
+               coalesce(b.ca, a.cluster_id) AS cluster_id
+        FROM {prev} a LEFT JOIN best{it} b
+          ON b.block_key = a.block_key AND b.cb = a.cluster_id)"""
+        )
+        prev = f"asn{it}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT block_key, rec_id::BIGINT AS rec_id,
+           cluster_id::BIGINT AS cluster_id
+    FROM {prev}
+"""
+    )
+
+
+ER_HAC_SQL = _er_hac_sql(ER_HAC_THRESHOLD, ER_HAC_ROUNDS)
+
+
 def _fs_bipartite_pairs(spark, sf_dir) -> DataFrame:
     """The shared Spark-side pipeline mirroring _fs_bipartite_ctes:
     corrupt-customer records, blocked pairs (phone equi ∪ name SNM),
@@ -9834,6 +9948,7 @@ QUERIES = {
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "er_bcubed": q_er_bcubed,
     "er_gmd": q_er_gmd,
+    "er_hac": q_er_hac,
     "er_mutual_best": q_er_mutual_best,
     "er_monge_elkan": q_er_monge_elkan,
     "er_soft_tfidf": q_er_soft_tfidf,
@@ -9994,6 +10109,7 @@ ORACLES = {
     "er_pipeline_clusters": ER_PIPELINE_SQL,
     "er_bcubed": ER_BCUBED_SQL,
     "er_gmd": ER_GMD_SQL,
+    "er_hac": ER_HAC_SQL,
     "er_mutual_best": ER_MUTUAL_BEST_SQL,
     "er_monge_elkan": ER_MONGE_ELKAN_SQL,
     "er_soft_tfidf": ER_SOFT_TFIDF_SQL,
