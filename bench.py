@@ -234,6 +234,12 @@ HEADLINE = [
     "docs_contrastive_pairs",
     # wave 12: adaptive blocking-scheme selection (coverage per cost)
     "er_blocking_learn",
+    # wave 13: GMD edit-count metric, collective type-coherence EL,
+    # k-core backbone peel, per-block average-linkage HAC
+    "er_gmd",
+    "el_collective",
+    "graph_kcore",
+    "er_hac",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
