@@ -194,3 +194,35 @@ def test_interval_overlap_join_unit_validation(spark):
             ).collect()
         )
         assert got == [(1, 10)], unit
+
+
+def test_powerlaw_alpha_hand_example(spark):
+    import math
+
+    from type_filtered_entity_linker_spark.operators.diagnostics import (
+        powerlaw_alpha,
+    )
+
+    sizes = spark.createDataFrame(
+        [(s,) for s in (1, 1, 2, 4, 8)], "sz long"
+    )
+    m = powerlaw_alpha(sizes, "sz", xmin=2).collect()[0]
+    lnsum = sum(math.log(x / 1.5) for x in (2, 4, 8))
+    assert (m.n_keys, m.xmin, m.n_tail, m.max_size) == (5, 2, 3, 8)
+    assert m.alpha == round(1.0 + 3 / lnsum, 6)
+    # pair predictor stays exact-integer: 1 + 6 + 28
+    assert m.selfjoin_pairs == 35
+    assert m.top_key_pair_share == round(28 / 35, 6)
+
+
+def test_powerlaw_alpha_degenerate_all_singletons(spark):
+    from type_filtered_entity_linker_spark.operators.diagnostics import (
+        powerlaw_alpha,
+    )
+
+    sizes = spark.createDataFrame([(1,), (1,), (1,)], "sz long")
+    m = powerlaw_alpha(sizes, "sz", xmin=2).collect()[0]
+    # no tail at all: alpha undefined (NULL, not a fabricated number),
+    # zero pairs, zero share
+    assert (m.n_tail, m.alpha) == (0, None)
+    assert (m.selfjoin_pairs, m.top_key_pair_share) == (0, 0.0)

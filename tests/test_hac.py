@@ -113,3 +113,52 @@ def test_hac_singletons_and_multi_block(spark):
         for r in hac_clusters(nodes, pairs, threshold=5.0).collect()
     }
     assert out == {("x", 1): 1, ("x", 2): 1, ("y", 7): 7, ("z", 9): 9}
+
+
+def test_hac_vs_cc_disagreement_on_bridge(spark):
+    # the er_hac_vs_cc machinery end-to-end in Spark: on the bridged
+    # two-triangle graph, transitive closure glues all 6 nodes while
+    # average linkage keeps two clusters — ARI/NMI must drop below 1,
+    # proving the disagreement report fires when a bridge exists
+    from pyspark.sql import functions as F
+
+    from type_filtered_entity_linker_spark.operators.clustering import (
+        connected_components,
+    )
+    from type_filtered_entity_linker_spark.operators.evaluation import (
+        cluster_agreement_metrics,
+    )
+
+    tri_a = [(0, 1, 10), (0, 2, 10), (1, 2, 10)]
+    tri_b = [(3, 4, 10), (3, 5, 10), (4, 5, 10)]
+    bridge = [(2, 3, 10), (0, 3, 0), (1, 3, 0), (0, 4, 0), (1, 4, 0),
+              (2, 4, 0), (0, 5, 0), (1, 5, 0), (2, 5, 0)]
+    all_pairs = tri_a + tri_b + bridge
+    nodes = spark.createDataFrame(
+        [("b", r) for r in range(6)], "block_key string, rec_id long"
+    )
+    pairs = spark.createDataFrame(
+        [("b", a, b, s) for a, b, s in all_pairs],
+        "block_key string, id_a long, id_b long, sim long",
+    )
+    hac = hac_clusters(nodes, pairs, threshold=6.0)
+    edges = pairs.where(F.col("sim") >= 6).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(edges).withColumnRenamed("node", "rec_id")
+    asn = (
+        hac.select("rec_id", "cluster_id")
+        .join(cc.withColumnRenamed("cluster_id", "cc_id"), "rec_id", "left")
+        .select(
+            "rec_id",
+            "cluster_id",
+            F.coalesce("cc_id", F.col("rec_id")).alias("class_id"),
+        )
+    )
+    m = cluster_agreement_metrics(asn).collect()[0]
+    assert m.n_records == 6
+    assert m.rand_index < 1.0
+    assert m.adjusted_rand < 1.0
+    # CC collapses to ONE cluster here — zero entropy on that side, so
+    # NMI is NULL by the documented degenerate-partition contract
+    assert m.nmi is None

@@ -66,10 +66,45 @@ def hac_clusters(
     within each block. Returns (block_key, rec_id, cluster_id);
     cluster_id = the smallest rec_id merged into the cluster.
     """
+    asn, _ = _hac_rounds(nodes, pairs, threshold, max_rounds)
+    return asn
+
+
+def hac_dendrogram(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    threshold: float,
+    max_rounds: int = 8,
+) -> DataFrame:
+    """The MERGE TRACE of ``hac_clusters`` — one row per accepted
+    merge: (block_key, step, cluster_a, cluster_b, avg_sim), where
+    step is the block's dendrogram height at which cluster_b folded
+    into cluster_a and avg_sim the average linkage that justified it.
+    This is the explanation artifact a steward reviews ("WHY are
+    these three records one entity, and how confident was each
+    join?") and the input to a threshold-sensitivity plot: cutting
+    the dendrogram at any τ' ≥ τ is a FILTER on this table, no
+    re-clustering needed. Same loop, same determinism contract as
+    hac_clusters; cost identical (the trace rows were computed
+    anyway, this just keeps them)."""
+    _, trace = _hac_rounds(nodes, pairs, threshold, max_rounds)
+    return trace
+
+
+def _hac_rounds(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    threshold: float,
+    max_rounds: int,
+) -> "tuple[DataFrame, DataFrame]":
+    spark = nodes.sparkSession
     asn = nodes.select(
         "block_key", "rec_id", F.col("rec_id").alias("cluster_id")
     ).localCheckpoint(eager=True)
+    merge_log: list[DataFrame] = []
+    step = 0
     for _ in range(max_rounds):
+        step += 1
         ca = F.least("a1.cluster_id", "a2.cluster_id")
         cb = F.greatest("a1.cluster_id", "a2.cluster_id")
         cp = (
@@ -101,11 +136,20 @@ def hac_clusters(
             cp.where(F.col("avg_sim") >= threshold)
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
-            .select("block_key", "ca", "cb")
+            .select("block_key", "ca", "cb", "avg_sim")
             .localCheckpoint(eager=True)
         )
         if best.count() == 0:
             break
+        merge_log.append(
+            best.select(
+                "block_key",
+                F.lit(step).cast("long").alias("step"),
+                F.col("ca").alias("cluster_a"),
+                F.col("cb").alias("cluster_b"),
+                F.round("avg_sim", 6).alias("avg_sim"),
+            )
+        )
         asn = (
             asn.alias("a")
             .join(
@@ -121,4 +165,14 @@ def hac_clusters(
             )
             .localCheckpoint(eager=True)
         )
-    return asn
+    if merge_log:
+        trace = merge_log[0]
+        for part in merge_log[1:]:
+            trace = trace.unionByName(part)
+    else:
+        trace = spark.createDataFrame(
+            [],
+            "block_key string, step long, cluster_a long, "
+            "cluster_b long, avg_sim double",
+        )
+    return asn, trace

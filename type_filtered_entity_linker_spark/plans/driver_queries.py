@@ -2778,6 +2778,73 @@ ER_META_BLOCK_QUALITY_SQL = (
 )
 
 
+ZIPF_XMIN = 2
+
+
+def q_er_zipf_alpha(spark, sf_dir) -> DataFrame:
+    """Power-law exponent MLE over the 3-scheme blocking-key size
+    distribution (operators/diagnostics.py::powerlaw_alpha, Clauset
+    et al. 2009) — the skew diagnostic that turns "the blocking key is
+    Zipf-headed, salt it" from an assertion into a measured number.
+    One row: α̂ over block sizes ≥ 2, the exact self-join pair total
+    the distribution would generate, and the single heaviest key's
+    share of those pairs (the quantity salting attacks; cf. the
+    forced-shuffle salt A/B in BENCH/BASELINE.md). Input is the
+    per-key fanout table — already aggregated, so this costs one
+    shuffle of key-count rows regardless of corpus scale."""
+    from ..operators.diagnostics import powerlaw_alpha
+
+    records, _, _ = _fs_customers(spark, sf_dir, corrupt="phone")
+    sizes = _meta_blocks(records).groupBy("block_key").agg(
+        F.count("*").alias("sz")
+    )
+    return powerlaw_alpha(sizes, "sz", xmin=ZIPF_XMIN)
+
+
+ER_ZIPF_ALPHA_SQL = f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone,
+               'city_' || c_nationkey::VARCHAR AS city
+        FROM customer),
+    records AS (
+        SELECT rec_id, phone, city FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000,
+               CASE WHEN rec_id % 30 = 0 THEN '99' || substr(phone, 3)
+                    ELSE phone END,
+               city
+        FROM clean WHERE rec_id % 10 = 0),
+    blocks AS (
+        SELECT rec_id, 'p3:' || substr(phone, 1, 3) AS block_key FROM records
+        UNION ALL
+        SELECT rec_id, 'p4:' || substr(phone, 4) AS block_key FROM records
+        UNION ALL
+        SELECT rec_id, 'c:' || city AS block_key FROM records),
+    sizes AS (SELECT block_key, count(*) AS sz FROM blocks GROUP BY 1),
+    agg AS (SELECT count(*)::BIGINT AS n_keys,
+                   sum(CASE WHEN sz >= {ZIPF_XMIN} THEN 1 ELSE 0 END)::BIGINT
+                       AS n_tail,
+                   sum(CASE WHEN sz >= {ZIPF_XMIN}
+                            THEN ln(sz::DOUBLE / ({ZIPF_XMIN} - 0.5))
+                            ELSE 0.0 END) AS lnsum,
+                   max(sz)::BIGINT AS max_size,
+                   coalesce(sum((sz::BIGINT * (sz::BIGINT - 1)) // 2),
+                            0)::BIGINT AS selfjoin_pairs,
+                   coalesce(max((sz::BIGINT * (sz::BIGINT - 1)) // 2),
+                            0)::BIGINT AS max_key_pairs
+            FROM sizes)
+    SELECT n_keys, {ZIPF_XMIN}::BIGINT AS xmin, n_tail,
+           round(CASE WHEN lnsum > 0
+                      THEN 1.0 + n_tail::DOUBLE / lnsum END, 6) AS alpha,
+           max_size, selfjoin_pairs,
+           round(CASE WHEN selfjoin_pairs > 0
+                      THEN max_key_pairs::DOUBLE / selfjoin_pairs
+                      ELSE 0.0 END, 6) AS top_key_pair_share
+    FROM agg
+"""
+
+
 def q_er_sorted_neighborhood(spark, sf_dir) -> DataFrame:
     """Sorted-neighborhood blocking (Hernández–Stolfo SNM) over the
     dirty-customer corpus, sort key = name: a planted copy's truncated
@@ -3491,11 +3558,10 @@ def q_er_cluster_agreement(spark, sf_dir) -> DataFrame:
     return cluster_agreement_metrics(assign)
 
 
-ER_AGREEMENT_SQL = f"""
-    WITH asn AS (
-        SELECT rec_id, cluster_id, rec_id % 1000000 AS class_id
-        FROM ({ER_PIPELINE_SQL})),
-    cells AS (SELECT cluster_id, class_id, count(*) AS m
+# the Rand/ARI/NMI contingency formulas over an `asn` CTE with
+# (rec_id, cluster_id, class_id) — shared by er_cluster_agreement
+# (pipeline vs planted truth) and er_hac_vs_cc (HAC vs CC partitions)
+_AGREEMENT_TAIL = """cells AS (SELECT cluster_id, class_id, count(*) AS m
               FROM asn GROUP BY 1, 2),
     cs AS (SELECT cluster_id, count(*) AS a FROM asn GROUP BY 1),
     ts AS (SELECT class_id, count(*) AS b FROM asn GROUP BY 1),
@@ -3532,6 +3598,14 @@ ER_AGREEMENT_SQL = f"""
                                   * (ln(n::DOUBLE) - e_b / n::DOUBLE))
                  END, 6) AS nmi
     FROM fin
+"""
+
+
+ER_AGREEMENT_SQL = f"""
+    WITH asn AS (
+        SELECT rec_id, cluster_id, rec_id % 1000000 AS class_id
+        FROM ({ER_PIPELINE_SQL})),
+    {_AGREEMENT_TAIL}
 """
 
 
@@ -3597,30 +3671,16 @@ def q_er_hac(spark, sf_dir) -> DataFrame:
     the parity is exact with no round(6)."""
     from ..operators.hac import hac_clusters
 
-    records, _ = _conflict_records_scored(spark, sf_dir)
-    nodes = records.select(
-        F.col("phone").alias("block_key"), F.col("rec_id").cast("long")
-    )
-    r = records.select("rec_id", "phone", "name")
-    pairs = (
-        r.alias("a")
-        .join(r.alias("b"), "phone")
-        .where(F.col("a.rec_id") < F.col("b.rec_id"))
-        .select(
-            F.col("phone").alias("block_key"),
-            F.col("a.rec_id").cast("long").alias("id_a"),
-            F.col("b.rec_id").cast("long").alias("id_b"),
-            (F.lit(30) - F.levenshtein("a.name", "b.name"))
-            .cast("long")
-            .alias("sim"),
-        )
-    )
+    nodes, pairs = _hac_corpus_pairs(spark, sf_dir)
     return hac_clusters(
         nodes, pairs, threshold=ER_HAC_THRESHOLD, max_rounds=ER_HAC_ROUNDS
     )
 
 
-def _er_hac_sql(threshold: float, rounds: int) -> str:
+def _er_hac_parts(threshold: float, rounds: int) -> "tuple[list[str], str]":
+    """The shared CTE chain (corpus → pairs → unrolled HAC rounds) as
+    (parts, final_assignment_cte_name) — consumed by _er_hac_sql and
+    the er_hac_vs_cc combined oracle."""
     parts = [
         """clean AS MATERIALIZED (
         SELECT c_custkey AS rec_id, c_name AS name,
@@ -3659,7 +3719,7 @@ def _er_hac_sql(threshold: float, rounds: int) -> str:
         )
         parts.append(
             f"""best{it} AS MATERIALIZED (
-        SELECT block_key, ca, cb FROM (
+        SELECT block_key, ca, cb, avg_sim FROM (
             SELECT *, row_number() OVER (PARTITION BY block_key
                 ORDER BY avg_sim DESC, ca, cb) AS rn
             FROM cp{it} WHERE avg_sim >= {threshold!r}) WHERE rn = 1)"""
@@ -3672,18 +3732,143 @@ def _er_hac_sql(threshold: float, rounds: int) -> str:
           ON b.block_key = a.block_key AND b.cb = a.cluster_id)"""
         )
         prev = f"asn{it}"
-    return (
-        "WITH "
-        + ",\n    ".join(parts)
-        + f"""
-    SELECT block_key, rec_id::BIGINT AS rec_id,
-           cluster_id::BIGINT AS cluster_id
-    FROM {prev}
-"""
-    )
+    return parts, prev
+
+
+def _er_hac_sql(threshold: float, rounds: int, emit: str = "assign") -> str:
+    parts, prev = _er_hac_parts(threshold, rounds)
+    if emit == "trace":
+        final = "\n    UNION ALL ".join(
+            f"SELECT block_key, {it}::BIGINT AS step, "
+            f"ca::BIGINT AS cluster_a, cb::BIGINT AS cluster_b, "
+            f"round(avg_sim, 6) AS avg_sim FROM best{it}"
+            for it in range(1, rounds + 1)
+        )
+    else:
+        final = (
+            f"SELECT block_key, rec_id::BIGINT AS rec_id, "
+            f"cluster_id::BIGINT AS cluster_id FROM {prev}"
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final + "\n"
 
 
 ER_HAC_SQL = _er_hac_sql(ER_HAC_THRESHOLD, ER_HAC_ROUNDS)
+ER_HAC_DENDRO_SQL = _er_hac_sql(ER_HAC_THRESHOLD, ER_HAC_ROUNDS, emit="trace")
+
+
+def _hac_corpus_pairs(spark, sf_dir) -> "tuple[DataFrame, DataFrame]":
+    """The shared er_hac inputs: (nodes, integer-sim within-block
+    pairs) over the two-copy dirty corpus blocked by phone — one
+    definition for er_hac, er_hac_dendrogram and er_hac_vs_cc."""
+    records, _ = _conflict_records_scored(spark, sf_dir)
+    nodes = records.select(
+        F.col("phone").alias("block_key"), F.col("rec_id").cast("long")
+    )
+    r = records.select("rec_id", "phone", "name")
+    pairs = (
+        r.alias("a")
+        .join(r.alias("b"), "phone")
+        .where(F.col("a.rec_id") < F.col("b.rec_id"))
+        .select(
+            F.col("phone").alias("block_key"),
+            F.col("a.rec_id").cast("long").alias("id_a"),
+            F.col("b.rec_id").cast("long").alias("id_b"),
+            (F.lit(30) - F.levenshtein("a.name", "b.name"))
+            .cast("long")
+            .alias("sim"),
+        )
+    )
+    return nodes, pairs
+
+
+def q_er_hac_vs_cc(spark, sf_dir) -> DataFrame:
+    """Method-disagreement report: the SAME corpus, the SAME
+    thresholded similarity edges — partitioned once by transitive
+    closure (any single edge ≥ τ glues clusters) and once by
+    average-linkage HAC (a merge needs the cross-cluster AVERAGE ≥ τ)
+    — compared by Rand/ARI/NMI. This is the ensemble-disagreement
+    number an ER team watches when choosing a clustering method: 1.0
+    means the graph has no ambiguous bridges and the cheap method
+    suffices; below 1.0, the gap IS the bridge-edge population that
+    transitive closure over-commits on (each such record is a review
+    candidate). On THIS corpus the measured answer is exactly 1.0 at
+    every useful τ — within-phone-block name similarities are
+    homogeneous (family sims all ~29, collision sims uniformly low),
+    so no high-edge/low-average bridge exists; that is a finding, not
+    a tautology (the oracle verifies both partitions independently,
+    and tests/test_hac.py::test_hac_vs_cc_disagreement_on_bridge
+    proves the report drops below 1.0 the moment a bridge is
+    planted). Oracle: one WITH RECURSIVE combining the unrolled HAC
+    rounds, the label-propagation CC fixpoint, and the shared
+    contingency-formula tail."""
+    from ..operators.clustering import connected_components
+    from ..operators.evaluation import cluster_agreement_metrics
+
+    nodes, pairs = _hac_corpus_pairs(spark, sf_dir)
+    from ..operators.hac import hac_clusters
+
+    hac = hac_clusters(
+        nodes, pairs, threshold=ER_HAC_THRESHOLD, max_rounds=ER_HAC_ROUNDS
+    )
+    edges = pairs.where(F.col("sim") >= ER_HAC_THRESHOLD).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    cc = connected_components(edges).withColumnRenamed("node", "rec_id")
+    asn = (
+        hac.select("rec_id", "cluster_id")
+        .join(cc.withColumnRenamed("cluster_id", "cc_id"), "rec_id", "left")
+        .select(
+            "rec_id",
+            "cluster_id",
+            F.coalesce("cc_id", F.col("rec_id")).alias("class_id"),
+        )
+    )
+    return cluster_agreement_metrics(asn)
+
+
+def _er_hac_vs_cc_sql() -> str:
+    parts, prev = _er_hac_parts(ER_HAC_THRESHOLD, ER_HAC_ROUNDS)
+    thr = int(ER_HAC_THRESHOLD)
+    parts += [
+        f"e AS MATERIALIZED ("
+        f"SELECT id_a AS src, id_b AS dst FROM prs WHERE sim >= {thr} "
+        f"UNION SELECT id_b, id_a FROM prs WHERE sim >= {thr})",
+        "walk(node, lbl) AS (SELECT src, src FROM e "
+        "UNION SELECT e.dst, w.lbl FROM walk w JOIN e ON e.src = w.node)",
+        "comp AS (SELECT node, min(lbl) AS cluster_id FROM walk "
+        "GROUP BY node)",
+        f"asn AS (SELECT h.rec_id, h.cluster_id, "
+        f"coalesce(c.cluster_id, h.rec_id) AS class_id "
+        f"FROM {prev} h LEFT JOIN comp c ON c.node = h.rec_id)",
+    ]
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + ",\n    "
+        + _AGREEMENT_TAIL
+    )
+
+
+ER_HAC_VS_CC_SQL = _er_hac_vs_cc_sql()
+
+
+def q_er_hac_dendrogram(spark, sf_dir) -> DataFrame:
+    """The merge trace of er_hac (operators/hac.py::hac_dendrogram):
+    one row per accepted merge with the block, dendrogram step, the
+    two cluster ids, and the average linkage that justified the join —
+    the steward's "why are these one entity" explanation artifact, and
+    the input to threshold-sensitivity analysis (cutting at any
+    τ' ≥ τ is a filter on this table, no re-clustering). Pins the
+    {orig,A,B} block shape end-to-end: step 1 = the tie-broken
+    (orig, A) merge at 29.0, step 2 = the recomputed {orig,A}–B merge
+    at 28.5. Oracle: UNION ALL over the unrolled rounds' best-merge
+    CTEs."""
+    from ..operators.hac import hac_dendrogram
+
+    nodes, pairs = _hac_corpus_pairs(spark, sf_dir)
+    return hac_dendrogram(
+        nodes, pairs, threshold=ER_HAC_THRESHOLD, max_rounds=ER_HAC_ROUNDS
+    )
 
 
 def _fs_bipartite_pairs(spark, sf_dir) -> DataFrame:
@@ -9944,11 +10129,14 @@ QUERIES = {
     "er_meta_blocking": q_er_meta_blocking,
     "er_tf_adjusted": q_er_tf_adjusted,
     "er_meta_blocking_quality": q_er_meta_blocking_quality,
+    "er_zipf_alpha": q_er_zipf_alpha,
     "er_sorted_neighborhood": q_er_sorted_neighborhood,
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "er_bcubed": q_er_bcubed,
     "er_gmd": q_er_gmd,
     "er_hac": q_er_hac,
+    "er_hac_dendrogram": q_er_hac_dendrogram,
+    "er_hac_vs_cc": q_er_hac_vs_cc,
     "er_mutual_best": q_er_mutual_best,
     "er_monge_elkan": q_er_monge_elkan,
     "er_soft_tfidf": q_er_soft_tfidf,
@@ -10105,11 +10293,14 @@ ORACLES = {
     "er_meta_blocking": ER_META_BLOCK_SQL,
     "er_tf_adjusted": ER_TF_SQL,
     "er_meta_blocking_quality": ER_META_BLOCK_QUALITY_SQL,
+    "er_zipf_alpha": ER_ZIPF_ALPHA_SQL,
     "er_sorted_neighborhood": ER_SNM_SQL,
     "er_pipeline_clusters": ER_PIPELINE_SQL,
     "er_bcubed": ER_BCUBED_SQL,
     "er_gmd": ER_GMD_SQL,
     "er_hac": ER_HAC_SQL,
+    "er_hac_dendrogram": ER_HAC_DENDRO_SQL,
+    "er_hac_vs_cc": ER_HAC_VS_CC_SQL,
     "er_mutual_best": ER_MUTUAL_BEST_SQL,
     "er_monge_elkan": ER_MONGE_ELKAN_SQL,
     "er_soft_tfidf": ER_SOFT_TFIDF_SQL,
@@ -10243,9 +10434,10 @@ _NEVER_DRIVER_CHECKED = [
 # docs_source_keywords, er_stream_score_drift) plus the wave-10/11
 # additions (er_match_rules, er_swoosh, crawl_robots_filter,
 # docs_contrastive_pairs, er_blocking_learn) and the wave-13
-# additions (er_gmd, el_collective, graph_kcore, er_hac) remain
-# driver-unstamped (builder gate verifies all of them exactly at
-# sf0.01 meanwhile). Round 5: move those ~41 to the head — they all
+# additions (er_gmd, el_collective, graph_kcore, er_hac) and the
+# wave-14 additions (er_zipf_alpha, er_hac_dendrogram, er_hac_vs_cc)
+# remain driver-unstamped (builder gate verifies all of them exactly
+# at sf0.01 meanwhile). Round 5: move those ~44 to the head — they
 # fit one 50-query window.
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED},
