@@ -86,6 +86,15 @@ def main() -> None:
         "er_swoosh",
         "er_capture_recapture",
         "er_steward_loop",
+        # wave 13/14: HAC dendrograms under 10x-denser phone blocks
+        # (cross-copy sims stay under the threshold by the name-suffix
+        # construction, so merges stay within-family — the probe
+        # verifies the 6-round cap + threshold keep the rounds flat
+        # while the per-round join absorbs the quadratic pair growth),
+        # plus the GMD eval replay and the Zipf diagnostic
+        "er_hac",
+        "er_gmd",
+        "er_zipf_alpha",
     ):
         t = time.time()
         df = QUERIES[name](spark, sf10)

@@ -2845,6 +2845,163 @@ ER_ZIPF_ALPHA_SQL = f"""
 """
 
 
+PAV_ROUNDS = 8  # headroom over the ~5 observed sim levels; extra
+# rounds are idempotent past the PAV fixpoint in both engines
+
+
+def q_er_isotonic_calibration(spark, sf_dir) -> DataFrame:
+    """Isotonic (PAV) calibration of a NAME-ONLY similarity score
+    (operators/isotonic.py): where er_calibration diagnoses the FS
+    scorer band by band, this query calibrates the deliberately
+    imperfect single-field score sim = 30 − levenshtein(name) over
+    SNM pairs on the two-copy corpus — imperfect by construction,
+    because sim 30 (IDENTICAL names) is almost entirely cross-family
+    truncation collisions (rate 0.0) while sim 29 carries the true
+    orig–A / A–B pairs (rate ~0.036): the score axis genuinely
+    MISRANKS at its top, and PAV fixes it by pooling the inverted
+    levels into one monotone plateau. That firing merge (not just an
+    identity pass-through) is what the oracle pins, alongside the
+    untouched zero-rate tail. The corpus-scale work is one truth-join
+    + one per-level aggregation; PAV then iterates on the ~5-row
+    level table with the leftmost-violator-merge schedule the oracle
+    unrolls verbatim. Pool averages are single IEEE divisions of
+    exact integer sums — merge decisions bit-identical across
+    engines."""
+    from ..operators.isotonic import isotonic_calibrate
+    from ..operators.sorted_neighborhood import sorted_neighborhood_pairs
+
+    records, _ = _conflict_records_scored(spark, sf_dir)
+    pairs = sorted_neighborhood_pairs(records, ["name"], window=3).select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+    )
+    r = records.select("rec_id", "name")
+    sims = (
+        pairs.join(r.withColumnRenamed("rec_id", "id_a"), "id_a")
+        .withColumnRenamed("name", "name_a")
+        .join(r.withColumnRenamed("rec_id", "id_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.lit(30) - F.levenshtein("name_a", "name")).alias("sim"),
+        )
+    )
+    base = records.where(F.col("rec_id") < 1000000).select("rec_id")
+    tenth = base.where(F.col("rec_id") % 10 == 0)
+    truth = (
+        tenth.select(
+            F.col("rec_id").alias("id_a"),
+            (F.col("rec_id") + 1000000).alias("id_b"),
+        )
+        .unionByName(
+            tenth.select(
+                F.col("rec_id").alias("id_a"),
+                (F.col("rec_id") + 2000000).alias("id_b"),
+            )
+        )
+        .unionByName(
+            tenth.select(
+                (F.col("rec_id") + 1000000).alias("id_a"),
+                (F.col("rec_id") + 2000000).alias("id_b"),
+            )
+        )
+        .withColumn("_t", F.lit(1))
+    )
+    j = sims.join(truth, ["id_a", "id_b"], "left").select(
+        "sim", F.coalesce("_t", F.lit(0)).alias("is_true")
+    )
+    bands = j.groupBy(F.col("sim").cast("long").alias("band_idx")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("is_true").cast("long").alias("n_true"),
+    )
+    return isotonic_calibrate(bands, max_rounds=PAV_ROUNDS)
+
+
+def _er_isotonic_oracle_sql() -> str:
+    parts = [
+        """clean AS MATERIALIZED (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer)""",
+        """records AS MATERIALIZED (
+        SELECT rec_id, name FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1)
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id + 2000000, substr(name, 1, length(name) - 2)
+        FROM clean WHERE rec_id % 10 = 0)""",
+        """ranked AS (SELECT rec_id,
+                      row_number() OVER (ORDER BY name, rec_id) AS rnk
+               FROM records)""",
+        """prs AS (
+        SELECT least(a.rec_id, b.rec_id) AS id_a,
+               greatest(a.rec_id, b.rec_id) AS id_b
+        FROM ranked a
+        JOIN ranked b ON b.rnk > a.rnk AND b.rnk <= a.rnk + 3)""",
+        """sc AS (SELECT p.id_a, p.id_b,
+                  30 - levenshtein(a.name, b.name) AS sim
+           FROM prs p
+           JOIN records a ON p.id_a = a.rec_id
+           JOIN records b ON p.id_b = b.rec_id)""",
+        """truth AS (
+        SELECT rec_id AS id_a, rec_id + 1000000 AS id_b
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id, rec_id + 2000000 FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id + 1000000, rec_id + 2000000
+        FROM clean WHERE rec_id % 10 = 0)""",
+        """j AS (SELECT sc.sim,
+                 CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_true
+          FROM sc LEFT JOIN truth t USING (id_a, id_b))""",
+        """a0 AS MATERIALIZED (
+        SELECT sim::BIGINT AS band_idx, count(*)::BIGINT AS n,
+               sum(is_true)::BIGINT AS t, sim::BIGINT AS pool
+        FROM j GROUP BY sim)""",
+    ]
+    prev = "a0"
+    for it in range(1, PAV_ROUNDS + 1):
+        parts.append(
+            f"p{it} AS MATERIALIZED (SELECT pool, sum(n)::BIGINT AS sn, "
+            f"sum(t)::BIGINT AS st FROM {prev} GROUP BY pool)"
+        )
+        parts.append(
+            f"""l{it} AS MATERIALIZED (
+        SELECT pool, st::DOUBLE / sn AS avg,
+               lead(pool) OVER (ORDER BY pool) AS next_pool,
+               lead(st::DOUBLE / sn) OVER (ORDER BY pool) AS next_avg
+        FROM p{it})"""
+        )
+        parts.append(
+            f"v{it} AS MATERIALIZED (SELECT pool AS vp, next_pool AS vn "
+            f"FROM l{it} WHERE next_avg IS NOT NULL AND avg > next_avg "
+            f"ORDER BY pool LIMIT 1)"
+        )
+        parts.append(
+            f"a{it} AS MATERIALIZED (SELECT band_idx, n, t, "
+            f"CASE WHEN pool = (SELECT vn FROM v{it}) "
+            f"THEN (SELECT vp FROM v{it}) ELSE pool END AS pool "
+            f"FROM {prev})"
+        )
+        prev = f"a{it}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    fp AS (SELECT pool, sum(n)::BIGINT AS psn, sum(t)::BIGINT AS pst
+           FROM {prev} GROUP BY pool)
+    SELECT band_idx, n AS n_pairs, t AS n_true,
+           round(t::DOUBLE / n, 6) AS raw_rate, pool,
+           round(pst::DOUBLE / psn, 6) AS calibrated_rate
+    FROM {prev} JOIN fp USING (pool)
+"""
+    )
+
+
+ER_ISOTONIC_SQL = _er_isotonic_oracle_sql()
+
+
 def q_er_sorted_neighborhood(spark, sf_dir) -> DataFrame:
     """Sorted-neighborhood blocking (Hernández–Stolfo SNM) over the
     dirty-customer corpus, sort key = name: a planted copy's truncated
@@ -10130,6 +10287,7 @@ QUERIES = {
     "er_tf_adjusted": q_er_tf_adjusted,
     "er_meta_blocking_quality": q_er_meta_blocking_quality,
     "er_zipf_alpha": q_er_zipf_alpha,
+    "er_isotonic_calibration": q_er_isotonic_calibration,
     "er_sorted_neighborhood": q_er_sorted_neighborhood,
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "er_bcubed": q_er_bcubed,
@@ -10294,6 +10452,7 @@ ORACLES = {
     "er_tf_adjusted": ER_TF_SQL,
     "er_meta_blocking_quality": ER_META_BLOCK_QUALITY_SQL,
     "er_zipf_alpha": ER_ZIPF_ALPHA_SQL,
+    "er_isotonic_calibration": ER_ISOTONIC_SQL,
     "er_sorted_neighborhood": ER_SNM_SQL,
     "er_pipeline_clusters": ER_PIPELINE_SQL,
     "er_bcubed": ER_BCUBED_SQL,
@@ -10435,10 +10594,10 @@ _NEVER_DRIVER_CHECKED = [
 # additions (er_match_rules, er_swoosh, crawl_robots_filter,
 # docs_contrastive_pairs, er_blocking_learn) and the wave-13
 # additions (er_gmd, el_collective, graph_kcore, er_hac) and the
-# wave-14 additions (er_zipf_alpha, er_hac_dendrogram, er_hac_vs_cc)
-# remain driver-unstamped (builder gate verifies all of them exactly
-# at sf0.01 meanwhile). Round 5: move those ~44 to the head — they
-# fit one 50-query window.
+# wave-14 additions (er_zipf_alpha, er_hac_dendrogram, er_hac_vs_cc,
+# er_isotonic_calibration) remain driver-unstamped (builder gate
+# verifies all of them exactly at sf0.01 meanwhile). Round 5: move
+# those ~45 to the head — they fit one 50-query window.
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED},
     **QUERIES,
