@@ -240,6 +240,12 @@ HEADLINE = [
     "el_collective",
     "graph_kcore",
     "er_hac",
+    # wave 14: Zipf-exponent skew diagnostic, HAC merge trace,
+    # HAC-vs-CC method disagreement, PAV isotonic calibration
+    "er_zipf_alpha",
+    "er_hac_dendrogram",
+    "er_hac_vs_cc",
+    "er_isotonic_calibration",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
