@@ -4028,6 +4028,129 @@ def q_er_hac_dendrogram(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_er_scorecard(spark, sf_dir) -> DataFrame:
+    """The ER quality ONE-PAGER: every grading axis of the composite
+    pipeline's clusters vs the planted truth in one long-format table
+    (metric, value) — pairwise-era cluster counts, B-cubed P/R/F1,
+    Rand/ARI/NMI, and the GMD split/merge edit counts — computed from
+    a SINGLE shared assignment (the pipeline runs once; each metric
+    family is one aggregate over the same cells), which is how a
+    production eval job actually ships: one pass, one report. The
+    oracle replays the pipeline once into an `asn` CTE and unions the
+    same aggregates. All metric values are cast to double in the
+    value column (counts exactly representable)."""
+    from ..operators.evaluation import (
+        bcubed_metrics,
+        cluster_agreement_metrics,
+        gmd_metrics,
+    )
+
+    assign = q_er_pipeline_clusters(spark, sf_dir).select(
+        "rec_id",
+        "cluster_id",
+        (F.col("rec_id") % 1000000).alias("class_id"),
+    ).localCheckpoint(eager=True)
+
+    def long(df, cols):
+        first = None
+        for c in cols:
+            part = df.select(
+                F.lit(c).alias("metric"),
+                F.col(c).cast("double").alias("value"),
+            )
+            first = part if first is None else first.unionByName(part)
+        return first
+
+    b3 = long(
+        bcubed_metrics(assign),
+        ["bcubed_precision", "bcubed_recall", "bcubed_f1"],
+    )
+    agr = long(
+        cluster_agreement_metrics(
+            assign.select("rec_id", "cluster_id", "class_id")
+        ),
+        ["rand_index", "adjusted_rand", "nmi"],
+    )
+    gmd = long(
+        gmd_metrics(assign),
+        ["n_records", "n_clusters", "n_classes", "splits", "merges", "gmd"],
+    )
+    return gmd.unionByName(b3).unionByName(agr)
+
+
+def _er_scorecard_sql() -> str:
+    # reuse the shared aggregate bodies over one asn CTE; the b-cubed
+    # and agreement formulas are restated in long form (they live in
+    # ER_BCUBED_SQL / _AGREEMENT_TAIL as wide one-row selects)
+    return f"""
+    WITH asn AS MATERIALIZED (
+        SELECT rec_id, cluster_id, rec_id % 1000000 AS class_id
+        FROM ({ER_PIPELINE_SQL})),
+    cells AS MATERIALIZED (SELECT cluster_id, class_id, count(*) AS m
+              FROM asn GROUP BY 1, 2),
+    cs AS (SELECT cluster_id, count(*) AS a FROM asn GROUP BY 1),
+    ts AS (SELECT class_id, count(*) AS b FROM asn GROUP BY 1),
+    nn AS (SELECT count(*)::BIGINT AS n FROM asn),
+    gmd AS (
+        SELECT max(n) AS n_records,
+               count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+               count(DISTINCT class_id)::BIGINT AS n_classes,
+               (count(*) - count(DISTINCT cluster_id))::BIGINT AS splits,
+               (count(*) - count(DISTINCT class_id))::BIGINT AS merges
+        FROM cells, nn),
+    b3 AS (
+        SELECT sum(m * m / cs.a) AS pnum, sum(m * m / ts.b) AS rnum,
+               sum(m) AS n
+        FROM cells JOIN cs USING (cluster_id) JOIN ts USING (class_id)),
+    cell_stats AS (
+        SELECT sum((m::BIGINT * (m::BIGINT - 1)) // 2)::BIGINT AS s_cells,
+               sum(m * ln(m::DOUBLE * n::DOUBLE /
+                          (a::DOUBLE * b::DOUBLE))) AS mi_num,
+               max(n) AS n
+        FROM cells JOIN cs USING (cluster_id) JOIN ts USING (class_id), nn),
+    a_stats AS (SELECT sum((a::BIGINT * (a::BIGINT - 1)) // 2)::BIGINT AS s_a,
+                       sum(a * ln(a::DOUBLE)) AS e_a
+                FROM cs),
+    b_stats AS (SELECT sum((b::BIGINT * (b::BIGINT - 1)) // 2)::BIGINT AS s_b,
+                       sum(b * ln(b::DOUBLE)) AS e_b
+                FROM ts),
+    fin AS (SELECT n, s_cells, mi_num, s_a, e_a, s_b, e_b,
+                   (n * (n - 1))::DOUBLE / 2 AS cn2
+            FROM cell_stats, a_stats, b_stats)
+    SELECT 'n_records' AS metric, n_records::DOUBLE AS value FROM gmd
+    UNION ALL SELECT 'n_clusters', n_clusters::DOUBLE FROM gmd
+    UNION ALL SELECT 'n_classes', n_classes::DOUBLE FROM gmd
+    UNION ALL SELECT 'splits', splits::DOUBLE FROM gmd
+    UNION ALL SELECT 'merges', merges::DOUBLE FROM gmd
+    UNION ALL SELECT 'gmd', (splits + merges)::DOUBLE FROM gmd
+    UNION ALL SELECT 'bcubed_precision', round(pnum / n, 6) FROM b3
+    UNION ALL SELECT 'bcubed_recall', round(rnum / n, 6) FROM b3
+    UNION ALL SELECT 'bcubed_f1',
+        round(2 * (pnum / n) * (rnum / n) / ((pnum / n) + (rnum / n)), 6)
+        FROM b3
+    UNION ALL SELECT 'rand_index',
+        round((cn2 + 2 * s_cells::DOUBLE - s_a::DOUBLE - s_b::DOUBLE)
+              / cn2, 6) FROM fin
+    UNION ALL SELECT 'adjusted_rand',
+        round(CASE WHEN ((s_a::DOUBLE + s_b::DOUBLE) / 2
+                         - s_a::DOUBLE * s_b::DOUBLE / cn2) <> 0
+                   THEN (s_cells::DOUBLE - s_a::DOUBLE * s_b::DOUBLE / cn2)
+                        / ((s_a::DOUBLE + s_b::DOUBLE) / 2
+                           - s_a::DOUBLE * s_b::DOUBLE / cn2)
+              END, 6) FROM fin
+    UNION ALL SELECT 'nmi',
+        round(CASE WHEN (ln(n::DOUBLE) - e_a / n::DOUBLE) > 1e-12
+                    AND (ln(n::DOUBLE) - e_b / n::DOUBLE) > 1e-12
+                   THEN (mi_num / n::DOUBLE)
+                        / sqrt((ln(n::DOUBLE) - e_a / n::DOUBLE)
+                               * (ln(n::DOUBLE) - e_b / n::DOUBLE))
+              END, 6) FROM fin
+"""
+
+
+ER_SCORECARD_SQL = _er_scorecard_sql()
+
+
 def _fs_bipartite_pairs(spark, sf_dir) -> DataFrame:
     """The shared Spark-side pipeline mirroring _fs_bipartite_ctes:
     corrupt-customer records, blocked pairs (phone equi ∪ name SNM),
@@ -10292,6 +10415,7 @@ QUERIES = {
     "er_pipeline_clusters": q_er_pipeline_clusters,
     "er_bcubed": q_er_bcubed,
     "er_gmd": q_er_gmd,
+    "er_scorecard": q_er_scorecard,
     "er_hac": q_er_hac,
     "er_hac_dendrogram": q_er_hac_dendrogram,
     "er_hac_vs_cc": q_er_hac_vs_cc,
@@ -10457,6 +10581,7 @@ ORACLES = {
     "er_pipeline_clusters": ER_PIPELINE_SQL,
     "er_bcubed": ER_BCUBED_SQL,
     "er_gmd": ER_GMD_SQL,
+    "er_scorecard": ER_SCORECARD_SQL,
     "er_hac": ER_HAC_SQL,
     "er_hac_dendrogram": ER_HAC_DENDRO_SQL,
     "er_hac_vs_cc": ER_HAC_VS_CC_SQL,
@@ -10595,9 +10720,9 @@ _NEVER_DRIVER_CHECKED = [
 # docs_contrastive_pairs, er_blocking_learn) and the wave-13
 # additions (er_gmd, el_collective, graph_kcore, er_hac) and the
 # wave-14 additions (er_zipf_alpha, er_hac_dendrogram, er_hac_vs_cc,
-# er_isotonic_calibration) remain driver-unstamped (builder gate
-# verifies all of them exactly at sf0.01 meanwhile). Round 5: move
-# those ~45 to the head — they fit one 50-query window.
+# er_isotonic_calibration, er_scorecard) remain driver-unstamped
+# (builder gate verifies all of them exactly at sf0.01 meanwhile).
+# Round 5: move those ~46 to the head — they fit one 50-query window.
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED},
     **QUERIES,
