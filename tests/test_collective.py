@@ -74,3 +74,34 @@ def test_multi_type_coherence_sums_over_types(spark):
     assert out[(4, "m1")].coherence == 2
     assert out[(4, "m2")].coherence == 1
     assert out[(4, "m3")].coherence == 1
+
+
+def test_iterative_round2_flips_inflated_winner(spark):
+    from type_filtered_entity_linker_spark.operators.collective import (
+        collective_rerank_iterative,
+    )
+
+    # m1's candidate e1 wins round 1 only because type X is supported
+    # by OTHER mentions' LOSING candidates (e3, e5); once round 2
+    # recomputes support from winners (e4, e6 -> type Z), X's support
+    # collapses to m1 alone and e2 takes m1 — the flip the feedback
+    # pass exists to produce
+    cands = [
+        (1, "m1", 1, "m1xx"),   # e1: lev 2
+        (1, "m1", 2, "m1x"),    # e2: lev 1
+        (1, "m2", 3, "m2xxxxx"),  # e3: lev 5 (loser)
+        (1, "m2", 4, "m2"),     # e4: lev 0 (winner)
+        (1, "m3", 5, "m3xxxxxxxxx"),  # e5: lev 9 (loser)
+        (1, "m3", 6, "m3"),     # e6: lev 0 (winner)
+    ]
+    types = [(1, "X"), (2, "Y"), (3, "X"), (4, "Z"), (5, "X"), (6, "Z")]
+    c = spark.createDataFrame(cands, CAND_SCHEMA)
+    t = spark.createDataFrame(types, TYPE_SCHEMA)
+    out = {
+        (r.doc_id, r.sf): r
+        for r in collective_rerank_iterative(c, t).collect()
+    }
+    m1 = out[(1, "m1")]
+    assert m1.item_id == 2 and m1.changed is True
+    assert out[(1, "m2")].item_id == 4 and out[(1, "m2")].changed is False
+    assert out[(1, "m3")].item_id == 6 and out[(1, "m3")].changed is False
