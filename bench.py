@@ -246,6 +246,11 @@ HEADLINE = [
     "er_hac_dendrogram",
     "er_hac_vs_cc",
     "er_isotonic_calibration",
+    # wave 15: one-pass quality scorecard, topic-purity validation,
+    # two-round collective inference
+    "er_scorecard",
+    "docs_topic_purity",
+    "el_collective_iterative",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
