@@ -162,3 +162,25 @@ def test_hac_vs_cc_disagreement_on_bridge(spark):
     # CC collapses to ONE cluster here — zero entropy on that side, so
     # NMI is NULL by the documented degenerate-partition contract
     assert m.nmi is None
+
+
+def test_hac_strict_raises_on_round_exhaustion(spark):
+    # a 5-record chain of uniform sims needs 4 merges; max_rounds=2
+    # must raise rather than return a truncated dendrogram, and
+    # strict=False must keep the old truncating behavior
+    import pytest
+
+    nodes = spark.createDataFrame(
+        [("b", r) for r in range(5)], "block_key string, rec_id long"
+    )
+    pairs = spark.createDataFrame(
+        [("b", a, b, 10) for a in range(5) for b in range(a + 1, 5)],
+        "block_key string, id_a long, id_b long, sim long",
+    )
+    with pytest.raises(RuntimeError, match="merge fixpoint"):
+        hac_clusters(nodes, pairs, threshold=5.0, max_rounds=2)
+    out = hac_clusters(
+        nodes, pairs, threshold=5.0, max_rounds=2, strict=False
+    )
+    # 2 merges happened, 3 clusters remain
+    assert out.select("cluster_id").distinct().count() == 3

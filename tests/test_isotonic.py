@@ -83,3 +83,18 @@ def test_pav_hand_example_backmerge(spark):
     # monotone by construction
     rates = [out[i].calibrated_rate for i in range(4)]
     assert rates == sorted(rates)
+
+
+def test_pav_raises_on_round_exhaustion(spark):
+    # strictly decreasing rates need n-1 merges; max_rounds=1 must
+    # raise rather than return a still-decreasing "calibrated" curve
+    import pytest
+
+    rows = [(0, 10, 9), (1, 10, 6), (2, 10, 3), (3, 10, 0)]
+    df = spark.createDataFrame(
+        rows, "band_idx long, n_pairs long, n_true long"
+    )
+    with pytest.raises(RuntimeError, match="PAV fixpoint"):
+        isotonic_calibrate(df, max_rounds=1)
+    out = {r.band_idx: r.calibrated_rate for r in isotonic_calibrate(df).collect()}
+    assert out == {i: 0.45 for i in range(4)}

@@ -249,3 +249,16 @@ def test_kcore_chain_cascade(spark):
     assert got == {i: 2 for i in range(6)}
     # and a too-high k empties the graph entirely
     assert kcore(df, k=4).count() == 0
+
+
+def test_kcore_raises_on_unconverged_peel(spark):
+    # a 12-node path at k=2 peels two endpoints per round (5 rounds to
+    # empty); max_iter=2 must raise, not return mid-peel nodes as core
+    import pytest
+
+    path = [(i, i + 1) for i in range(11)]
+    df = spark.createDataFrame(path, "src long, dst long")
+    with pytest.raises(RuntimeError, match="peel fixpoint"):
+        kcore(df, k=2, max_iter=2)
+    # with enough rounds the same graph converges to the empty core
+    assert kcore(df, k=2, max_iter=10).count() == 0

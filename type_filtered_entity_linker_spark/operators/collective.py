@@ -42,6 +42,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+
+def _candidate_types(
+    candidates: DataFrame, entity_types: DataFrame
+) -> DataFrame:
+    """Distinct (doc_id, sf, item_id, type_id) candidate-type tuples —
+    the shared base of both coherence passes."""
+    return (
+        candidates.select("doc_id", "sf", "item_id")
+        .join(entity_types, "item_id")
+        .select("doc_id", "sf", "item_id", "type_id")
+        .distinct()
+    )
+
+
 def collective_rerank(
     candidates: DataFrame,
     entity_types: DataFrame,
@@ -56,12 +70,7 @@ def collective_rerank(
     score = coherence_weight·coherence − levenshtein(sf, name),
     winner = max score, ties to the lowest item_id.
     """
-    cand_types = (
-        candidates.select("doc_id", "sf", "item_id")
-        .join(entity_types, "item_id")
-        .select("doc_id", "sf", "item_id", "type_id")
-        .distinct()
-    )
+    cand_types = _candidate_types(candidates, entity_types)
     support = (
         cand_types.select("doc_id", "type_id", "sf")
         .distinct()
@@ -130,18 +139,20 @@ def collective_rerank_iterative(
     strictly SMALLER than the candidate-support table, and the extra
     left join against winner types is keyed (doc_id, sf, type_id).
     Still no mention×mention join anywhere, still all-integer."""
-    r1 = collective_rerank(candidates, entity_types, coherence_weight)
-    cand_types = (
-        candidates.select("doc_id", "sf", "item_id")
-        .join(entity_types, "item_id")
-        .select("doc_id", "sf", "item_id", "type_id")
-        .distinct()
-    )
+    # checkpoint the round-1 winners: they feed winner_types (itself
+    # consumed twice) AND the final changed-flag join — without this,
+    # Spark re-executes the entire round-1 DAG on every consuming
+    # path (code-review w15)
+    r1 = collective_rerank(
+        candidates, entity_types, coherence_weight
+    ).localCheckpoint(eager=True)
+    cand_types = _candidate_types(candidates, entity_types)
     winner_types = (
         r1.select("doc_id", "sf", "item_id")
         .join(entity_types, "item_id")
         .select("doc_id", "sf", "type_id")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     support2 = (
         winner_types.groupBy("doc_id", "type_id")

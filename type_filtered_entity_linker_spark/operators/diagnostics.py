@@ -203,8 +203,9 @@ def powerlaw_alpha(
     of magnitude smaller than the corpus. Float caveat: the Σ ln(·)
     sum is order-dependent in the last bits; the house round(…, 6)
     absorbs it (same convention as the NMI/entropy metrics)."""
+    from .evaluation import comb2
+
     x = F.col(size_col).cast("double")
-    pairs_of = lambda c: F.shiftright(c * (c - 1), 1)  # noqa: E731
     agg = df.agg(
         F.count("*").cast("long").alias("n_keys"),
         F.sum(F.when(F.col(size_col) >= xmin, 1).otherwise(0))
@@ -216,10 +217,13 @@ def powerlaw_alpha(
             ).otherwise(0.0)
         ).alias("lnsum"),
         F.max(F.col(size_col)).cast("long").alias("max_size"),
-        F.coalesce(F.sum(pairs_of(F.col(size_col))), F.lit(0))
+        # comb2: the canonical bigint C(n,2) — an int32 size column
+        # with a >46341-member head key would overflow a same-type
+        # multiply (code-review w15)
+        F.coalesce(F.sum(comb2(size_col)), F.lit(0))
         .cast("long")
         .alias("selfjoin_pairs"),
-        F.coalesce(F.max(pairs_of(F.col(size_col))), F.lit(0))
+        F.coalesce(F.max(comb2(size_col)), F.lit(0))
         .cast("long")
         .alias("max_key_pairs"),
     )

@@ -344,7 +344,10 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 20) -> DataFrame:
     same bound every synchronous peel implementation carries).
     Early-stops when a round deletes nothing: the alive-count check is
     one O(1)-row aggregate per round (same cadence policy as
-    clustering.connected_components)."""
+    clustering.connected_components). Raises RuntimeError if
+    ``max_iter`` rounds do not reach the fixpoint, so a truncated peel
+    can never masquerade as the k-core (same contract as
+    matching.greedy_matching / swoosh)."""
     e = (
         edges.where(F.col("src") != F.col("dst"))
         .select("src", "dst")
@@ -358,8 +361,10 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 20) -> DataFrame:
     deg = sym.groupBy("src").agg(F.count("*").alias("core_degree"))
     alive = deg.where(F.col("core_degree") >= k).localCheckpoint(eager=True)
     n_alive = alive.count()
+    converged = n_alive == 0
     for _ in range(max_iter):
         if n_alive == 0:
+            converged = True  # the empty core is a fixpoint
             break
         surv = (
             sym.join(alive.select("src"), "src", "left_semi")
@@ -377,6 +382,19 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 20) -> DataFrame:
         sym = surv.localCheckpoint(eager=True)
         alive = nxt
         if n_next == n_alive:
+            converged = True
             break
         n_alive = n_next
+    if not converged and n_alive > 0:
+        # returning the partially-peeled set would present nodes the
+        # next rounds WOULD peel as core members with wrong degrees —
+        # same error-over-silent-truncation contract as
+        # matching.greedy_matching and swoosh (code-review w15: a
+        # 50-node path at k=2 peels two endpoints per round and needs
+        # ~24 rounds, not the default 20)
+        raise RuntimeError(
+            f"kcore(k={k}) did not reach the peel fixpoint in "
+            f"{max_iter} rounds ({n_alive} nodes still alive); "
+            f"raise max_iter"
+        )
     return alive.select(F.col("src").alias("node"), "core_degree")

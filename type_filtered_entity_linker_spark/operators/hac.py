@@ -57,6 +57,7 @@ def hac_clusters(
     pairs: DataFrame,
     threshold: float,
     max_rounds: int = 8,
+    strict: bool = True,
 ) -> DataFrame:
     """Per-block average-linkage HAC with a similarity threshold stop.
 
@@ -66,7 +67,7 @@ def hac_clusters(
     within each block. Returns (block_key, rec_id, cluster_id);
     cluster_id = the smallest rec_id merged into the cluster.
     """
-    asn, _ = _hac_rounds(nodes, pairs, threshold, max_rounds)
+    asn, _ = _hac_rounds(nodes, pairs, threshold, max_rounds, strict)
     return asn
 
 
@@ -75,6 +76,7 @@ def hac_dendrogram(
     pairs: DataFrame,
     threshold: float,
     max_rounds: int = 8,
+    strict: bool = True,
 ) -> DataFrame:
     """The MERGE TRACE of ``hac_clusters`` — one row per accepted
     merge: (block_key, step, cluster_a, cluster_b, avg_sim), where
@@ -87,7 +89,7 @@ def hac_dendrogram(
     re-clustering needed. Same loop, same determinism contract as
     hac_clusters; cost identical (the trace rows were computed
     anyway, this just keeps them)."""
-    _, trace = _hac_rounds(nodes, pairs, threshold, max_rounds)
+    _, trace = _hac_rounds(nodes, pairs, threshold, max_rounds, strict)
     return trace
 
 
@@ -96,6 +98,7 @@ def _hac_rounds(
     pairs: DataFrame,
     threshold: float,
     max_rounds: int,
+    strict: bool = True,
 ) -> "tuple[DataFrame, DataFrame]":
     spark = nodes.sparkSession
     asn = nodes.select(
@@ -103,7 +106,13 @@ def _hac_rounds(
     ).localCheckpoint(eager=True)
     merge_log: list[DataFrame] = []
     step = 0
-    for _ in range(max_rounds):
+    # one extra iteration beyond max_rounds: it performs NO merge,
+    # only verifies the fixpoint was reached — a block needing more
+    # than max_rounds merges raises instead of returning a silently
+    # truncated dendrogram (code-review w15; same contract as
+    # greedy_matching/swoosh/kcore). strict=False keeps the old
+    # truncating behavior for deliberate cap studies.
+    for round_i in range(max_rounds + 1):
         step += 1
         ca = F.least("a1.cluster_id", "a2.cluster_id")
         cb = F.greatest("a1.cluster_id", "a2.cluster_id")
@@ -140,6 +149,15 @@ def _hac_rounds(
             .localCheckpoint(eager=True)
         )
         if best.count() == 0:
+            break
+        if round_i == max_rounds:
+            if strict:
+                raise RuntimeError(
+                    f"hac did not reach the merge fixpoint in "
+                    f"{max_rounds} rounds (some block still has a "
+                    f"mergeable cluster pair above {threshold}); "
+                    f"raise max_rounds or pass strict=False"
+                )
             break
         merge_log.append(
             best.select(

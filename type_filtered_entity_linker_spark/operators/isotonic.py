@@ -66,7 +66,12 @@ def isotonic_calibrate(
     # window below runs over a handful of rows (same justification as
     # the ~26-row offsets window in the entity-dictionary ranking)
     w = Window.orderBy("pool")
-    for _ in range(max_rounds):
+    # one extra iteration beyond max_rounds: no merge, only verifies
+    # the fixpoint — otherwise an under-provisioned max_rounds would
+    # return a "calibrated" curve that still DECREASES somewhere,
+    # silently breaking the operator's one guarantee (code-review
+    # w15; same contract as hac/kcore/greedy_matching)
+    for round_i in range(max_rounds + 1):
         pools = asn.groupBy("pool").agg(
             F.sum("n").alias("sn"), F.sum("t").alias("st")
         )
@@ -88,6 +93,13 @@ def isotonic_calibrate(
         )
         if viol.count() == 0:
             break
+        if round_i == max_rounds:
+            raise RuntimeError(
+                f"isotonic_calibrate did not reach the PAV fixpoint "
+                f"in {max_rounds} rounds (a monotonicity violation "
+                f"remains); raise max_rounds (None = n_bands - 1, "
+                f"always sufficient)"
+            )
         asn = (
             asn.crossJoin(
                 F.broadcast(
