@@ -1,0 +1,107 @@
+"""Wave-16 operators: star clustering (sequential-greedy parity,
+cascade round count, convergence contract), link-graph extraction,
+BPE merge learning, and the streaming late-data audit."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from type_filtered_entity_linker_spark.operators.clustering import (
+    star_clusters,
+)
+
+# small graphs: nodes 0..7, up to 14 undirected edges (dups/self-loops
+# allowed — the operator must drop them)
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+def ref_star(edge_list):
+    """Sequential offline star clustering (Aslam–Pelekhov–Rus):
+    static degrees, repeatedly take the highest-priority unmarked
+    node under (degree DESC, id ASC) as a center, mark its unmarked
+    neighbors as its satellites. Returns {node: (center, is_center)}.
+    """
+    adj = {}
+    for s, t in edge_list:
+        if s != t:
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    unmarked = set(adj)
+    out = {}
+    while unmarked:
+        c = max(unmarked, key=lambda v: (deg[v], -v))
+        out[c] = (c, True)
+        unmarked.discard(c)
+        for s in sorted(adj[c]):
+            if s in unmarked:
+                out[s] = (c, False)
+                unmarked.discard(s)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(EDGES)
+def test_star_clusters_match_sequential_greedy(spark, edge_list):
+    ref = ref_star(edge_list)
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["node"]: (r["center_id"], r["is_center"])
+        for r in star_clusters(df, max_rounds=10).collect()
+    }
+    assert got == ref
+
+
+def test_star_chain_cascade(spark):
+    # equal-degree 12-chain: the locally-dominant election peels two
+    # nodes per round (v1 center + v2 satellite, then v3/v4, ...) and
+    # the tail node self-centers alone in round 6 — pins that the
+    # loop iterates to the fixpoint rather than electing once
+    chain = [(i, i + 1) for i in range(11)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    stats = []
+    rows = star_clusters(df, max_rounds=10, stats=stats).collect()
+    got = {r["node"]: r for r in rows}
+    assert len(stats) == 6 and stats[-1]["active"] == 0
+    centers = sorted(r["node"] for r in rows if r["is_center"])
+    assert centers == [1, 3, 5, 7, 9, 11]
+    # satellites attach to their adjacent center; v0 to v1, v2 to v1
+    # (v2's only center neighbor in round 1), v4 to v3, ...
+    assert got[0]["center_id"] == 1 and got[2]["center_id"] == 1
+    assert got[4]["center_id"] == 3 and got[11]["round_assigned"] == 6
+    # static degree is reported, not the residual-round degree
+    assert got[5]["degree"] == 2 and got[0]["degree"] == 1
+
+
+def test_star_center_is_best_attested(spark):
+    # o—A—B path: middle record A (degree 2) beats both leaves — the
+    # cluster centers on the record with the most direct evidence
+    df = spark.createDataFrame(
+        [(10, 20), (20, 30)], "src long, dst long"
+    )
+    got = {r["node"]: r for r in star_clusters(df).collect()}
+    assert got[20]["is_center"] and got[10]["center_id"] == 20
+    assert got[30]["center_id"] == 20
+
+
+def test_star_raises_on_unconverged(spark):
+    chain = [(i, i + 1) for i in range(11)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    with pytest.raises(RuntimeError, match="star_clusters"):
+        star_clusters(df, max_rounds=2)
+
+
+def test_star_empty_and_self_loops(spark):
+    df = spark.createDataFrame([(5, 5)], "src long, dst long")
+    assert star_clusters(df).count() == 0

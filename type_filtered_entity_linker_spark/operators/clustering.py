@@ -282,6 +282,170 @@ def pivot_clusters(
     return out
 
 
+def star_clusters(
+    edges: DataFrame,
+    max_rounds: int = 10,
+    stats: list | None = None,
+) -> DataFrame:
+    """Star clustering (Aslam, Pelekhov & Rus, JGAA'04 — the offline
+    greedy form) over an undirected similarity graph: the third member
+    of the resolution family next to transitive closure
+    (connected_components) and parallel-pivot correlation clustering
+    (pivot_clusters). Where pivot clustering elects cluster seeds by a
+    HASH order (any record equally likely to anchor its cluster), star
+    clustering elects them by STATIC DEGREE — the record with the most
+    direct similarity evidence becomes the cluster's center, and every
+    cluster is a star: center + direct neighbors, one hop, never a
+    chain. For dirty ER that means the best-attested record (the one
+    agreeing with the most others) anchors each entity, which is also
+    exactly the record survivorship would elect — and an o—A—B path
+    whose middle record A carries both edges resolves to ONE entity
+    centered on A, where hash-pivot may split it at a leaf.
+
+    Sequential semantics being reproduced EXACTLY: compute each
+    node's degree once on the full graph; repeatedly take the
+    highest-priority unmarked node under the strict total order
+    (degree DESC, node id ASC) as a CENTER and mark its unmarked
+    neighbors as its SATELLITES, until every node is marked. Computed
+    distributively as iterated locally-dominant election (the
+    greedy_matching argument, vertex form): a node whose static
+    priority beats every still-unmarked neighbor's would necessarily
+    be picked before them by the sequential greedy — elect all such
+    nodes at once, attach their unmarked neighbors to the
+    highest-priority adjacent new center (the one the sequential order
+    would have processed first), repeat. Priorities never change
+    mid-run (degrees are frozen up front, as in the offline
+    algorithm), so the fixpoint equals the sequential output without
+    ever materializing a global priority sort.
+
+    Priority comparisons use native STRUCT ordering —
+    struct(degree, -id) compared lexicographically — so there is no
+    padded-string key to truncate and no degree*C+id linearization to
+    overflow; node ids must be a signed numeric type (the negation is
+    the ASC tie-break under max/greater-than).
+
+    Scale shape per round: one hash aggregate for the neighbor
+    priority max (partial map-side collapse — a viral hub's million
+    neighbor structs reduce before the shuffle), one left join of the
+    active set against it, one join+max-struct aggregate for satellite
+    attachment, two semi joins to re-filter edges; never a window
+    sort. Active and edge sets are localCheckpoint'ed per round
+    (lineage truncation; at cluster scale the same barrier is a
+    reliable-storage checkpoint). Each round elects at least the
+    globally best alive node, and chains peel ~2 nodes per round
+    (pathological worst case: rounds ~ diameter/2, same class as
+    kcore's peel).
+
+    RAISES RuntimeError after ``max_rounds`` rather than returning a
+    truncated clustering (greedy_matching/pivot_clusters convention;
+    the oracle unrolls the same bound). ``stats`` (optional) collects
+    {round, active} per round — the per-stage-metrics contract.
+
+    Returns (node, center_id, is_center, round_assigned, degree) for
+    every node with at least one non-self edge; singleton handling is
+    the caller's left-join, as in cluster_mentions.
+    """
+    half = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    sym = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    # static degree = distinct-neighbor count (sym has one row per
+    # directed neighbor pair)
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    active = deg.select(
+        F.col("src").alias("node"),
+        F.col("deg").cast("long").alias("deg"),
+        (-F.col("src")).cast("long").alias("ni"),
+    ).localCheckpoint(eager=True)
+    b = (
+        sym.join(
+            active.select(
+                F.col("node").alias("dst"),
+                F.col("deg").alias("dd"),
+                F.col("ni").alias("dni"),
+            ),
+            "dst",
+        )
+        .select("src", "dst", "dd", "dni")
+        .localCheckpoint(eager=True)
+    )
+    pr_own = F.struct(F.col("deg").alias("d"), F.col("ni").alias("ni"))
+    out: "DataFrame | None" = None
+    n_active = active.count()
+    for r in range(1, max_rounds + 1):
+        if n_active == 0:
+            break
+        nb = b.groupBy(F.col("src").alias("node")).agg(
+            F.max(
+                F.struct(F.col("dd").alias("d"), F.col("dni").alias("ni"))
+            ).alias("m")
+        )
+        cen = (
+            active.join(nb, "node", "left")
+            .where(F.col("m").isNull() | (pr_own > F.col("m")))
+            .select("node", "deg")
+        )
+        sat = (
+            b.join(cen.select(F.col("node").alias("dst")), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("dd").alias("d"),
+                        F.col("dni").alias("ni"),
+                        F.col("dst").alias("c"),
+                    )
+                ).alias("m")
+            )
+            .select("node", F.col("m.c").alias("center_id"))
+        )
+        new = (
+            cen.select(
+                "node",
+                F.col("node").alias("center_id"),
+                F.lit(True).alias("is_center"),
+                F.lit(r).cast("long").alias("round_assigned"),
+                F.col("deg").alias("degree"),
+            )
+            .unionByName(
+                sat.join(active.select("node", "deg"), "node").select(
+                    "node",
+                    "center_id",
+                    F.lit(False).alias("is_center"),
+                    F.lit(r).cast("long").alias("round_assigned"),
+                    F.col("deg").alias("degree"),
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+        out = new if out is None else out.unionByName(new)
+        active = active.join(
+            new.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        b = (
+            b.join(active.select(F.col("node").alias("src")), "src", "semi")
+            .join(active.select(F.col("node").alias("dst")), "dst", "semi")
+            .localCheckpoint(eager=True)
+        )
+        n_active = active.count()
+        if stats is not None:
+            stats.append({"round": r, "active": n_active})
+    if n_active > 0:
+        raise RuntimeError(
+            f"star_clusters did not converge in {max_rounds} rounds "
+            f"({n_active} nodes still active); raise max_rounds"
+        )
+    if out is None:
+        return sym.select(
+            F.col("src").alias("node"),
+            F.col("src").alias("center_id"),
+            F.lit(True).alias("is_center"),
+            F.lit(0).cast("long").alias("round_assigned"),
+            F.lit(0).cast("long").alias("degree"),
+        ).limit(0)
+    return out
+
+
 def cluster_conflicts(
     assign: DataFrame,
     scored: DataFrame,

@@ -3544,6 +3544,137 @@ def _er_pivot_oracle_sql(rounds: int) -> str:
 ER_PIVOT_SQL = _er_pivot_oracle_sql(ER_PIVOT_ROUNDS)
 
 
+# star clustering shares pivot's edge threshold so the two resolvers
+# are directly comparable over the SAME graph; the appended 12-node
+# chain (disjoint id namespace, far above every record id) makes the
+# locally-dominant election genuinely ITERATE — equal-degree inner
+# nodes peel two per round (v1 center/v2 satellite, then v3/v4, ...),
+# six rounds before the tail node self-centers, so a one-round
+# implementation cannot pass the oracle
+ER_STAR_ROUNDS = 8
+ER_STAR_CHAIN_BASE = 5_000_000
+ER_STAR_CHAIN_N = 12
+
+
+def q_er_star_clustering(spark, sf_dir) -> DataFrame:
+    """Star clustering (operators/clustering.py star_clusters) over
+    the two-copy conflict corpus at the pivot edge threshold — the
+    degree-prioritized member of the resolution family. On the
+    planted o—A—B paths the middle copy A carries both edges (static
+    degree 2 vs 1), so the best-attested record anchors each entity
+    and the whole path resolves to ONE star centered on A — where
+    hash-ordered pivot clustering may split at a leaf and transitive
+    closure gives the same merge but with an arbitrary min-id label.
+    The appended equal-degree chain forces the multi-round peel.
+    Oracle: identical static degrees, struct-ordered (degree DESC, id
+    ASC) elections, and max-struct satellite attachment unrolled round
+    by round in MATERIALIZED CTEs."""
+    from ..operators.clustering import star_clusters
+
+    _, scored = _conflict_records_scored(spark, sf_dir)
+    edges = scored.where(F.col("score") >= ER_PIVOT_EDGE).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    chain = spark.range(ER_STAR_CHAIN_N - 1).select(
+        (F.col("id") + ER_STAR_CHAIN_BASE).alias("src"),
+        (F.col("id") + ER_STAR_CHAIN_BASE + 1).alias("dst"),
+    )
+    return star_clusters(
+        edges.unionByName(chain), max_rounds=ER_STAR_ROUNDS
+    )
+
+
+def _er_star_oracle_sql(rounds: int) -> str:
+    """The star election unrolled: same conflict-corpus FS edges as
+    the pivot oracle plus the chain, static struct priorities
+    (deg, -id), then ``rounds`` copies of (neighbor max, dominant
+    centers, max-struct satellite attachment, deactivate, re-filter).
+    MATERIALIZED throughout (the kcore lesson: every round references
+    the previous round's sets several times)."""
+    agrees, score = _fs_agree_score_sql()
+    stages = []
+    for r in range(1, rounds + 1):
+        p_ = r - 1
+        stages.append(f"""
+    nb{r} AS MATERIALIZED (
+        SELECT src AS node, max(struct_pack(d := dd, ni := dni)) AS m
+        FROM b{p_} GROUP BY src),
+    cen{r} AS MATERIALIZED (
+        SELECT a.node, a.deg FROM a{p_} a
+        LEFT JOIN nb{r} n ON n.node = a.node
+        WHERE n.m IS NULL OR struct_pack(d := a.deg, ni := a.ni) > n.m),
+    sat{r} AS MATERIALIZED (
+        SELECT b.src AS node,
+               (max(struct_pack(d := b.dd, ni := b.dni, c := b.dst))).c
+                   AS center_id
+        FROM b{p_} b JOIN cen{r} c ON c.node = b.dst GROUP BY b.src),
+    new{r} AS MATERIALIZED (
+        SELECT node, node AS center_id, TRUE AS is_center,
+               {r}::BIGINT AS round_assigned, deg AS degree
+        FROM cen{r}
+        UNION ALL
+        SELECT s.node, s.center_id, FALSE, {r}::BIGINT, a.deg
+        FROM sat{r} s JOIN a{p_} a ON a.node = s.node),
+    a{r} AS MATERIALIZED (
+        SELECT node, deg, ni FROM a{p_}
+        WHERE node NOT IN (SELECT node FROM new{r})),
+    b{r} AS MATERIALIZED (
+        SELECT src, dst, dd, dni FROM b{p_}
+        WHERE src IN (SELECT node FROM a{r})
+          AND dst IN (SELECT node FROM a{r}))""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM new{r}" for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               city, phone
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id + 2000000, substr(name, 1, length(name) - 2),
+               'unknown',
+               CASE WHEN rec_id % 30 = 0 THEN '99' || substr(phone, 3)
+                    ELSE phone END
+        FROM clean WHERE rec_id % 10 = 0),
+    pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM records a JOIN records b
+          ON a.phone = b.phone AND a.rec_id < b.rec_id),
+    ag AS (
+        SELECT p.id_a, p.id_b, {', '.join(agrees)}
+        FROM pairs p
+        JOIN records a ON p.id_a = a.rec_id
+        JOIN records b ON p.id_b = b.rec_id),
+    sc AS (SELECT id_a, id_b, round({score}, 6) AS score FROM ag),
+    base AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM sc
+        WHERE score >= {ER_PIVOT_EDGE!r}
+        UNION ALL
+        SELECT {ER_STAR_CHAIN_BASE} + i, {ER_STAR_CHAIN_BASE} + i + 1
+        FROM range(0, {ER_STAR_CHAIN_N - 1}) t(i)),
+    sym AS MATERIALIZED (
+        SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+    a0 AS MATERIALIZED (
+        SELECT src AS node, count(*)::BIGINT AS deg,
+               (-src)::BIGINT AS ni
+        FROM sym GROUP BY src),
+    b0 AS MATERIALIZED (
+        SELECT s.src, s.dst, a.deg AS dd, a.ni AS dni
+        FROM sym s JOIN a0 a ON a.node = s.dst),{','.join(stages)}
+    {union}
+"""
+
+
+ER_STAR_SQL = _er_star_oracle_sql(ER_STAR_ROUNDS)
+
+
 def q_er_incremental_attach(spark, sf_dir) -> DataFrame:
     """Incremental ER — the nightly-batch shape: the clean customers
     are the EXISTING entity table, the dirty copies arrive as the NEW
@@ -10532,6 +10663,7 @@ QUERIES = {
     "er_monge_elkan": q_er_monge_elkan,
     "er_soft_tfidf": q_er_soft_tfidf,
     "er_pivot_clustering": q_er_pivot_clustering,
+    "er_star_clustering": q_er_star_clustering,
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
     "er_truth_discovery": q_er_truth_discovery,
@@ -10700,6 +10832,7 @@ ORACLES = {
     "er_monge_elkan": ER_MONGE_ELKAN_SQL,
     "er_soft_tfidf": ER_SOFT_TFIDF_SQL,
     "er_pivot_clustering": ER_PIVOT_SQL,
+    "er_star_clustering": ER_STAR_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
     "er_truth_discovery": ER_TRUTH_SQL,
@@ -10782,7 +10915,9 @@ ORACLES = {
 # front; dict-merge keeps their new position while every other entry
 # retains its relative order behind them.
 _NEVER_DRIVER_CHECKED = [
-    # the round-4 second-wave ER block is newest — it leads the window
+    # wave 16 is newest — it leads the window
+    "er_star_clustering",
+    # the round-4 second-wave ER block is next
     "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
     "er_progressive", "er_truth_discovery", "er_group_linkage",
     # the late-round-4 additions have never been driver-stamped
