@@ -105,3 +105,54 @@ def test_star_raises_on_unconverged(spark):
 def test_star_empty_and_self_loops(spark):
     df = spark.createDataFrame([(5, 5)], "src long, dst long")
     assert star_clusters(df).count() == 0
+
+
+# ------------------------------------------------------------ linkgraph
+
+from type_filtered_entity_linker_spark.operators.linkgraph import (  # noqa: E402
+    extract_outlinks,
+    host_authority,
+    host_graph,
+)
+
+
+def test_extract_outlinks_binary_html_and_relative(spark):
+    rows = [
+        (
+            "https://a.example/p/1",
+            b'<p>x</p><a href="https://b.example/q">l</a>'
+            b'<a href="/rel/path">r</a>',
+        ),
+        ("https://a.example/p/2", b"<p>no links</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    links = extract_outlinks(df).collect()
+    assert {(r.url, r.out_url) for r in links} == {
+        ("https://a.example/p/1", "https://b.example/q"),
+        ("https://a.example/p/1", "/rel/path"),
+    }
+    hg = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in host_graph(extract_outlinks(df)).collect()
+    }
+    # relative link maps to the '' host — kept at this layer, policy
+    # filtering is the caller's
+    assert hg == {("a.example", "b.example"): 1, ("a.example", ""): 1}
+
+
+def test_host_authority_drops_self_host_keeps_raw_count(spark):
+    hg = spark.createDataFrame(
+        [
+            ("a", "a", 5),  # intra-host only in n_outlinks
+            ("a", "b", 2),
+            ("b", "a", 1),
+        ],
+        "src_host string, dst_host string, n_links long",
+    )
+    out = {r.host: r for r in host_authority(hg).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"].n_outlinks == 7 and out["b"].n_outlinks == 1
+    assert out["a"].out_hosts == 1 and out["a"].in_hosts == 1
+    # symmetric 2-cycle → uniform rank
+    assert abs(out["a"].rank - 0.5) < 1e-9
+    assert abs(out["b"].rank - 0.5) < 1e-9

@@ -1,0 +1,115 @@
+"""Web link-graph construction: hyperlink extraction from raw page
+HTML and host-level aggregation, feeding the graph family (PageRank
+host authority, k-core, label propagation) that large-scale corpus
+curation uses for spam/quality signals.
+
+Reference relationship: the reference operates on already-extracted
+page text (its NIF corpus reader, inout/nif.py, never sees markup);
+the crawl-side link structure is beyond-reference surface in the same
+class as the WARC source — the curation layer a Common-Crawl-scale
+deployment needs before text ever reaches the linker (host authority
+as a keep/drop prior, mirror-host detection via shared outlink sets).
+
+Scale shape: link extraction is one generated-column projection per
+page (regexp_extract_all + explode — JVM codegen, no UDF); host
+aggregation is a hash aggregate keyed by (src_host, dst_host), whose
+cardinality is bounded by host-pair counts, orders of magnitude below
+page counts. Nothing here shuffles page bodies: the explode projects
+urls only, so the wide html column is pruned at the scan after the
+extraction projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HREF_RE = r'href="([^"]+)"'
+_HOST_RE = r"^https?://([^/]+)"
+
+
+def host_of(col: "Column | str") -> Column:
+    """Registrable host of an absolute http(s) URL ('' if none)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, _HOST_RE, 1)
+
+
+def extract_outlinks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, out_url) — one row per href attribute in each page's
+    html (binary or string; cast is a no-op for string). Relative
+    links are kept verbatim (host_of maps them to '' downstream —
+    callers filter as policy dictates)."""
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(html_col).cast("string"), F.lit(_HREF_RE), 1
+            )
+        ).alias("out_url"),
+    )
+
+
+def host_graph(links: DataFrame) -> DataFrame:
+    """Aggregate page-level links to the host level: (src_host,
+    dst_host, n_links) including self-host rows — the raw material
+    for both the simple host graph (distinct non-self pairs) and
+    intra-host link stats."""
+    return (
+        links.select(
+            host_of("url").alias("src_host"),
+            host_of("out_url").alias("dst_host"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
+def host_authority(
+    host_edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Host-level PageRank + degree profile over the aggregated host
+    graph (host_graph output). Self-host links are dropped and
+    multi-links collapsed for the rank computation (pagerank's
+    simple-graph semantics — node ids are hosts, the operator is
+    key-type agnostic); n_outlinks keeps the RAW per-host link count
+    including self-host, so crawl ops can see both the graph position
+    and the raw link volume in one row.
+
+    Returns (host, rank, out_hosts, in_hosts, n_outlinks) for every
+    host in the simple graph.
+    """
+    from .graph import pagerank
+
+    e = (
+        host_edges.where(F.col("src_host") != F.col("dst_host"))
+        .select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        .distinct()
+    )
+    pr = pagerank(e, n_iter=n_iter, damping=damping)
+    outd = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("out_hosts")
+    )
+    ind = e.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").cast("long").alias("in_hosts")
+    )
+    raw = host_edges.groupBy(F.col("src_host").alias("node")).agg(
+        F.sum("n_links").cast("long").alias("n_outlinks")
+    )
+    return (
+        pr.join(outd, "node", "left")
+        .join(ind, "node", "left")
+        .join(raw, "node", "left")
+        .select(
+            F.col("node").alias("host"),
+            "rank",
+            F.coalesce("out_hosts", F.lit(0)).alias("out_hosts"),
+            F.coalesce("in_hosts", F.lit(0)).alias("in_hosts"),
+            F.coalesce("n_outlinks", F.lit(0)).alias("n_outlinks"),
+        )
+    )

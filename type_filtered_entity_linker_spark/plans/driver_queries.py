@@ -6780,6 +6780,138 @@ def _pagerank_sql(n_iter: int, damping: float) -> str:
 GRAPH_PAGERANK_SQL = _pagerank_sql(PR_ITER, PR_DAMPING)
 
 
+# every doc's page carries three anchor tags; 97 hosts (prime, coprime
+# with the 31 stride) so every host both emits and receives links
+HOSTGRAPH_HOSTS = 97
+
+
+def q_crawl_hostgraph(spark, sf_dir) -> DataFrame:
+    """Host-level link-graph authority (operators/linkgraph.py): the
+    crawl-curation signal chain a Common-Crawl-scale corpus needs
+    BEFORE text reaches the linker — real href extraction from page
+    html (regexp_extract_all + explode, JVM codegen, html column
+    pruned after the projection), host aggregation, then host-level
+    PageRank with degree + raw-link-volume profile per host. The
+    fixture pages embed three deterministic anchors each (doc i →
+    docs (31i+j) mod n, hosts = doc mod 97), so intra-host links
+    genuinely occur and are correctly kept in n_outlinks but dropped
+    from the rank graph. Oracle: the same html strings built in SQL,
+    DuckDB regexp_extract_all + unnest, and the pagerank power
+    iteration unrolled over VARCHAR host nodes."""
+    from ..operators.linkgraph import (
+        extract_outlinks,
+        host_authority,
+        host_graph,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    h = HOSTGRAPH_HOSTS
+    anchors = [
+        F.concat(
+            F.lit('<a href="https://site'),
+            (((F.col("doc_id") * 31 + j) % n) % h).cast("string"),
+            F.lit(".example/p/"),
+            ((F.col("doc_id") * 31 + j) % n).cast("string"),
+            F.lit('">l</a>'),
+        )
+        for j in (1, 2, 3)
+    ]
+    pages = docs.select(
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % h).cast("string"),
+            F.lit(".example/d/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><body><p>x</p>"), *anchors, F.lit("</body></html>")
+        ).alias("html"),
+    )
+    return host_authority(
+        host_graph(extract_outlinks(pages)),
+        n_iter=PR_ITER,
+        damping=PR_DAMPING,
+    )
+
+
+def _hostgraph_sql(n_iter: int, damping: float) -> str:
+    h = HOSTGRAPH_HOSTS
+    anchor = lambda j: (  # noqa: E731 — local SQL builder
+        "'<a href=\"https://site' || "
+        f"(((doc_id*31 + {j}) % (SELECT n FROM nd)) % {h})::VARCHAR"
+        " || '.example/p/' || "
+        f"((doc_id*31 + {j}) % (SELECT n FROM nd))::VARCHAR"
+        " || '\">l</a>'"
+    )
+    parts = [
+        "nd AS (SELECT count(*) AS n FROM documents)",
+        "pages AS (SELECT doc_id, "
+        f"'https://site' || (doc_id % {h})::VARCHAR || '.example/d/' || "
+        "doc_id::VARCHAR AS url, "
+        "'<html><body><p>x</p>' || "
+        + " || ".join(anchor(j) for j in (1, 2, 3))
+        + " || '</body></html>' AS html FROM documents)",
+        "links AS (SELECT url, unnest(regexp_extract_all(html, "
+        "'href=\"([^\"]+)\"', 1)) AS out_url FROM pages)",
+        "hl AS MATERIALIZED (SELECT "
+        "regexp_extract(url, '^https?://([^/]+)', 1) AS src_host, "
+        "regexp_extract(out_url, '^https?://([^/]+)', 1) AS dst_host "
+        "FROM links)",
+        "raw AS (SELECT src_host, count(*)::BIGINT AS n_outlinks "
+        "FROM hl GROUP BY src_host)",
+        "e AS MATERIALIZED (SELECT DISTINCT src_host AS src, "
+        "dst_host AS dst FROM hl WHERE src_host <> dst_host)",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e "
+        "UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src)",
+        "r0 AS (SELECT node, 1.0::DOUBLE/(SELECT n FROM nn) AS r FROM nodes)",
+    ]
+    prev = "r0"
+    for it in range(1, n_iter + 1):
+        parts.append(
+            f"dang{it} AS (SELECT coalesce(sum(r), 0.0) AS dm FROM {prev} "
+            f"WHERE node NOT IN (SELECT src FROM deg))"
+        )
+        parts.append(
+            f"c{it} AS (SELECT e.dst, sum(p.r/deg.deg) AS s "
+            f"FROM e JOIN deg USING (src) "
+            f"JOIN {prev} p ON p.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{it} AS (SELECT nodes.node, "
+            + _spark_round(
+                f"(1.0::DOUBLE - {damping}::DOUBLE)/(SELECT n FROM nn) "
+                f"+ {damping}::DOUBLE*("
+                f"coalesce(c.s, 0.0::DOUBLE) + (SELECT dm FROM dang{it})/"
+                f"(SELECT n FROM nn))",
+                9,
+            )
+            + f" AS r FROM nodes LEFT JOIN c{it} c ON c.dst = nodes.node)"
+        )
+        prev = f"r{it}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT p.node AS host, {_spark_round('p.r')} AS rank,
+           coalesce(o.out_hosts, 0)::BIGINT AS out_hosts,
+           coalesce(i.in_hosts, 0)::BIGINT AS in_hosts,
+           coalesce(raw.n_outlinks, 0)::BIGINT AS n_outlinks
+    FROM {prev} p
+    LEFT JOIN (SELECT src AS node, count(*)::BIGINT AS out_hosts
+               FROM e GROUP BY src) o ON o.node = p.node
+    LEFT JOIN (SELECT dst AS node, count(*)::BIGINT AS in_hosts
+               FROM e GROUP BY dst) i ON i.node = p.node
+    LEFT JOIN raw ON raw.src_host = p.node
+"""
+    )
+
+
+CRAWL_HOSTGRAPH_SQL = _hostgraph_sql(PR_ITER, PR_DAMPING)
+
+
 KCORE_K = 2
 KCORE_ORACLE_ROUNDS = 12
 
@@ -10664,6 +10796,7 @@ QUERIES = {
     "er_soft_tfidf": q_er_soft_tfidf,
     "er_pivot_clustering": q_er_pivot_clustering,
     "er_star_clustering": q_er_star_clustering,
+    "crawl_hostgraph": q_crawl_hostgraph,
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
     "er_truth_discovery": q_er_truth_discovery,
@@ -10833,6 +10966,7 @@ ORACLES = {
     "er_soft_tfidf": ER_SOFT_TFIDF_SQL,
     "er_pivot_clustering": ER_PIVOT_SQL,
     "er_star_clustering": ER_STAR_SQL,
+    "crawl_hostgraph": CRAWL_HOSTGRAPH_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
     "er_truth_discovery": ER_TRUTH_SQL,
@@ -10916,7 +11050,7 @@ ORACLES = {
 # retains its relative order behind them.
 _NEVER_DRIVER_CHECKED = [
     # wave 16 is newest — it leads the window
-    "er_star_clustering",
+    "er_star_clustering", "crawl_hostgraph",
     # the round-4 second-wave ER block is next
     "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
     "er_progressive", "er_truth_discovery", "er_group_linkage",
