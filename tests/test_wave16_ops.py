@@ -140,6 +140,61 @@ def test_extract_outlinks_binary_html_and_relative(spark):
     assert hg == {("a.example", "b.example"): 1, ("a.example", ""): 1}
 
 
+# ------------------------------------------------------------ BPE
+
+from type_filtered_entity_linker_spark.operators.bpe import (  # noqa: E402
+    bpe_merges,
+)
+
+
+def test_bpe_merges_classic_sequence(spark):
+    # low x2 + lower x1: merge table is (l,o) [a-asc tie over (o,w)],
+    # then (lo,w), then (low,</w>) — rounds 2-3 only exist because
+    # each round re-counts AFTER the prior merge
+    docs = spark.createDataFrame(
+        [("low low lower",)], "text string"
+    )
+    rows = bpe_merges(docs, n_merges=3).orderBy("merge_rank").collect()
+    got = [(r.pair_a, r.pair_b, r.merged, r.pair_count) for r in rows]
+    assert got == [
+        ("l", "o", "lo", 3),
+        ("lo", "w", "low", 3),
+        ("low", "</w>", "low</w>", 2),
+    ]
+
+
+def test_bpe_fold_is_greedy_non_overlapping(spark):
+    # 'aaa' under pair (a,a): greedy left-to-right gives [aa, a, </w>]
+    # — the fold must not double-merge the middle 'a'; round 2's
+    # counts then see (aa,a) and (a,</w>) once each, and the a-ASC
+    # tie-break picks (a, </w>)
+    docs = spark.createDataFrame([("aaa",)], "text string")
+    rows = bpe_merges(docs, n_merges=2).orderBy("merge_rank").collect()
+    assert (rows[0].pair_a, rows[0].pair_b, rows[0].pair_count) == (
+        "a", "a", 2,
+    )
+    assert (rows[1].pair_a, rows[1].pair_b, rows[1].pair_count) == (
+        "a", "</w>", 1,
+    )
+
+
+def test_bpe_ascii_guard_excludes_non_ascii_words(spark):
+    # café x3 would dominate every pair count if admitted; excluded,
+    # the single 'zz' elects (z, </w>) — count-1 tie with (z, z),
+    # b-ASC tie-break ('</w>' < 'z')
+    docs = spark.createDataFrame(
+        [("zz café café café",)], "text string"
+    )
+    rows = bpe_merges(docs, n_merges=1).collect()
+    assert (rows[0].pair_a, rows[0].pair_b, rows[0].pair_count) == (
+        "z", "</w>", 1,
+    )
+    # a corpus with no ASCII word at all has an empty alphabet: no
+    # merge rows, not a crash
+    only = spark.createDataFrame([("café café",)], "text string")
+    assert bpe_merges(only, n_merges=2).count() == 0
+
+
 def test_host_authority_drops_self_host_keeps_raw_count(spark):
     hg = spark.createDataFrame(
         [

@@ -6912,6 +6912,70 @@ def _hostgraph_sql(n_iter: int, damping: float) -> str:
 CRAWL_HOSTGRAPH_SQL = _hostgraph_sql(PR_ITER, PR_DAMPING)
 
 
+BPE_MERGES = 6
+
+
+def q_docs_bpe_learn(spark, sf_dir) -> DataFrame:
+    """BPE merge-table learning (operators/bpe.py) over the documents
+    corpus — the tokenizer-prep step next to docs_vocab_topk: the
+    first six byte-pair merges by frequency-weighted adjacent-pair
+    count over the word-frequency table, each round re-counting AFTER
+    the previous merges applied (the iterative structure is the thing
+    under test — a one-shot pair count produces a different table
+    from merge 2 on). Oracle: the same rounds in DuckDB — lateral
+    generate_series pair explode, LIMIT-1 argmax with the identical
+    (count DESC, pair ASC) tie-break, and the greedy left-to-right
+    merge fold replayed as a per-word recursive CTE walk."""
+    from ..operators.bpe import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir), n_merges=BPE_MERGES)
+
+
+def _bpe_sql(n_merges: int) -> str:
+    parts = [
+        """toks AS (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)""",
+        """w0 AS MATERIALIZED (
+        SELECT count(*)::BIGINT AS cnt,
+               list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+        FROM toks WHERE word <> '' AND regexp_matches(word, '^[!-~]+$')
+        GROUP BY word)""",
+    ]
+    for r in range(1, n_merges + 1):
+        p_ = r - 1
+        parts.append(f"""pc{r} AS (
+        SELECT w.syms[t.i] AS a, w.syms[t.i+1] AS b,
+               sum(w.cnt)::BIGINT AS pair_count
+        FROM w{p_} w, unnest(generate_series(1, len(w.syms)-1)) AS t(i)
+        GROUP BY 1, 2)""")
+        parts.append(f"""best{r} AS MATERIALIZED (
+        SELECT {r}::BIGINT AS merge_rank, a AS pa, b AS pb, pair_count
+        FROM pc{r} ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1)""")
+        if r < n_merges:
+            parts.append(f"""fold{r} AS (
+        SELECT cnt, 1 AS pos, [syms[1]] AS acc, syms FROM w{p_}
+        UNION ALL
+        SELECT cnt, pos + 1,
+          CASE WHEN acc[-1] = (SELECT pa FROM best{r})
+                    AND syms[pos+1] = (SELECT pb FROM best{r})
+               THEN acc[1:len(acc)-1]
+                    || [(SELECT pa FROM best{r}) || (SELECT pb FROM best{r})]
+               ELSE list_append(acc, syms[pos+1]) END,
+          syms
+        FROM fold{r} WHERE pos < len(syms))""")
+            parts.append(f"""w{r} AS MATERIALIZED (
+        SELECT cnt, acc AS syms FROM fold{r} WHERE pos = len(syms))""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT merge_rank, pa AS pair_a, pb AS pair_b, "
+        f"pa || pb AS merged, pair_count FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH RECURSIVE " + ",\n    ".join(parts) + f"\n    {union}\n"
+
+
+DOCS_BPE_SQL = _bpe_sql(BPE_MERGES)
+
+
 KCORE_K = 2
 KCORE_ORACLE_ROUNDS = 12
 
@@ -10797,6 +10861,7 @@ QUERIES = {
     "er_pivot_clustering": q_er_pivot_clustering,
     "er_star_clustering": q_er_star_clustering,
     "crawl_hostgraph": q_crawl_hostgraph,
+    "docs_bpe_learn": q_docs_bpe_learn,
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
     "er_truth_discovery": q_er_truth_discovery,
@@ -10967,6 +11032,7 @@ ORACLES = {
     "er_pivot_clustering": ER_PIVOT_SQL,
     "er_star_clustering": ER_STAR_SQL,
     "crawl_hostgraph": CRAWL_HOSTGRAPH_SQL,
+    "docs_bpe_learn": DOCS_BPE_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
     "er_truth_discovery": ER_TRUTH_SQL,
@@ -11050,7 +11116,7 @@ ORACLES = {
 # retains its relative order behind them.
 _NEVER_DRIVER_CHECKED = [
     # wave 16 is newest — it leads the window
-    "er_star_clustering", "crawl_hostgraph",
+    "er_star_clustering", "crawl_hostgraph", "docs_bpe_learn",
     # the round-4 second-wave ER block is next
     "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
     "er_progressive", "er_truth_discovery", "er_group_linkage",
