@@ -140,6 +140,77 @@ def test_extract_outlinks_binary_html_and_relative(spark):
     assert hg == {("a.example", "b.example"): 1, ("a.example", ""): 1}
 
 
+# ----------------------------------------------- watermark drop lag
+
+
+def test_watermark_late_filter_lags_eviction_by_one_batch(
+    spark, tmp_path
+):
+    """Pins the engine behavior the late-audit oracle replays: the
+    late-row filter in batch N uses the watermark computed through
+    batch N-2 (one batch behind eviction). A late row in the SECOND
+    batch survives (lagged watermark still at epoch); the same-shaped
+    row in the THIRD batch is dropped. If a Spark upgrade changes
+    this, the audit oracle must be recalibrated — this test is the
+    tripwire."""
+    import os
+    import shutil
+    from datetime import datetime as d
+
+    from type_filtered_entity_linker_spark.streaming.incremental import (
+        run_stream_once,
+        stream_events_hourly,
+    )
+
+    stage = str(tmp_path / "stage")
+    os.makedirs(stage)
+
+    def write(name, rows, mt):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, value double",
+        )
+        tmp = str(tmp_path / "w")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        shutil.copy(os.path.join(tmp, part), os.path.join(stage, name))
+        os.utime(os.path.join(stage, name), (mt, mt))
+
+    write(
+        "b1.parquet",
+        [(1, d(2024, 1, 1, 10, 0, 30), 1, 0.0),
+         (2, d(2024, 1, 1, 13, 0, 0), 2, 0.0)],
+        1700000001,
+    )
+    # late row (window [6,7)) in batch 2: lagged filter watermark is
+    # still epoch -> KEPT
+    write(
+        "b2.parquet",
+        [(3, d(2024, 1, 1, 6, 10, 0), 9, 0.0),
+         (4, d(2024, 1, 1, 14, 0, 0), 2, 0.0)],
+        1700000002,
+    )
+    # same-shaped late row in batch 3: filter watermark = post-batch-1
+    # = 11:00 -> DROPPED
+    write(
+        "b3.parquet",
+        [(5, d(2024, 1, 1, 6, 20, 0), 8, 0.0),
+         (6, d(2024, 1, 1, 15, 0, 0), 2, 0.0)],
+        1700000003,
+    )
+    schema = spark.read.parquet(os.path.join(stage, "b1.parquet")).schema
+    out = run_stream_once(
+        stream_events_hourly(spark, stage, schema, max_files_per_trigger=1),
+        "wave16_late_lag",
+        output_mode="append",
+    )
+    rows = {
+        (r.user_id, r.hour_start.hour): r.n_events for r in out.collect()
+    }
+    # emitted = windows ending <= final watermark 13:00
+    assert rows == {(9, 6): 1, (1, 10): 1}
+
+
 # ------------------------------------------------------------ BPE
 
 from type_filtered_entity_linker_spark.operators.bpe import (  # noqa: E402

@@ -5823,6 +5823,164 @@ def q_events_stream_window(spark, sf_dir) -> DataFrame:
     )
 
 
+# Delivery schedule for the watermark-drop audit. Spark's late-row
+# filter LAGS eviction by one batch (measured, see the query
+# docstring): batch N drops input with the watermark computed through
+# batch N-2, while eviction/emission uses the watermark through N-1.
+# A two-file run therefore never drops anything — the audit needs
+# THREE files: on-time bulk, a watermark-advancing middle tail, then
+# the late delivery. Held-back rows sit ≥ 3h before the split so
+# their windows are strictly below the batch-0 watermark — otherwise
+# a late row could RESURRECT an already-emitted window as fresh state
+# (the duplicate-emission hazard the lag creates; kept out of the
+# fixture by construction so stream rows stay unique per window).
+LATE_AUDIT_SPLIT = "2024-01-21 00:00:00"
+LATE_AUDIT_HELD = "2024-01-20 21:00:00"  # split - 3h
+LATE_AUDIT_SPLIT2 = "2024-01-28 00:00:00"
+_LATE_GEN = "v2"
+
+
+def _staged_late_events_dir(spark, sf_dir: str) -> str:
+    """Three-file staging dir (ascending mtimes → three deterministic
+    micro-batches at maxFilesPerTrigger=1): snap_1 = on-time events
+    (everything before the split except the held-back set), snap_2 =
+    the middle tail that advances the watermark, snap_3 = held-back
+    late rows + final tail. Same atomic-rename concurrency discipline
+    as _staged_scd2_dir."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    path = f"{sf_dir}/events.parquet"
+    st = os.stat(path)
+    key = hashlib.md5(
+        f"late:{_LATE_GEN}:{path}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    stage = os.path.join(tempfile.gettempdir(), f"late_stream_src_{key}")
+    if not os.path.isdir(stage):
+        ev = spark.read.parquet(path)
+        split = F.lit(LATE_AUDIT_SPLIT).cast("timestamp")
+        held = F.lit(LATE_AUDIT_HELD).cast("timestamp")
+        split2 = F.lit(LATE_AUDIT_SPLIT2).cast("timestamp")
+        is_held = (F.col("event_id") % 7 == 0) & (F.col("ts") < held)
+        b1 = ev.where((F.col("ts") < split) & ~is_held)
+        b2 = ev.where((F.col("ts") >= split) & (F.col("ts") < split2))
+        b3 = ev.where(is_held | (F.col("ts") >= split2))
+        build = tempfile.mkdtemp(prefix=f"late_build_{key}_")
+        stage_snapshot_files(build, [(1, b1), (2, b2), (3, b3)])
+        try:
+            os.rename(build, stage)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # lost the race
+    return stage
+
+
+def q_events_stream_late_audit(spark, sf_dir) -> DataFrame:
+    """Watermark drop audit — what did the 2-hour watermark COST: the
+    hourly aggregation run as a genuine three-batch stream (append
+    mode), then reconciled per (user, hour) against the batch truth.
+    Four outcomes, all populated by the fixture: 'short' windows
+    emitted without their held-back late rows, 'dropped' windows whose
+    EVERY row arrived late (no state survives, so the stream never
+    emits them at all), 'complete' windows untouched by lateness, and
+    'unemitted' windows past the final watermark that never left
+    state before AvailableNow drained.
+
+    Watermark semantics pinned by experiment on this Spark build and
+    replayed exactly in the oracle: the late-row filter runs with the
+    watermark computed through batch N-2 (one batch BEHIND the
+    eviction watermark — so drops require the third batch), the drop
+    predicate is window_end <= that lagged watermark, and a window
+    emits iff window_end <= the final watermark (max event time over
+    the whole stream minus the delay). The fixture keeps every
+    held-back row >= 3h stale so no late row can land in the
+    lag-created gap and resurrect an evicted window as duplicate
+    state. Oracle: pure SQL replay of the three-batch schedule
+    (drop watermark = batch-1-file max ts - 2h, final watermark =
+    overall max ts - 2h)."""
+    from ..streaming.incremental import run_stream_once, stream_events_hourly
+
+    path = f"{sf_dir}/events.parquet"
+    stage = _staged_late_events_dir(spark, sf_dir)
+    schema = spark.read.parquet(path).schema
+    _STREAM_SEQ[0] += 1
+    s = run_stream_once(
+        stream_events_hourly(
+            spark, stage, schema, max_files_per_trigger=1
+        ),
+        f"events_late_{_STREAM_SEQ[0]}",
+        output_mode="append",
+    )
+    batch = spark.read.parquet(path)
+    wf = batch.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("_wf")
+    )
+    total = batch.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count("*").cast("long").alias("n_total"))
+    wend = F.col("hour_start") + F.expr("INTERVAL 1 HOUR")
+    return (
+        total.join(
+            s.select(
+                "user_id", "hour_start", F.col("n_events").alias("_ns")
+            ),
+            ["user_id", "hour_start"],
+            "left",
+        )
+        .crossJoin(F.broadcast(wf))
+        .select(
+            "user_id",
+            "hour_start",
+            "n_total",
+            F.coalesce(F.col("_ns"), F.lit(0)).cast("long").alias(
+                "n_stream"
+            ),
+            F.when(wend > F.col("_wf"), F.lit(0))
+            .otherwise(F.col("n_total") - F.coalesce(F.col("_ns"), F.lit(0)))
+            .cast("long")
+            .alias("n_late_dropped"),
+            F.when(wend > F.col("_wf"), F.lit("unemitted"))
+            .when(F.col("_ns").isNull(), F.lit("dropped"))
+            .when(F.col("_ns") < F.col("n_total"), F.lit("short"))
+            .otherwise(F.lit("complete"))
+            .alias("status"),
+        )
+    )
+
+
+EVENTS_STREAM_LATE_AUDIT_SQL = f"""
+    WITH f1 AS (SELECT ts FROM events
+                WHERE ts < TIMESTAMP '{LATE_AUDIT_SPLIT}'
+                  AND NOT (event_id % 7 = 0
+                           AND ts < TIMESTAMP '{LATE_AUDIT_HELD}')),
+    wdrop AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM f1),
+    wf AS (SELECT max(ts) - INTERVAL 2 HOUR AS w FROM events),
+    rows_ AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,
+               CASE WHEN event_id % 7 = 0
+                         AND ts < TIMESTAMP '{LATE_AUDIT_HELD}'
+                    THEN 1 ELSE 0 END AS held
+        FROM events),
+    agg AS (
+        SELECT user_id, hour_start, wend,
+               count(*)::BIGINT AS n_total,
+               sum(CASE WHEN held = 1 AND wend <= (SELECT w FROM wdrop)
+                        THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+        FROM rows_ GROUP BY user_id, hour_start, wend)
+    SELECT user_id, hour_start, n_total,
+           CASE WHEN wend > (SELECT w FROM wf) THEN 0
+                ELSE n_total - n_dropped END::BIGINT AS n_stream,
+           CASE WHEN wend > (SELECT w FROM wf) THEN 0
+                ELSE n_dropped END::BIGINT AS n_late_dropped,
+           CASE WHEN wend > (SELECT w FROM wf) THEN 'unemitted'
+                WHEN n_dropped = n_total THEN 'dropped'
+                WHEN n_dropped > 0 THEN 'short'
+                ELSE 'complete' END AS status
+    FROM agg
+"""
+
+
 def _staged_events_dir_dup(sf_dir: str) -> str:
     """Staging dir containing TWO copies of the events file — the
     duplicate-delivery scenario the streaming dedup must absorb across
@@ -10862,6 +11020,7 @@ QUERIES = {
     "er_star_clustering": q_er_star_clustering,
     "crawl_hostgraph": q_crawl_hostgraph,
     "docs_bpe_learn": q_docs_bpe_learn,
+    "events_stream_late_audit": q_events_stream_late_audit,
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
     "er_truth_discovery": q_er_truth_discovery,
@@ -11033,6 +11192,7 @@ ORACLES = {
     "er_star_clustering": ER_STAR_SQL,
     "crawl_hostgraph": CRAWL_HOSTGRAPH_SQL,
     "docs_bpe_learn": DOCS_BPE_SQL,
+    "events_stream_late_audit": EVENTS_STREAM_LATE_AUDIT_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
     "er_truth_discovery": ER_TRUTH_SQL,
@@ -11117,6 +11277,7 @@ ORACLES = {
 _NEVER_DRIVER_CHECKED = [
     # wave 16 is newest — it leads the window
     "er_star_clustering", "crawl_hostgraph", "docs_bpe_learn",
+    "events_stream_late_audit",
     # the round-4 second-wave ER block is next
     "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
     "er_progressive", "er_truth_discovery", "er_group_linkage",

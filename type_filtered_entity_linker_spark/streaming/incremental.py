@@ -59,15 +59,22 @@ def stream_events_hourly(
     path: str,
     schema: StructType,
     watermark: str = "2 hours",
+    max_files_per_trigger: "int | None" = None,
 ) -> DataFrame:
     """Streaming (user_id, hour window) event counts + value sums.
 
     Append-mode-capable: the watermark bounds state (a window closes
     once event time passes window_end + watermark) — required for an
     unbounded run; with Trigger.AvailableNow it also just drains the
-    backlog.
+    backlog. ``max_files_per_trigger=1`` turns a multi-file staging
+    dir into genuine multi-batch delivery (oldest-file-first), which
+    is what makes watermark advancement — and therefore late-data
+    drops — actually happen between batches.
     """
-    ev = spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    ev = reader.parquet(path)
     ev, ntz = _watermarkable_ts(ev)
     out = (
         ev.withWatermark("ts", watermark)
