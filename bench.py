@@ -251,6 +251,13 @@ HEADLINE = [
     "er_scorecard",
     "docs_topic_purity",
     "el_collective_iterative",
+    # wave 16: degree-prioritized star clustering, host link-graph
+    # authority (href extraction + host PageRank), BPE merge-table
+    # learning, streaming watermark drop audit
+    "er_star_clustering",
+    "crawl_hostgraph",
+    "docs_bpe_learn",
+    "events_stream_late_audit",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
