@@ -282,3 +282,87 @@ def test_host_authority_drops_self_host_keeps_raw_count(spark):
     # symmetric 2-cycle → uniform rank
     assert abs(out["a"].rank - 0.5) < 1e-9
     assert abs(out["b"].rank - 0.5) < 1e-9
+
+
+# -------------------------------------------------- wave 17: FD / schema / HITS
+
+from type_filtered_entity_linker_spark.operators.profiling import (  # noqa: E402
+    fd_violations,
+)
+
+
+def test_fd_violations_g3_counts_and_nulls(spark):
+    rows = [
+        ("p1", "alice"),
+        ("p1", "alice"),
+        ("p1", "bob"),     # minority value -> 1 violation in p1
+        ("p2", "carol"),   # clean group
+        (None, "dave"),    # NULL determinant -> excluded, counted
+        ("p3", None),      # NULL dependent  -> excluded, counted
+    ]
+    df = spark.createDataFrame(rows, "phone string, name string")
+    out = {
+        (r.lhs, r.rhs): r
+        for r in fd_violations(
+            df, [("phone", "name"), ("name", "phone")]
+        ).collect()
+    }
+    pn = out[("phone", "name")]
+    assert (pn.n_rows, pn.n_nulls, pn.n_groups) == (4, 2, 2)
+    assert pn.n_violations == 1 and not pn.holds
+    assert abs(pn.violation_rate - 0.25) < 1e-9
+    np_ = out[("name", "phone")]
+    # alice->p1 x2, bob->p1, carol->p2: every name maps to one phone
+    assert np_.holds and np_.n_violations == 0
+
+
+from type_filtered_entity_linker_spark.operators.schema_matching import (  # noqa: E402
+    schema_match,
+)
+
+
+def test_schema_match_scores_and_rank(spark):
+    a = spark.createDataFrame(
+        [("x", "1"), ("y", "2"), ("z", "3")], "name string, code string"
+    )
+    b = spark.createDataFrame(
+        [("x", "9"), ("y", "8"), ("q", "7")],
+        "label string, serial string",
+    )
+    out = {
+        (r.col_a, r.col_b): r
+        for r in schema_match(
+            a, b, ["name", "code"], ["label", "serial"]
+        ).collect()
+    }
+    m = out[("name", "label")]
+    # {x,y,z} vs {x,y,q}: inter 2, union 4
+    assert (m.n_a, m.n_b, m.n_common) == (3, 3, 2)
+    assert abs(m.jaccard - 0.5) < 1e-9 and m.rank == 1
+    # zero-overlap pairs are omitted entirely
+    assert ("code", "label") not in out
+    assert ("name", "serial") not in out
+
+
+def test_schema_match_containment_direction(spark):
+    a = spark.createDataFrame([("1",), ("2",), ("3",), ("4",)], "v string")
+    b = spark.createDataFrame([("1",), ("2",)], "w string")
+    m = schema_match(a, b, ["v"], ["w"]).collect()[0]
+    assert abs(m.containment_a - 0.5) < 1e-9     # half of A covered
+    assert abs(m.containment_b - 1.0) < 1e-9     # B fully inside A
+
+
+from type_filtered_entity_linker_spark.operators.graph import hits  # noqa: E402
+
+
+def test_hits_separates_hubs_from_authorities(spark):
+    # 1 and 2 point at 3: pure hubs; 3 is the pure authority
+    e = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    out = {r.node: (r.hub, r.authority) for r in hits(e).collect()}
+    assert out[3] == (0.0, 1.0)
+    assert out[1] == (0.5, 0.0) and out[2] == (0.5, 0.0)
+
+
+def test_hits_empty_and_self_loops(spark):
+    e = spark.createDataFrame([(7, 7)], "src long, dst long")
+    assert hits(e).count() == 0

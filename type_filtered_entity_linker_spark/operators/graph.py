@@ -398,3 +398,91 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 20) -> DataFrame:
             f"raise max_iter"
         )
     return alive.select(F.col("src").alias("node"), "core_degree")
+
+
+def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """HITS hubs and authorities (Kleinberg, JACM'99) over a directed
+    graph — the complement to pagerank for link analysis: a good HUB
+    points at many good authorities (directories, link lists, index
+    pages), a good AUTHORITY is pointed at by many good hubs. On a
+    host graph the two scores separate aggregator hosts from content
+    hosts, which a single PageRank conflates.
+
+    Determinism/parity contract (the pagerank conventions): self-loops
+    dropped and multi-edges collapsed up front; scores re-rounded to
+    1e-9 after every half-step and to 1e-6 on output. Normalization is
+    L1 (scores sum to 1) rather than Kleinberg's L2 — the ranking is
+    identical (normalization is a positive scalar per half-step) and
+    L1 keeps the oracle exact: no sqrt, so both engines compute the
+    same rational-arithmetic-then-round values. A half-step whose
+    total mass is zero (no edges into any scored node) keeps the zero
+    vector instead of dividing by it.
+
+    Scale shape per half-step: one join of the edge table against the
+    current score vector + one hash aggregate keyed by the opposite
+    endpoint (map-side partial collapse bounds viral hubs — the LPA
+    argument), one scalar total (broadcast back), one left join to
+    re-attach scoreless nodes at 0. Edges and nodes checkpoint once
+    up front; score vectors checkpoint per iteration (flat lineage).
+
+    Returns (node, hub, authority) for every node in the simple
+    graph.
+    """
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0.0).alias("hub"),
+            F.lit(0.0).alias("authority"),
+        )
+    h = nodes.withColumn("s", F.lit(1.0 / n))
+    a = h
+
+    def _half(vec: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        raw = (
+            e.join(vec.withColumnRenamed("node", key_in), key_in)
+            .groupBy(F.col(key_out).alias("node"))
+            .agg(F.sum("s").alias("r"))
+        )
+        tot = raw.agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("t")
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "node",
+                F.round(
+                    F.when(
+                        F.col("t") > 0.0,
+                        F.coalesce(F.col("r"), F.lit(0.0)) / F.col("t"),
+                    ).otherwise(F.lit(0.0)),
+                    9,
+                ).alias("s"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(n_iter):
+        # authorities from hubs (follow edges), then hubs from the NEW
+        # authorities (the standard in-iteration ordering)
+        a = _half(h, "src", "dst")
+        h = _half(a, "dst", "src")
+    return (
+        h.withColumnRenamed("s", "hub")
+        .join(a.withColumnRenamed("s", "authority"), "node")
+        .select("node", F.round("hub", 6).alias("hub"),
+                F.round("authority", 6).alias("authority"))
+    )

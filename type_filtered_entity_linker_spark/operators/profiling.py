@@ -87,3 +87,86 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         F.col("_top.v").alias("top_value"),
         F.col("_top.c").alias("top_count"),
     )
+
+
+def fd_violations(
+    df: DataFrame, deps: "list[tuple[str, str]]"
+) -> DataFrame:
+    """Functional-dependency check over candidate (determinant →
+    dependent) column pairs — the data-quality probe that decides
+    whether a field can serve as a linkage KEY (phone → one person?)
+    or only as evidence. For each dependency A → B the violation
+    count is the minimum number of rows that would have to change for
+    the FD to hold exactly (the g3 error of Kivinen & Mannila '95):
+    sum over A-groups of (group size − the modal B count).
+
+    Shape per dependency: one (A, B) hash aggregate with map-side
+    partial collapse, then one A-keyed rollup taking max(count) and
+    sum(count) — two bounded shuffles, no window, no collect; the
+    dependencies are independent branches unioned at the end (a
+    handful of candidate keys, so the union fan-in is small). NULLs:
+    rows with NULL determinant or dependent are excluded first (SQL
+    FD semantics are undefined on NULL; the count excluded is
+    reported so the exclusion is visible, per the profiling
+    contract).
+
+    Returns one row per dependency: (lhs, rhs, n_rows, n_nulls,
+    n_groups, n_violations, violation_rate [6dp, 0.0 when no rows],
+    holds).
+    """
+    out: "DataFrame | None" = None
+    for lhs, rhs in deps:
+        base = df.select(
+            F.col(lhs).cast("string").alias("_a"),
+            F.col(rhs).cast("string").alias("_b"),
+        )
+        nn = base.where(
+            F.col("_a").isNotNull() & F.col("_b").isNotNull()
+        )
+        pairs = nn.groupBy("_a", "_b").agg(F.count("*").alias("_c"))
+        grp = pairs.groupBy("_a").agg(
+            F.sum("_c").alias("_sz"), F.max("_c").alias("_mx")
+        )
+        row = (
+            grp.agg(
+                F.coalesce(F.sum("_sz"), F.lit(0))
+                .cast("long")
+                .alias("n_rows"),
+                F.count("*").cast("long").alias("n_groups"),
+                F.coalesce(F.sum(F.col("_sz") - F.col("_mx")), F.lit(0))
+                .cast("long")
+                .alias("n_violations"),
+            )
+            .crossJoin(
+                base.agg(
+                    F.coalesce(
+                        F.sum(
+                            (
+                                F.col("_a").isNull()
+                                | F.col("_b").isNull()
+                            ).cast("long")
+                        ),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias("n_nulls")
+                )
+            )
+            .select(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_rows",
+                "n_nulls",
+                "n_groups",
+                "n_violations",
+                F.when(F.col("n_rows") > 0,
+                       F.round(F.col("n_violations")
+                               / F.col("n_rows"), 6))
+                .otherwise(F.lit(0.0))
+                .alias("violation_rate"),
+                (F.col("n_violations") == 0).alias("holds"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    assert out is not None, "fd_violations: deps must be non-empty"
+    return out

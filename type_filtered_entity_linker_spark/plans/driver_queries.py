@@ -6962,6 +6962,17 @@ def q_crawl_hostgraph(spark, sf_dir) -> DataFrame:
         host_graph,
     )
 
+    return host_authority(
+        host_graph(extract_outlinks(_linked_pages(spark, sf_dir))),
+        n_iter=PR_ITER,
+        damping=PR_DAMPING,
+    )
+
+
+def _linked_pages(spark, sf_dir) -> DataFrame:
+    """The anchor-bearing synthetic pages shared by crawl_hostgraph
+    and crawl_hits: doc i lives on host i mod 97 and links to docs
+    (31i+j) mod n for j in 1..3."""
     docs = _docs(spark, sf_dir).select("doc_id")
     n = docs.count()
     h = HOSTGRAPH_HOSTS
@@ -6975,7 +6986,7 @@ def q_crawl_hostgraph(spark, sf_dir) -> DataFrame:
         )
         for j in (1, 2, 3)
     ]
-    pages = docs.select(
+    return docs.select(
         F.concat(
             F.lit("https://site"),
             (F.col("doc_id") % h).cast("string"),
@@ -6986,14 +6997,12 @@ def q_crawl_hostgraph(spark, sf_dir) -> DataFrame:
             F.lit("<html><body><p>x</p>"), *anchors, F.lit("</body></html>")
         ).alias("html"),
     )
-    return host_authority(
-        host_graph(extract_outlinks(pages)),
-        n_iter=PR_ITER,
-        damping=PR_DAMPING,
-    )
 
 
-def _hostgraph_sql(n_iter: int, damping: float) -> str:
+def _host_edge_ctes() -> "list[str]":
+    """The synthetic linked pages → href extraction → host simple
+    graph as SQL CTEs, shared verbatim by the hostgraph-PageRank and
+    HITS oracles so the two can never drift apart."""
     h = HOSTGRAPH_HOSTS
     anchor = lambda j: (  # noqa: E731 — local SQL builder
         "'<a href=\"https://site' || "
@@ -7002,7 +7011,7 @@ def _hostgraph_sql(n_iter: int, damping: float) -> str:
         f"((doc_id*31 + {j}) % (SELECT n FROM nd))::VARCHAR"
         " || '\">l</a>'"
     )
-    parts = [
+    return [
         "nd AS (SELECT count(*) AS n FROM documents)",
         "pages AS (SELECT doc_id, "
         f"'https://site' || (doc_id % {h})::VARCHAR || '.example/d/' || "
@@ -7023,6 +7032,11 @@ def _hostgraph_sql(n_iter: int, damping: float) -> str:
         "nodes AS MATERIALIZED (SELECT src AS node FROM e "
         "UNION SELECT dst FROM e)",
         "nn AS (SELECT count(*) AS n FROM nodes)",
+    ]
+
+
+def _hostgraph_sql(n_iter: int, damping: float) -> str:
+    parts = _host_edge_ctes() + [
         "deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src)",
         "r0 AS (SELECT node, 1.0::DOUBLE/(SELECT n FROM nn) AS r FROM nodes)",
     ]
@@ -7068,6 +7082,74 @@ def _hostgraph_sql(n_iter: int, damping: float) -> str:
 
 
 CRAWL_HOSTGRAPH_SQL = _hostgraph_sql(PR_ITER, PR_DAMPING)
+
+
+HITS_ITER = 3
+
+
+def q_crawl_hits(spark, sf_dir) -> DataFrame:
+    """HITS hubs/authorities (operators/graph.py hits) over the SAME
+    host simple graph as crawl_hostgraph — separates aggregator hosts
+    (good hubs) from content hosts (good authorities), which the
+    single PageRank scalar conflates. L1-normalized half-steps keep
+    the oracle exact (no sqrt); re-round 1e-9 per half-step, 1e-6 on
+    output — the pagerank parity conventions. Oracle: the shared
+    host-edge CTEs + the hub/authority mutual recursion unrolled."""
+    from ..operators.graph import hits
+    from ..operators.linkgraph import extract_outlinks, host_graph
+
+    hg = host_graph(extract_outlinks(_linked_pages(spark, sf_dir)))
+    e = hg.where(F.col("src_host") != F.col("dst_host")).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return hits(e, n_iter=HITS_ITER)
+
+
+def _crawl_hits_sql(n_iter: int) -> str:
+    parts = _host_edge_ctes() + [
+        "h0 AS (SELECT node, 1.0::DOUBLE/(SELECT n FROM nn) AS s "
+        "FROM nodes)",
+    ]
+
+    def half(out: str, vec: str, key_in: str, key_out: str) -> None:
+        parts.append(
+            f"{out}_raw AS (SELECT e.{key_out} AS node, sum(v.s) AS r "
+            f"FROM e JOIN {vec} v ON v.node = e.{key_in} "
+            f"GROUP BY e.{key_out})"
+        )
+        parts.append(
+            f"{out}_t AS (SELECT coalesce(sum(r), 0.0) AS t "
+            f"FROM {out}_raw)"
+        )
+        parts.append(
+            f"{out} AS (SELECT nodes.node, "
+            + _spark_round(
+                f"CASE WHEN (SELECT t FROM {out}_t) > 0.0 "
+                f"THEN coalesce(w.r, 0.0) / (SELECT t FROM {out}_t) "
+                f"ELSE 0.0 END",
+                9,
+            )
+            + f" AS s FROM nodes LEFT JOIN {out}_raw w "
+            f"ON w.node = nodes.node)"
+        )
+
+    hv = "h0"
+    for i in range(1, n_iter + 1):
+        half(f"a{i}", hv, "src", "dst")
+        half(f"h{i}", f"a{i}", "dst", "src")
+        hv = f"h{i}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT h.node, {_spark_round('h.s')} AS hub,
+           {_spark_round('a.s')} AS authority
+    FROM {hv} h JOIN a{n_iter} a ON a.node = h.node
+"""
+    )
+
+
+CRAWL_HITS_SQL = _crawl_hits_sql(HITS_ITER)
 
 
 BPE_MERGES = 6
@@ -7132,6 +7214,180 @@ def _bpe_sql(n_merges: int) -> str:
 
 
 DOCS_BPE_SQL = _bpe_sql(BPE_MERGES)
+
+
+# candidate key checks a linkage team runs before trusting a blocking
+# key: rec_id→name must hold (it is the surrogate key), phone→name is
+# violated by the truncated-name copies + hash collisions, name→phone
+# by truncation collisions, city→phone catastrophically (city is a
+# 25-value column) — the spread is the point of the report
+ER_FD_DEPS = [
+    ("rec_id", "name"),
+    ("phone", "name"),
+    ("name", "phone"),
+    ("city", "phone"),
+]
+
+
+def q_er_fd_profile(spark, sf_dir) -> DataFrame:
+    """Functional-dependency (g3) violation profile
+    (operators/profiling.py fd_violations) over the dirty ER corpus:
+    for each candidate determinant→dependent pair, the minimum number
+    of rows that would have to change for the FD to hold — the
+    quantitative version of 'can phone serve as a match key'. Oracle:
+    the same two-level aggregate (modal dependent count per
+    determinant group) per dependency, unioned."""
+    from ..operators.profiling import fd_violations
+
+    records, _, _ = _fs_customers(spark, sf_dir, corrupt="city")
+    return fd_violations(records, ER_FD_DEPS)
+
+
+def _er_fd_sql(deps: "list[tuple[str, str]]") -> str:
+    branches = []
+    for lhs, rhs in deps:
+        branches.append(f"""
+    SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+           coalesce(sum(sz), 0)::BIGINT AS n_rows,
+           (SELECT count(*) FROM records
+            WHERE {lhs} IS NULL OR {rhs} IS NULL)::BIGINT AS n_nulls,
+           count(*)::BIGINT AS n_groups,
+           coalesce(sum(sz - mx), 0)::BIGINT AS n_violations,
+           CASE WHEN coalesce(sum(sz), 0) > 0
+                THEN round(coalesce(sum(sz - mx), 0)::DOUBLE
+                           / sum(sz)::DOUBLE, 6)
+                ELSE 0.0 END AS violation_rate,
+           coalesce(sum(sz - mx), 0) = 0 AS holds
+    FROM (SELECT _a, sum(c) AS sz, max(c) AS mx
+          FROM (SELECT {lhs}::VARCHAR AS _a, {rhs}::VARCHAR AS _b,
+                       count(*) AS c
+                FROM records
+                WHERE {lhs} IS NOT NULL AND {rhs} IS NOT NULL
+                GROUP BY 1, 2)
+          GROUP BY _a)""")
+    union = "\n    UNION ALL ".join(branches)
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS MATERIALIZED (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               CASE WHEN rec_id % 20 = 0 THEN 'unknown' ELSE city END,
+               phone
+        FROM clean WHERE rec_id % 10 = 0)
+    {union}
+"""
+
+
+ER_FD_SQL = _er_fd_sql(ER_FD_DEPS)
+
+
+def q_er_schema_match(spark, sf_dir) -> DataFrame:
+    """Instance-based schema matching
+    (operators/schema_matching.py) between the dirty ER corpus (name,
+    city, phone) and a 'web signup' source with renamed columns and
+    its own conventions: full_name (half the rows uppercased — so
+    name↔full_name overlaps only partially), town (= city values,
+    near-total overlap), tel (= phone, containment_b 1.0 since the
+    web source covers every 3rd customer), and a status column whose
+    values match nothing and therefore vanish from the report. The
+    value-overlap scores recover the alignment with NO shared column
+    names. Oracle: the same distinct unpivots, value join, and
+    (jaccard DESC, col_b ASC) ranking window."""
+    from ..operators.schema_matching import schema_match
+
+    records, _, _ = _fs_customers(spark, sf_dir, corrupt="city")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").where(
+        F.col("c_custkey") % 3 == 0
+    )
+    web = c.select(
+        F.when(
+            F.col("c_custkey") % 2 == 0, F.upper(F.col("c_name"))
+        )
+        .otherwise(F.col("c_name"))
+        .alias("full_name"),
+        F.concat(F.lit("city_"), F.col("c_nationkey").cast("string")).alias(
+            "town"
+        ),
+        F.lpad(
+            ((F.col("c_custkey") * 7919) % 10000000).cast("string"), 7, "0"
+        ).alias("tel"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("active"))
+        .otherwise(F.lit("inactive"))
+        .alias("status"),
+    )
+    return schema_match(
+        records,
+        web,
+        ["name", "city", "phone"],
+        ["full_name", "town", "tel", "status"],
+    )
+
+
+def _er_schema_match_sql() -> str:
+    def unpivot(src: str, cols: "list[str]", out: str) -> str:
+        sels = "\n        UNION ALL ".join(
+            f"SELECT '{c}' AS {out}, trim({c}::VARCHAR) AS val FROM {src}"
+            for c in cols
+        )
+        return (
+            f"SELECT DISTINCT {out}, val FROM ({sels}) "
+            "WHERE val IS NOT NULL AND val <> ''"
+        )
+
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               CASE WHEN rec_id % 20 = 0 THEN 'unknown' ELSE city END,
+               phone
+        FROM clean WHERE rec_id % 10 = 0),
+    web AS (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_name)
+                    ELSE c_name END AS full_name,
+               'city_' || c_nationkey::VARCHAR AS town,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS tel,
+               CASE WHEN c_custkey % 2 = 0 THEN 'active'
+                    ELSE 'inactive' END AS status
+        FROM customer WHERE c_custkey % 3 = 0),
+    ua AS MATERIALIZED ({unpivot('records', ['name', 'city', 'phone'],
+                                 'col_a')}),
+    ub AS MATERIALIZED ({unpivot('web',
+                                 ['full_name', 'town', 'tel', 'status'],
+                                 'col_b')}),
+    na AS (SELECT col_a, count(*)::BIGINT AS n_a FROM ua GROUP BY col_a),
+    nb AS (SELECT col_b, count(*)::BIGINT AS n_b FROM ub GROUP BY col_b),
+    inter AS (
+        SELECT ua.col_a, ub.col_b, count(*)::BIGINT AS n_common
+        FROM ua JOIN ub USING (val) GROUP BY 1, 2),
+    scored AS (
+        SELECT i.col_a, i.col_b, na.n_a, nb.n_b, i.n_common,
+               round(i.n_common::DOUBLE
+                     / (na.n_a + nb.n_b - i.n_common)::DOUBLE, 6)
+                   AS jaccard,
+               round(i.n_common::DOUBLE / na.n_a::DOUBLE, 6)
+                   AS containment_a,
+               round(i.n_common::DOUBLE / nb.n_b::DOUBLE, 6)
+                   AS containment_b
+        FROM inter i JOIN na USING (col_a) JOIN nb USING (col_b))
+    SELECT *, row_number() OVER (
+               PARTITION BY col_a
+               ORDER BY jaccard DESC, col_b ASC)::BIGINT AS rank
+    FROM scored
+"""
+
+
+ER_SCHEMA_MATCH_SQL = _er_schema_match_sql()
 
 
 KCORE_K = 2
@@ -11021,6 +11277,9 @@ QUERIES = {
     "crawl_hostgraph": q_crawl_hostgraph,
     "docs_bpe_learn": q_docs_bpe_learn,
     "events_stream_late_audit": q_events_stream_late_audit,
+    "er_fd_profile": q_er_fd_profile,
+    "er_schema_match": q_er_schema_match,
+    "crawl_hits": q_crawl_hits,
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
     "er_truth_discovery": q_er_truth_discovery,
@@ -11193,6 +11452,9 @@ ORACLES = {
     "crawl_hostgraph": CRAWL_HOSTGRAPH_SQL,
     "docs_bpe_learn": DOCS_BPE_SQL,
     "events_stream_late_audit": EVENTS_STREAM_LATE_AUDIT_SQL,
+    "er_fd_profile": ER_FD_SQL,
+    "er_schema_match": ER_SCHEMA_MATCH_SQL,
+    "crawl_hits": CRAWL_HITS_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
     "er_truth_discovery": ER_TRUTH_SQL,
@@ -11277,7 +11539,8 @@ ORACLES = {
 _NEVER_DRIVER_CHECKED = [
     # wave 16 is newest — it leads the window
     "er_star_clustering", "crawl_hostgraph", "docs_bpe_learn",
-    "events_stream_late_audit",
+    "events_stream_late_audit", "er_fd_profile", "er_schema_match",
+    "crawl_hits",
     # the round-4 second-wave ER block is next
     "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
     "er_progressive", "er_truth_discovery", "er_group_linkage",
