@@ -366,3 +366,71 @@ def test_hits_separates_hubs_from_authorities(spark):
 def test_hits_empty_and_self_loops(spark):
     e = spark.createDataFrame([(7, 7)], "src long, dst long")
     assert hits(e).count() == 0
+
+
+# ----------------------------------- wave 18: link prediction / anchor text
+
+from type_filtered_entity_linker_spark.operators.graph import (  # noqa: E402
+    adamic_adar,
+)
+
+
+def test_adamic_adar_recovers_path_closure(spark):
+    # o—A—B path: the only non-adjacent pair with a common neighbor
+    # is (o, B), scored 1/ln(deg(A)) = 1/ln(2)
+    import math
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    rows = adamic_adar(e).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b, r.n_common) == (1, 3, 1)
+    assert abs(r.aa_score - round(1.0 / math.log(2), 6)) < 1e-9
+
+
+def test_adamic_adar_excludes_existing_edges_and_caps_hubs(spark):
+    import math
+
+    # triangle 1-2-3 plus hub 9 connected to all: pairs within the
+    # triangle are adjacent -> excluded; (1,2),(1,3),(2,3) adjacency
+    # covers everything except pairs through the hub... add leaf 4-9:
+    # (4,1) share neighbor 9 only
+    edges = [(1, 2), (2, 3), (1, 3), (9, 1), (9, 2), (9, 3), (9, 4)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = {(r.id_a, r.id_b): r for r in adamic_adar(e).collect()}
+    # (1,4) common neighbor = hub 9 (deg 4)
+    assert abs(out[(1, 4)].aa_score - round(1.0 / math.log(4), 6)) < 1e-9
+    # capping at degree 3 removes the hub from the common-neighbor
+    # role: (1,4) disappears
+    capped = {
+        (r.id_a, r.id_b)
+        for r in adamic_adar(e, max_degree=3).collect()
+    }
+    assert (1, 4) not in capped
+
+
+from type_filtered_entity_linker_spark.operators.linkgraph import (  # noqa: E402
+    anchor_text_index,
+)
+
+
+def test_anchor_text_index_counts_and_rank(spark):
+    rows = [
+        ("https://s.example/1",
+         b'<a href="https://t.example/a">acme</a>'
+         b'<a href="https://t.example/b">acme</a>'
+         b'<a href="https://t.example/c">zeta</a>'
+         b'<a href="/rel">skipme</a>'),
+        ("https://s.example/2",
+         b'<a href="https://t.example/d">beta</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = [
+        (r.term, r.n_mentions, r.rank)
+        for r in anchor_text_index(df, top_k=2)
+        .orderBy("rank")
+        .collect()
+    ]
+    # relative href -> host '' -> filtered; acme twice, beta/zeta tie
+    # broken term-ASC at rank 2
+    assert out == [("acme", 2, 1), ("beta", 1, 2)]

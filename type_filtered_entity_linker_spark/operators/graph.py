@@ -486,3 +486,63 @@ def hits(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         .select("node", F.round("hub", 6).alias("hub"),
                 F.round("authority", 6).alias("authority"))
     )
+
+
+def adamic_adar(
+    edges: DataFrame, max_degree: "int | None" = None
+) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected graph: score
+    every NON-adjacent pair that shares at least one neighbor by
+    sum over common neighbors w of 1/ln(deg(w)) — common neighbors
+    count, rare common neighbors count more. In the ER similarity
+    graph this is the missed-match suggester: blocking never
+    generated the pair, or its direct score fell below threshold,
+    but the neighborhood asserts it (an o—A—B path predicts o—B).
+    Complements cluster_conflicts' n_unscored audit from the
+    generative side.
+
+    Scale shape: one wedge self-join keyed by the common neighbor —
+    fanout per node w is deg(w)², the same head-shape as triangle
+    counting BUT without the degree-orientation rescue (link
+    prediction needs every wedge, not one per triangle). The standard
+    mitigation is principled here, not a shortcut: a super-hub
+    contributes 1/ln(deg) ≈ 0 per wedge while generating deg² of
+    them, so ``max_degree`` excludes nodes above the cap from the
+    COMMON-NEIGHBOR role (their edges still count toward degrees and
+    adjacency). None = exact over all wedges. A common neighbor
+    always has degree >= 2, so ln(deg) > 0 by construction.
+
+    Returns (id_a, id_b, n_common, aa_score) with id_a < id_b,
+    existing edges excluded, aa_score rounded to 1e-6.
+    """
+    half = edges.where(F.col("src") != F.col("dst")).select("src", "dst")
+    sym = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    deg = sym.groupBy(F.col("src").alias("w")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    mid = deg if max_degree is None else deg.where(
+        F.col("deg") <= max_degree
+    )
+    # wedges through w: (a, w) x (w, b), a < b
+    left = sym.select(F.col("dst").alias("w"), F.col("src").alias("a"))
+    right = sym.select(F.col("src").alias("w"), F.col("dst").alias("b"))
+    # join degrees BEFORE the wedge self-join: filtering capped hubs
+    # first shrinks the explosive join's input, and the degree table
+    # is node-sized (never force-broadcast it — Catalyst may still
+    # choose broadcast when it fits)
+    right_deg = right.join(mid, "w")
+    wedges = left.join(right_deg, "w").where(F.col("a") < F.col("b"))
+    scored = wedges.groupBy(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
+    ).agg(
+        F.count("*").cast("long").alias("n_common"),
+        F.round(F.sum(F.lit(1.0) / F.log(F.col("deg"))), 6).alias(
+            "aa_score"
+        ),
+    )
+    existing = sym.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    return scored.join(existing, ["id_a", "id_b"], "left_anti")

@@ -113,3 +113,54 @@ def host_authority(
             F.coalesce("n_outlinks", F.lit(0)).alias("n_outlinks"),
         )
     )
+
+
+_ANCHOR_TAG_RE = r'<a href="[^"]*">[^<]*</a>'
+
+
+def anchor_text_index(
+    pages: DataFrame,
+    top_k: int = 3,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Anchor-text index per TARGET host — the classic web-search
+    signal (the text of links pointing AT a page describes it better
+    than the page describes itself; Brin & Page '98 §2.2 made it a
+    first-class index). Parsing is two-stage so each engine's
+    single-group regex API suffices: extract whole anchor tags, then
+    pull the href and the inner text out of each tag separately.
+
+    Scale shape: tag extraction + both field parses are generated
+    columns inside one projection (JVM codegen, html pruned after);
+    the aggregate is keyed by (target host, term); the top-k window
+    partitions by host over at most |distinct terms per host| rows.
+
+    Returns (host, term, n_mentions, rank) for rank <= top_k, rank
+    ordered by (count DESC, term ASC).
+    """
+    from pyspark.sql import Window
+
+    tags = pages.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col(html_col).cast("string"), F.lit(_ANCHOR_TAG_RE), 0
+            )
+        ).alias("tag")
+    )
+    parsed = tags.select(
+        host_of(F.regexp_extract("tag", r'href="([^"]+)"', 1)).alias(
+            "host"
+        ),
+        F.regexp_extract("tag", r">([^<]*)<", 1).alias("term"),
+    ).where((F.col("host") != "") & (F.col("term") != ""))
+    counts = parsed.groupBy("host", "term").agg(
+        F.count("*").cast("long").alias("n_mentions")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_mentions").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+    )

@@ -3675,6 +3675,82 @@ def _er_star_oracle_sql(rounds: int) -> str:
 ER_STAR_SQL = _er_star_oracle_sql(ER_STAR_ROUNDS)
 
 
+def q_er_link_prediction(spark, sf_dir) -> DataFrame:
+    """Adamic–Adar link prediction (operators/graph.py adamic_adar)
+    over the conflict-corpus similarity graph at the pivot threshold —
+    the missed-match suggester: on every planted o—A—B path the o—B
+    pair (whose direct FS score fell below the edge threshold) is
+    recovered through the shared neighbor A with score 1/ln(deg(A)).
+    What transitive closure silently ASSERTS, link prediction puts in
+    a ranked review queue with evidence attached. Oracle: the same
+    wedge join, degree weights, and existing-edge anti-join."""
+    from ..operators.graph import adamic_adar
+
+    _, scored = _conflict_records_scored(spark, sf_dir)
+    edges = scored.where(F.col("score") >= ER_PIVOT_EDGE).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return adamic_adar(edges)
+
+
+def _er_link_prediction_sql() -> str:
+    agrees, score = _fs_agree_score_sql()
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               city, phone
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id + 2000000, substr(name, 1, length(name) - 2),
+               'unknown',
+               CASE WHEN rec_id % 30 = 0 THEN '99' || substr(phone, 3)
+                    ELSE phone END
+        FROM clean WHERE rec_id % 10 = 0),
+    pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM records a JOIN records b
+          ON a.phone = b.phone AND a.rec_id < b.rec_id),
+    ag AS (
+        SELECT p.id_a, p.id_b, {', '.join(agrees)}
+        FROM pairs p
+        JOIN records a ON p.id_a = a.rec_id
+        JOIN records b ON p.id_b = b.rec_id),
+    sc AS (SELECT id_a, id_b, round({score}, 6) AS score FROM ag),
+    base AS (SELECT id_a AS src, id_b AS dst FROM sc
+             WHERE score >= {ER_PIVOT_EDGE!r}),
+    sym AS MATERIALIZED (
+        SELECT src, dst FROM base UNION SELECT dst, src FROM base),
+    deg AS MATERIALIZED (
+        SELECT src AS w, count(*)::BIGINT AS deg FROM sym GROUP BY src),
+    wed AS (
+        SELECT l.a, r.b, d.deg
+        FROM (SELECT dst AS w, src AS a FROM sym) l
+        JOIN (SELECT src AS w, dst AS b FROM sym) r USING (w)
+        JOIN deg d USING (w)
+        WHERE l.a < r.b),
+    sc2 AS (
+        SELECT a AS id_a, b AS id_b, count(*)::BIGINT AS n_common,
+               round(sum(1.0::DOUBLE / ln(deg::DOUBLE)), 6) AS aa_score
+        FROM wed GROUP BY 1, 2)
+    SELECT s.id_a, s.id_b, s.n_common, s.aa_score
+    FROM sc2 s
+    LEFT JOIN (SELECT src AS id_a, dst AS id_b FROM sym
+               WHERE src < dst) ex
+      ON ex.id_a = s.id_a AND ex.id_b = s.id_b
+    WHERE ex.id_a IS NULL
+"""
+
+
+ER_LINK_PREDICTION_SQL = _er_link_prediction_sql()
+
+
 def q_er_incremental_attach(spark, sf_dir) -> DataFrame:
     """Incremental ER — the nightly-batch shape: the clean customers
     are the EXISTING entity table, the dirty copies arrive as the NEW
@@ -6982,7 +7058,9 @@ def _linked_pages(spark, sf_dir) -> DataFrame:
             (((F.col("doc_id") * 31 + j) % n) % h).cast("string"),
             F.lit(".example/p/"),
             ((F.col("doc_id") * 31 + j) % n).cast("string"),
-            F.lit('">l</a>'),
+            F.lit('">d'),
+            ((F.col("doc_id") * 31 + j) % n).cast("string"),
+            F.lit("</a>"),
         )
         for j in (1, 2, 3)
     ]
@@ -7009,7 +7087,8 @@ def _host_edge_ctes() -> "list[str]":
         f"(((doc_id*31 + {j}) % (SELECT n FROM nd)) % {h})::VARCHAR"
         " || '.example/p/' || "
         f"((doc_id*31 + {j}) % (SELECT n FROM nd))::VARCHAR"
-        " || '\">l</a>'"
+        " || '\">d' || "
+        f"((doc_id*31 + {j}) % (SELECT n FROM nd))::VARCHAR || '</a>'"
     )
     return [
         "nd AS (SELECT count(*) AS n FROM documents)",
@@ -7150,6 +7229,52 @@ def _crawl_hits_sql(n_iter: int) -> str:
 
 
 CRAWL_HITS_SQL = _crawl_hits_sql(HITS_ITER)
+
+
+ANCHOR_TOP_K = 3
+
+
+def q_crawl_anchor_text(spark, sf_dir) -> DataFrame:
+    """Anchor-text index (operators/linkgraph.py anchor_text_index)
+    over the linked pages: top-k terms used in links POINTING AT each
+    host — the Brin & Page '98 signal that describes a page by its
+    inbound link text. Two-stage tag parse (whole <a> tags, then href
+    and inner text separately) so single-group regex APIs suffice in
+    both engines. Oracle: same tag extraction, parse, count, and
+    (count DESC, term ASC) top-k window."""
+    from ..operators.linkgraph import anchor_text_index
+
+    return anchor_text_index(
+        _linked_pages(spark, sf_dir), top_k=ANCHOR_TOP_K
+    )
+
+
+def _crawl_anchor_text_sql(top_k: int) -> str:
+    parts = _host_edge_ctes()[:2] + [
+        "tags AS (SELECT unnest(regexp_extract_all(html, "
+        "'<a href=\"[^\"]*\">[^<]*</a>', 0)) AS tag FROM pages)",
+        "parsed AS (SELECT regexp_extract("
+        "regexp_extract(tag, 'href=\"([^\"]+)\"', 1), "
+        "'^https?://([^/]+)', 1) AS host, "
+        "regexp_extract(tag, '>([^<]*)<', 1) AS term FROM tags)",
+        "counts AS (SELECT host, term, count(*)::BIGINT AS n_mentions "
+        "FROM parsed WHERE host <> '' AND term <> '' GROUP BY 1, 2)",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT host, term, n_mentions, rank FROM (
+        SELECT host, term, n_mentions,
+               row_number() OVER (PARTITION BY host
+                   ORDER BY n_mentions DESC, term ASC)::BIGINT AS rank
+        FROM counts)
+    WHERE rank <= {top_k}
+"""
+    )
+
+
+CRAWL_ANCHOR_TEXT_SQL = _crawl_anchor_text_sql(ANCHOR_TOP_K)
 
 
 BPE_MERGES = 6
@@ -11280,6 +11405,8 @@ QUERIES = {
     "er_fd_profile": q_er_fd_profile,
     "er_schema_match": q_er_schema_match,
     "crawl_hits": q_crawl_hits,
+    "er_link_prediction": q_er_link_prediction,
+    "crawl_anchor_text": q_crawl_anchor_text,
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
     "er_truth_discovery": q_er_truth_discovery,
@@ -11455,6 +11582,8 @@ ORACLES = {
     "er_fd_profile": ER_FD_SQL,
     "er_schema_match": ER_SCHEMA_MATCH_SQL,
     "crawl_hits": CRAWL_HITS_SQL,
+    "er_link_prediction": ER_LINK_PREDICTION_SQL,
+    "crawl_anchor_text": CRAWL_ANCHOR_TEXT_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
     "er_truth_discovery": ER_TRUTH_SQL,
@@ -11540,7 +11669,7 @@ _NEVER_DRIVER_CHECKED = [
     # wave 16 is newest — it leads the window
     "er_star_clustering", "crawl_hostgraph", "docs_bpe_learn",
     "events_stream_late_audit", "er_fd_profile", "er_schema_match",
-    "crawl_hits",
+    "crawl_hits", "er_link_prediction", "crawl_anchor_text",
     # the round-4 second-wave ER block is next
     "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
     "er_progressive", "er_truth_discovery", "er_group_linkage",
