@@ -434,3 +434,49 @@ def test_anchor_text_index_counts_and_rank(spark):
     # relative href -> host '' -> filtered; acme twice, beta/zeta tie
     # broken term-ASC at rank 2
     assert out == [("acme", 2, 1), ("beta", 1, 2)]
+
+
+def test_bpe_subword_counts_applies_learned_merges(spark):
+    # low x2, lower x1 after 3 merges: low -> [low</w>],
+    # lower -> [low, e, r, </w>]
+    from type_filtered_entity_linker_spark.operators.bpe import (
+        bpe_subword_counts,
+    )
+
+    docs = spark.createDataFrame([("low low lower",)], "text string")
+    out = {
+        r.subword: (r.n_occurrences, r.rank)
+        for r in bpe_subword_counts(docs, n_merges=3, top_k=10).collect()
+    }
+    assert out["low</w>"] == (2, 1)
+    # count-1 four-way tie broken subword-ASC: </w> < e < low < r
+    assert out["</w>"][0] == 1 and out["low"][0] == 1
+    assert [s for s, v in sorted(out.items(), key=lambda kv: kv[1][1])] == [
+        "low</w>", "</w>", "e", "low", "r"
+    ]
+
+
+def test_robust_anomalies_flags_spike_and_degenerate_scale(spark):
+    from type_filtered_entity_linker_spark.operators.diagnostics import (
+        robust_anomalies,
+    )
+
+    rows = (
+        # user 1: values 1..7 plus a 100 spike; median 2.5... build
+        # explicit: [1,2,2,3,3,4,100] -> med 3, MAD of |x-3| =
+        # [2,1,1,0,0,1,97] -> med 1 -> z(100)=(97)/(1.4826)=65.4 flag
+        [(1, i, v) for i, v in enumerate([1, 2, 2, 3, 3, 4, 100])]
+        # user 2: constant 5s then a 6 -> MAD 0 branch: the 6 flags
+        + [(2, i, 5) for i in range(4)] + [(2, 9, 6)]
+    )
+    df = spark.createDataFrame(rows, "user_id long, slot long, n long")
+    out = {
+        (r.user_id, r.slot): r
+        for r in robust_anomalies(df, ["user_id"], "slot", "n").collect()
+    }
+    spike = out[(1, 6)]
+    assert spike.is_anomaly and abs(spike.robust_z - round(97 / 1.4826, 6)) < 1e-6
+    assert not out[(1, 0)].is_anomaly
+    deg = out[(2, 9)]
+    assert deg.mad == 0.0 and deg.robust_z is None and deg.is_anomaly
+    assert not out[(2, 0)].is_anomaly

@@ -66,6 +66,56 @@ def bpe_merges(
     per rule: (merge_rank, pair_a, pair_b, merged, pair_count) where
     pair_count is the frequency-weighted adjacent-pair count at
     election time (i.e. AFTER all earlier merges were applied)."""
+    bests, _ = _learn(docs, n_merges, text_col)
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        "merge_rank",
+        F.col("pa").alias("pair_a"),
+        F.col("pb").alias("pair_b"),
+        F.concat("pa", "pb").alias("merged"),
+        "pair_count",
+    )
+
+
+def bpe_subword_counts(
+    docs: DataFrame,
+    n_merges: int = 6,
+    top_k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """The APPLY side of the tokenizer loop: learn ``n_merges`` rules,
+    tokenize the vocabulary with them, and report the top-k resulting
+    subwords by frequency-weighted occurrence count — what the
+    trained tokenizer's unit distribution actually looks like (the
+    sanity check run before freezing a vocab). Same plumbing as
+    bpe_merges; one extra explode + hash aggregate + top-k window at
+    the end. Rank orders (count DESC, subword ASC)."""
+    from pyspark.sql import Window
+
+    _, words = _learn(docs, n_merges, text_col)
+    counts = (
+        words.select(
+            "cnt", F.explode(F.col("syms")).alias("subword")
+        )
+        .groupBy("subword")
+        .agg(F.sum("cnt").cast("long").alias("n_occurrences"))
+    )
+    w = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("subword").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+    )
+
+
+def _learn(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> "tuple[list[DataFrame], DataFrame]":
+    """Shared learn loop: returns (per-round 1-row winner DataFrames,
+    the fully-merged word-frequency table)."""
     words = (
         docs.select(
             F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
@@ -117,13 +167,4 @@ def bpe_merges(
             .select("cnt", F.expr(_FOLD).alias("syms"))
             .localCheckpoint(eager=True)
         )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out.select(
-        "merge_rank",
-        F.col("pa").alias("pair_a"),
-        F.col("pb").alias("pair_b"),
-        F.concat("pa", "pb").alias("merged"),
-        "pair_count",
-    )
+    return bests, words

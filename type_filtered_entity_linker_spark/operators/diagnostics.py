@@ -248,3 +248,55 @@ def powerlaw_alpha(
             6,
         ).alias("top_key_pair_share"),
     )
+
+
+def robust_anomalies(
+    df: DataFrame,
+    key_cols: "list[str]",
+    slot_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Median/MAD robust outlier detection per key — the monitoring
+    primitive for per-entity time series (a user's hourly event
+    counts, a host's daily crawl volume): a slot is anomalous when
+    its robust z-score |x − median| / (1.4826·MAD) exceeds ``k``.
+    Median+MAD instead of mean+stddev because the contaminated slots
+    this exists to find would otherwise inflate their own yardstick
+    (the classic breakdown-point argument; 1.4826 rescales MAD to σ
+    under normality).
+
+    Degenerate-scale contract: when a key's MAD is 0 (over half its
+    slots share one value) robust_z is NULL and a slot is anomalous
+    iff it deviates from the median AT ALL — the strictest consistent
+    reading, and deterministic in both engines.
+
+    Shape: two median aggregates per key (Spark median == DuckDB
+    median: interpolating, double) joined back — three key-partitioned
+    shuffles total, no window sort. Returns key_cols + (slot_col,
+    value, med, mad, robust_z [6dp, NULL at MAD 0], is_anomaly).
+    """
+    vals = df.select(
+        *key_cols, F.col(slot_col), F.col(value_col).alias("value")
+    )
+    med = vals.groupBy(*key_cols).agg(F.median("value").alias("med"))
+    j = vals.join(med, key_cols)
+    mad = (
+        j.select(*key_cols, F.abs(F.col("value") - F.col("med")).alias("d"))
+        .groupBy(*key_cols)
+        .agg(F.median("d").alias("mad"))
+    )
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return j.join(mad, key_cols).select(
+        *key_cols,
+        slot_col,
+        "value",
+        "med",
+        "mad",
+        F.when(F.col("mad") > 0, F.round(z, 6)).alias("robust_z"),
+        F.when(
+            F.col("mad") > 0, F.abs(z) > F.lit(float(k))
+        )
+        .otherwise(F.col("value") != F.col("med"))
+        .alias("is_anomaly"),
+    )

@@ -7296,7 +7296,10 @@ def q_docs_bpe_learn(spark, sf_dir) -> DataFrame:
     return bpe_merges(_docs(spark, sf_dir), n_merges=BPE_MERGES)
 
 
-def _bpe_sql(n_merges: int) -> str:
+def _bpe_parts(n_merges: int, fold_last: bool) -> "list[str]":
+    """The BPE learn chain as CTEs; ``fold_last`` additionally applies
+    the final merge so w{n_merges} is the fully-merged vocabulary
+    (the apply oracle needs it; the learn oracle stops at best{n})."""
     parts = [
         """toks AS (
         SELECT unnest(string_split(text, ' ')) AS word FROM documents)""",
@@ -7316,7 +7319,7 @@ def _bpe_sql(n_merges: int) -> str:
         parts.append(f"""best{r} AS MATERIALIZED (
         SELECT {r}::BIGINT AS merge_rank, a AS pa, b AS pb, pair_count
         FROM pc{r} ORDER BY pair_count DESC, a ASC, b ASC LIMIT 1)""")
-        if r < n_merges:
+        if r < n_merges or fold_last:
             parts.append(f"""fold{r} AS (
         SELECT cnt, 1 AS pos, [syms[1]] AS acc, syms FROM w{p_}
         UNION ALL
@@ -7330,6 +7333,11 @@ def _bpe_sql(n_merges: int) -> str:
         FROM fold{r} WHERE pos < len(syms))""")
             parts.append(f"""w{r} AS MATERIALIZED (
         SELECT cnt, acc AS syms FROM fold{r} WHERE pos = len(syms))""")
+    return parts
+
+
+def _bpe_sql(n_merges: int) -> str:
+    parts = _bpe_parts(n_merges, fold_last=False)
     union = "\n    UNION ALL ".join(
         f"SELECT merge_rank, pa AS pair_a, pb AS pair_b, "
         f"pa || pb AS merged, pair_count FROM best{r}"
@@ -7346,6 +7354,90 @@ DOCS_BPE_SQL = _bpe_sql(BPE_MERGES)
 # violated by the truncated-name copies + hash collisions, name→phone
 # by truncation collisions, city→phone catastrophically (city is a
 # 25-value column) — the spread is the point of the report
+def q_events_anomaly(spark, sf_dir) -> DataFrame:
+    """Median/MAD robust anomaly detection
+    (operators/diagnostics.py robust_anomalies) over per-user hourly
+    event counts — the per-entity monitoring primitive (bot spike /
+    dead sensor detection) whose yardstick the outliers themselves
+    cannot inflate. Most fixture users have MAD 0 (sparse hourly
+    counts dominated by 1s), exercising the degenerate-scale branch;
+    heavy users get real robust z-scores. Oracle: both engines'
+    interpolating median, the 1.4826 normal-consistency constant as
+    an explicit DOUBLE."""
+    from ..operators.diagnostics import robust_anomalies
+
+    hourly = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("hour_start")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return robust_anomalies(hourly, ["user_id"], "hour_start", "n")
+
+
+EVENTS_ANOMALY_SQL = """
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_start,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2),
+    med AS (SELECT user_id, median(n) AS med FROM hourly
+            GROUP BY user_id),
+    j AS (SELECT h.user_id, h.hour_start, h.n, m.med
+          FROM hourly h JOIN med m USING (user_id)),
+    mad AS (SELECT user_id, median(abs(n - med)) AS mad FROM j
+            GROUP BY user_id)
+    SELECT j.user_id, j.hour_start, j.n AS value, j.med, mad.mad,
+           CASE WHEN mad.mad > 0
+                THEN round((j.n - j.med)
+                           / (1.4826::DOUBLE * mad.mad), 6)
+           END AS robust_z,
+           CASE WHEN mad.mad > 0
+                THEN abs((j.n - j.med)
+                         / (1.4826::DOUBLE * mad.mad)) > 3.0::DOUBLE
+                ELSE j.n <> j.med END AS is_anomaly
+    FROM j JOIN mad USING (user_id)
+"""
+
+
+BPE_APPLY_TOP_K = 20
+
+
+def q_docs_bpe_apply(spark, sf_dir) -> DataFrame:
+    """Tokenizer-loop closure (operators/bpe.py bpe_subword_counts):
+    learn the 6 merges, tokenize the vocabulary with them, report the
+    top-20 subwords by weighted occurrence — the unit-distribution
+    sanity check before freezing a vocab. Oracle: the learn chain
+    with the final fold applied, then unnest + count + top-k."""
+    from ..operators.bpe import bpe_subword_counts
+
+    return bpe_subword_counts(
+        _docs(spark, sf_dir), n_merges=BPE_MERGES, top_k=BPE_APPLY_TOP_K
+    )
+
+
+def _bpe_apply_sql(n_merges: int, top_k: int) -> str:
+    parts = _bpe_parts(n_merges, fold_last=True)
+    parts.append(f"""counts AS (
+        SELECT s.sub AS subword, sum(w.cnt)::BIGINT AS n_occurrences
+        FROM w{n_merges} w, unnest(w.syms) AS s(sub) GROUP BY 1)""")
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT subword, n_occurrences, rank FROM (
+        SELECT subword, n_occurrences,
+               row_number() OVER (ORDER BY n_occurrences DESC,
+                                  subword ASC)::BIGINT AS rank
+        FROM counts)
+    WHERE rank <= {top_k}
+"""
+    )
+
+
+DOCS_BPE_APPLY_SQL = _bpe_apply_sql(BPE_MERGES, BPE_APPLY_TOP_K)
+
+
 ER_FD_DEPS = [
     ("rec_id", "name"),
     ("phone", "name"),
@@ -11407,6 +11499,8 @@ QUERIES = {
     "crawl_hits": q_crawl_hits,
     "er_link_prediction": q_er_link_prediction,
     "crawl_anchor_text": q_crawl_anchor_text,
+    "docs_bpe_apply": q_docs_bpe_apply,
+    "events_anomaly": q_events_anomaly,
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
     "er_truth_discovery": q_er_truth_discovery,
@@ -11584,6 +11678,8 @@ ORACLES = {
     "crawl_hits": CRAWL_HITS_SQL,
     "er_link_prediction": ER_LINK_PREDICTION_SQL,
     "crawl_anchor_text": CRAWL_ANCHOR_TEXT_SQL,
+    "docs_bpe_apply": DOCS_BPE_APPLY_SQL,
+    "events_anomaly": EVENTS_ANOMALY_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
     "er_truth_discovery": ER_TRUTH_SQL,
@@ -11670,6 +11766,7 @@ _NEVER_DRIVER_CHECKED = [
     "er_star_clustering", "crawl_hostgraph", "docs_bpe_learn",
     "events_stream_late_audit", "er_fd_profile", "er_schema_match",
     "crawl_hits", "er_link_prediction", "crawl_anchor_text",
+    "docs_bpe_apply", "events_anomaly",
     # the round-4 second-wave ER block is next
     "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
     "er_progressive", "er_truth_discovery", "er_group_linkage",
