@@ -480,3 +480,108 @@ def test_robust_anomalies_flags_spike_and_degenerate_scale(spark):
     deg = out[(2, 9)]
     assert deg.mad == 0.0 and deg.robust_z is None and deg.is_anomaly
     assert not out[(2, 0)].is_anomaly
+
+
+# ------------------------------------------ wave 20: stable matching
+
+from type_filtered_entity_linker_spark.operators.matching import (  # noqa: E402
+    stable_matching,
+)
+
+BIPAIRS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),    # left ids
+        st.integers(min_value=10, max_value=14),  # right ids
+        st.integers(min_value=0, max_value=9),    # score
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+def ref_gale_shapley(pairs):
+    """Sequential left-proposing deferred acceptance; preferences
+    (score DESC, partner id ASC) on both sides."""
+    score = {(a, b): s for a, b, s in pairs}
+    prefs = {}
+    for a, b, s in pairs:
+        prefs.setdefault(a, []).append(b)
+    for a in prefs:
+        prefs[a].sort(key=lambda b: (-score[(a, b)], b))
+    nxt = {a: 0 for a in prefs}
+    eng = {}
+    free = sorted(prefs)
+    while free:
+        a = free.pop()
+        while nxt[a] < len(prefs[a]):
+            b = prefs[a][nxt[a]]
+            nxt[a] += 1
+            cur = eng.get(b)
+            if cur is None:
+                eng[b] = a
+                break
+            if (score[(a, b)], -a) > (score[(cur, b)], -cur):
+                eng[b] = a
+                free.append(cur)
+                break
+    return {(a, b) for b, a in eng.items()}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(BIPAIRS)
+def test_stable_matching_equals_sequential_gs(spark, pairs):
+    df = spark.createDataFrame(
+        [(a, b, float(s)) for a, b, s in pairs],
+        "id_a long, id_b long, score double",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in stable_matching(df, max_rounds=30).collect()
+    }
+    assert got == ref_gale_shapley(pairs)
+    # no blocking pair: for every scored pair (a,b) NOT matched,
+    # a must not prefer b over its partner while b prefers a
+    score = {(a, b): s for a, b, s in pairs}
+    part_a = {a: b for a, b in got}
+    part_b = {b: a for a, b in got}
+
+    def pref_a(a, b):
+        cur = part_a.get(a)
+        if cur is None:
+            return True
+        return (score[(a, b)], -b) > (score[(a, cur)], -cur)
+
+    def pref_b(b, a):
+        cur = part_b.get(b)
+        if cur is None:
+            return True
+        return (score[(a, b)], -a) > (score[(cur, b)], -cur)
+
+    for a, b, s in pairs:
+        if (a, b) not in got:
+            assert not (pref_a(a, b) and pref_b(b, a)), (a, b, got)
+
+
+def test_stable_matching_bump_chain(spark):
+    # classic displacement chain: left 0 bumps left 1 off right 10,
+    # left 1 falls back to right 11
+    df = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 3.0), (0, 10, 9.0)],
+        "id_a long, id_b long, score double",
+    )
+    got = {(r.id_a, r.id_b) for r in stable_matching(df).collect()}
+    assert got == {(0, 10), (1, 11)}
+
+
+def test_stable_matching_raises_when_capped(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 3.0), (0, 10, 9.0)],
+        "id_a long, id_b long, score double",
+    )
+    with pytest.raises(RuntimeError, match="stable_matching"):
+        stable_matching(df, max_rounds=1)

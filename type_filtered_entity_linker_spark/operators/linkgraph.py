@@ -164,3 +164,69 @@ def anchor_text_index(
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= top_k)
     )
+
+
+def mirror_hosts(
+    links: DataFrame, tau: float = 0.8
+) -> DataFrame:
+    """Mirror-host detection: host pairs whose DISTINCT outlink-target
+    sets overlap at Jaccard >= tau — mirrors, aggregator clones, and
+    parked-domain farms replicate link structure even when body text
+    is templated away, so this catches what content dedup misses (and
+    at corpus scale a mirror farm silently multiplies every document
+    it hosts).
+
+    Exact set-similarity via a target-keyed equi-join: (host, target)
+    distinct pairs joined on target, counted per host pair, Jaccard
+    from the per-host set sizes. Scale note: per-target fanout is
+    (#hosts linking to it)^2 — a web-famous target is the Zipf head
+    here, the same shape dedup_allpairs solves losslessly with a
+    rarest-token prefix filter; at fixture scale the exact join IS
+    the right plan, and the AllPairs machinery
+    (operators/set_similarity.py) is the documented scale path.
+
+    Returns (host_a, host_b, n_a, n_b, n_common, jaccard) with
+    host_a < host_b and jaccard >= tau, jaccard rounded to 1e-6.
+    """
+    hs = (
+        links.select(
+            host_of("url").alias("host"), F.col("out_url").alias("t")
+        )
+        .where(F.col("host") != "")
+        .distinct()
+    )
+    sizes = hs.groupBy("host").agg(F.count("*").cast("long").alias("n"))
+    common = (
+        hs.alias("a")
+        .join(hs.alias("b"), "t")
+        .where(F.col("a.host") < F.col("b.host"))
+        .groupBy(
+            F.col("a.host").alias("host_a"),
+            F.col("b.host").alias("host_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    jac = F.round(
+        F.col("n_common")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        6,
+    )
+    return (
+        common.join(
+            sizes.select(
+                F.col("host").alias("host_a"), F.col("n").alias("n_a")
+            ),
+            "host_a",
+        )
+        .join(
+            sizes.select(
+                F.col("host").alias("host_b"), F.col("n").alias("n_b")
+            ),
+            "host_b",
+        )
+        .select(
+            "host_a", "host_b", "n_a", "n_b", "n_common",
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= tau)
+    )

@@ -372,3 +372,96 @@ def attach_best(
             F.col("b.s").alias("best_score"),
         )
     )
+
+
+def stable_matching(
+    pairs: DataFrame,
+    left_col: str = "id_a",
+    right_col: str = "id_b",
+    score_col: str = "score",
+    max_rounds: int = 20,
+    stats: "list | None" = None,
+) -> DataFrame:
+    """Gale–Shapley STABLE one-to-one matching (deferred acceptance,
+    left-proposing) — the third resolver in the matching family.
+    mutual_best maximizes per-pair agreement, greedy_matching
+    replicates the global score-sorted pass; stable matching instead
+    guarantees NO BLOCKING PAIR: no unmatched (a, b) both preferring
+    each other over their assigned partners — the property record
+    stewards actually audit ('why is a linked to b' when a higher-
+    scoring b' was free'). Preferences on both sides are (score DESC,
+    partner id ASC); missing pairs are mutually unacceptable.
+
+    Computed as parallel rounds of deferred acceptance: every free
+    left proposes to its best not-yet-rejecting right; each right
+    tentatively holds the best of {current hold} ∪ {new proposals}
+    under (score DESC, left id ASC); losers' pairs are REJECTED and
+    removed. By the McVitie–Wilson order-independence theorem the
+    fixpoint equals the sequential left-proposing Gale–Shapley
+    outcome (the left-optimal stable matching) regardless of proposal
+    interleaving — so the parallel rounds are exact, not an
+    approximation.
+
+    Scale shape per round: one anti-join (free lefts), two
+    row_number windows keyed by the respective side (per-record
+    candidate fanout is blocking-bounded), two anti-joins for
+    rejection pruning; remaining/engaged are localCheckpoint'ed (flat
+    lineage). RAISES RuntimeError if free lefts with options survive
+    ``max_rounds`` (the greedy_matching convention; the oracle
+    unrolls the same bound and is idempotent past the fixpoint).
+
+    Returns (left_col, right_col, score_col) — the left-optimal
+    stable matching.
+    """
+    rem = pairs.select(left_col, right_col, score_col).localCheckpoint(
+        eager=True
+    )
+    eng = rem.limit(0).localCheckpoint(eager=True)
+    for r in range(1, max_rounds + 1):
+        free = rem.select(left_col).distinct().join(
+            eng.select(left_col), left_col, "left_anti"
+        )
+        n_free = free.count()
+        if n_free == 0:
+            break
+        wa = Window.partitionBy(left_col).orderBy(
+            F.col(score_col).desc(), F.col(right_col).asc()
+        )
+        props = (
+            rem.join(free, left_col)
+            .withColumn("_rn", F.row_number().over(wa))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        cont = eng.unionByName(props)
+        wb = Window.partitionBy(right_col).orderBy(
+            F.col(score_col).desc(), F.col(left_col).asc()
+        )
+        eng = (
+            cont.withColumn("_rn", F.row_number().over(wb))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
+        )
+        rej = cont.join(eng, [left_col, right_col], "left_anti")
+        rem = rem.join(
+            rej.select(left_col, right_col),
+            [left_col, right_col],
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        if stats is not None:
+            stats.append({"round": r, "free": n_free})
+    # re-check AFTER the loop: a run whose final round converges at
+    # exactly max_rounds is a success, not a timeout
+    n_left = (
+        rem.select(left_col)
+        .distinct()
+        .join(eng.select(left_col), left_col, "left_anti")
+        .count()
+    )
+    if n_left > 0:
+        raise RuntimeError(
+            f"stable_matching did not converge in {max_rounds} rounds "
+            f"({n_left} free proposers remain); raise max_rounds"
+        )
+    return eng.select(left_col, right_col, score_col)

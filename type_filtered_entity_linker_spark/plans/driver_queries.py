@@ -4613,6 +4613,65 @@ def _er_greedy_oracle_sql(rounds: int) -> str:
 ER_GREEDY_SQL = _er_greedy_oracle_sql(GREEDY_ROUNDS)
 
 
+GS_ROUNDS = 12
+
+
+def q_er_stable_matching(spark, sf_dir) -> DataFrame:
+    """Gale–Shapley stable matching (operators/matching.py
+    stable_matching) over the SAME FS-scored bipartite pairs as
+    er_mutual_best and er_greedy_matching — the three-resolver
+    comparison on one input: reciprocal agreement, global greedy, and
+    the no-blocking-pair guarantee. Parallel deferred-acceptance
+    rounds equal the sequential left-proposing outcome by
+    McVitie–Wilson order-independence. Oracle: the rounds unrolled
+    (free proposers → per-left best remaining → per-right tentative
+    hold → rejection pruning), idempotent past the fixpoint."""
+    from ..operators.matching import stable_matching
+
+    return stable_matching(
+        _fs_bipartite_pairs(spark, sf_dir), max_rounds=GS_ROUNDS
+    )
+
+
+def _er_stable_oracle_sql(rounds: int) -> str:
+    stages = []
+    for r in range(1, rounds + 1):
+        p_ = r - 1
+        stages.append(f"""
+    free{r} AS (SELECT DISTINCT id_a FROM rem{p_}
+                WHERE id_a NOT IN (SELECT id_a FROM eng{p_})),
+    prop{r} AS MATERIALIZED (
+        SELECT id_a, id_b, score FROM (
+            SELECT r.id_a, r.id_b, r.score,
+                   row_number() OVER (PARTITION BY r.id_a
+                       ORDER BY r.score DESC, r.id_b) AS rn
+            FROM rem{p_} r JOIN free{r} f ON f.id_a = r.id_a)
+        WHERE rn = 1),
+    cont{r} AS (SELECT id_a, id_b, score FROM eng{p_}
+                UNION ALL SELECT id_a, id_b, score FROM prop{r}),
+    eng{r} AS MATERIALIZED (
+        SELECT id_a, id_b, score FROM (
+            SELECT c.*, row_number() OVER (PARTITION BY c.id_b
+                       ORDER BY c.score DESC, c.id_a) AS rn
+            FROM cont{r} c)
+        WHERE rn = 1),
+    rej{r} AS (SELECT c.id_a, c.id_b FROM cont{r} c
+               WHERE NOT EXISTS (SELECT 1 FROM eng{r} e
+                   WHERE e.id_a = c.id_a AND e.id_b = c.id_b)),
+    rem{r} AS MATERIALIZED (
+        SELECT r.id_a, r.id_b, r.score FROM rem{p_} r
+        WHERE NOT EXISTS (SELECT 1 FROM rej{r} x
+            WHERE x.id_a = r.id_a AND x.id_b = r.id_b))""")
+    return f"""{_fs_bipartite_ctes()},
+    rem0 AS MATERIALIZED (SELECT id_a, id_b, score FROM dec),
+    eng0 AS (SELECT id_a, id_b, score FROM dec LIMIT 0),{','.join(stages)}
+    SELECT id_a, id_b, score FROM eng{rounds}
+"""
+
+
+ER_STABLE_SQL = _er_stable_oracle_sql(GS_ROUNDS)
+
+
 def q_er_monge_elkan(spark, sf_dir) -> DataFrame:
     """Monge–Elkan hybrid similarity (operators/matching.py) over the
     dirty-customer truth + distractor pairs, on the concatenated
@@ -7275,6 +7334,81 @@ def _crawl_anchor_text_sql(top_k: int) -> str:
 
 
 CRAWL_ANCHOR_TEXT_SQL = _crawl_anchor_text_sql(ANCHOR_TOP_K)
+
+
+MIRROR_HOST_IDS = 5  # hosts site0..site4 get planted mirrors
+MIRROR_TAU = 0.8
+
+
+def q_crawl_mirrors(spark, sf_dir) -> DataFrame:
+    """Mirror-host detection (operators/linkgraph.py mirror_hosts):
+    five planted mirror hosts replicate site0..site4's pages verbatim
+    under mirrorN.example urls; their outlink-target sets are
+    identical, so each (mirrorN, siteN) pair surfaces at Jaccard 1.0
+    while organic host pairs stay far below the 0.8 threshold. Oracle:
+    same distinct (host, target) sets, target-keyed join, Jaccard."""
+    from ..operators.linkgraph import (
+        extract_outlinks,
+        host_of,
+        mirror_hosts,
+    )
+
+    pages = _linked_pages(spark, sf_dir)
+    mirrored = pages.where(
+        host_of("url").isin(
+            [f"site{i}.example" for i in range(MIRROR_HOST_IDS)]
+        )
+    ).select(
+        F.regexp_replace(
+            "url", r"^https://site([0-9]+)\.example/",
+            "https://mirror$1.example/",
+        ).alias("url"),
+        "html",
+    )
+    return mirror_hosts(
+        extract_outlinks(pages.unionByName(mirrored)), tau=MIRROR_TAU
+    )
+
+
+def _crawl_mirrors_sql(n_mirror: int, tau: float) -> str:
+    parts = _host_edge_ctes()[:2] + [
+        f"mpages AS (SELECT doc_id, 'https://mirror' || "
+        f"(doc_id % {HOSTGRAPH_HOSTS})::VARCHAR || '.example/d/' || "
+        f"doc_id::VARCHAR AS url, html FROM pages "
+        f"WHERE doc_id % {HOSTGRAPH_HOSTS} < {n_mirror})",
+        "allp AS (SELECT url, html FROM pages "
+        "UNION ALL SELECT url, html FROM mpages)",
+        "links2 AS (SELECT url, unnest(regexp_extract_all(html, "
+        "'href=\"([^\"]+)\"', 1)) AS out_url FROM allp)",
+        "hs AS MATERIALIZED (SELECT DISTINCT "
+        "regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
+        "out_url AS t FROM links2 "
+        "WHERE regexp_extract(url, '^https?://([^/]+)', 1) <> '')",
+        "sizes AS (SELECT host, count(*)::BIGINT AS n FROM hs "
+        "GROUP BY host)",
+        "common AS (SELECT a.host AS host_a, b.host AS host_b, "
+        "count(*)::BIGINT AS n_common "
+        "FROM hs a JOIN hs b USING (t) WHERE a.host < b.host "
+        "GROUP BY 1, 2)",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT c.host_a, c.host_b, sa.n AS n_a, sb.n AS n_b, c.n_common,
+           round(c.n_common::DOUBLE
+                 / (sa.n + sb.n - c.n_common)::DOUBLE, 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.host = c.host_a
+    JOIN sizes sb ON sb.host = c.host_b
+    WHERE round(c.n_common::DOUBLE
+                / (sa.n + sb.n - c.n_common)::DOUBLE, 6)
+          >= {tau!r}
+"""
+    )
+
+
+CRAWL_MIRRORS_SQL = _crawl_mirrors_sql(MIRROR_HOST_IDS, MIRROR_TAU)
 
 
 BPE_MERGES = 6
@@ -11501,6 +11635,8 @@ QUERIES = {
     "crawl_anchor_text": q_crawl_anchor_text,
     "docs_bpe_apply": q_docs_bpe_apply,
     "events_anomaly": q_events_anomaly,
+    "crawl_mirrors": q_crawl_mirrors,
+    "er_stable_matching": q_er_stable_matching,
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
     "er_truth_discovery": q_er_truth_discovery,
@@ -11680,6 +11816,8 @@ ORACLES = {
     "crawl_anchor_text": CRAWL_ANCHOR_TEXT_SQL,
     "docs_bpe_apply": DOCS_BPE_APPLY_SQL,
     "events_anomaly": EVENTS_ANOMALY_SQL,
+    "crawl_mirrors": CRAWL_MIRRORS_SQL,
+    "er_stable_matching": ER_STABLE_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
     "er_truth_discovery": ER_TRUTH_SQL,
@@ -11766,7 +11904,8 @@ _NEVER_DRIVER_CHECKED = [
     "er_star_clustering", "crawl_hostgraph", "docs_bpe_learn",
     "events_stream_late_audit", "er_fd_profile", "er_schema_match",
     "crawl_hits", "er_link_prediction", "crawl_anchor_text",
-    "docs_bpe_apply", "events_anomaly",
+    "docs_bpe_apply", "events_anomaly", "crawl_mirrors",
+    "er_stable_matching",
     # the round-4 second-wave ER block is next
     "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
     "er_progressive", "er_truth_discovery", "er_group_linkage",
