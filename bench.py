@@ -258,6 +258,22 @@ HEADLINE = [
     "crawl_hostgraph",
     "docs_bpe_learn",
     "events_stream_late_audit",
+    # wave 17: FD (g3) key-quality profile, instance-based schema
+    # matching, HITS hubs/authorities
+    "er_fd_profile",
+    "er_schema_match",
+    "crawl_hits",
+    # wave 18: Adamic-Adar missed-match suggester, inbound anchor text
+    "er_link_prediction",
+    "crawl_anchor_text",
+    # wave 19: BPE tokenizer application, median/MAD anomaly monitor
+    "docs_bpe_apply",
+    "events_anomaly",
+    # wave 20: mirror-host detection, Gale-Shapley stable matching
+    "crawl_mirrors",
+    "er_stable_matching",
+    # wave 21: TrustRank seed-biased spam demotion
+    "crawl_trustrank",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
