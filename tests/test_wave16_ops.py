@@ -585,3 +585,23 @@ def test_stable_matching_raises_when_capped(spark):
     )
     with pytest.raises(RuntimeError, match="stable_matching"):
         stable_matching(df, max_rounds=1)
+
+
+def test_trustrank_decays_from_seeds_and_handles_no_seeds(spark):
+    from type_filtered_entity_linker_spark.operators.graph import (
+        trustrank,
+    )
+
+    # seed 1 -> 2 -> 3; isolated pair 8 <-> 9 unreachable from seeds
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9), (9, 8)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.trust for r in trustrank(e, seeds).collect()}
+    # trust enters only at 1 and decays along the chain
+    assert out[1] > out[2] > out[3] > 0
+    assert out[8] == 0.0 and out[9] == 0.0
+    # no effective seeds (seed not in graph) -> all-zero, not a crash
+    ghost = spark.createDataFrame([(77,)], "node long")
+    out2 = {r.node: r.trust for r in trustrank(e, ghost).collect()}
+    assert set(out2.values()) == {0.0}

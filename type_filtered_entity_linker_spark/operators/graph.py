@@ -546,3 +546,94 @@ def adamic_adar(
         F.col("src").alias("id_a"), F.col("dst").alias("id_b")
     )
     return scored.join(existing, ["id_a", "id_b"], "left_anti")
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB'04):
+    PageRank with the teleport mass restricted to a SEED set of
+    trusted nodes — trust flows out from hand-verified hosts along
+    links, and spam hosts (reachable mainly from other spam) end up
+    with near-zero trust even when raw PageRank ranks them well. The
+    standard crawl-curation demotion signal next to host_authority's
+    neutral rank.
+
+    Same determinism/parity conventions as pagerank: self-loops
+    dropped, multi-edges collapsed, dangling mass redistributed — to
+    the SEED distribution here, not uniformly — and scores re-rounded
+    to 1e-9 per iteration, 1e-6 on output. ``seeds`` is a one-column
+    DataFrame (``node``); seeds absent from the graph are ignored,
+    and an empty effective seed set returns all-zero trust rather
+    than dividing by zero (the graph has no trusted entry points —
+    itself a finding).
+
+    Scale shape per iteration: identical to pagerank (one edge-score
+    join + dst-keyed aggregate + one dangling-mass scalar) plus a
+    broadcast-joined seed indicator column resolved once up front.
+
+    Returns (node, trust) for every node in the simple graph.
+    """
+    e = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_nodes = nodes.join(
+        seeds.select("node").distinct(), "node", "semi"
+    )
+    nodes = (
+        nodes.join(
+            seed_nodes.withColumn("_s", F.lit(1)), "node", "left"
+        )
+        .select("node", F.coalesce("_s", F.lit(0)).alias("is_seed"))
+        .localCheckpoint(eager=True)
+    )
+    n_seed = nodes.agg(F.sum("is_seed")).collect()[0][0] or 0
+    if n_seed == 0:
+        # empty graph or no trusted entry points: all-zero trust
+        return nodes.select("node", F.lit(0.0).alias("trust"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    src_nodes = e_deg.select(F.col("src").alias("node")).distinct()
+    # teleport vector: 1/|seeds| on seeds, 0 elsewhere — also the
+    # starting distribution (the TrustRank convention)
+    tele = F.col("is_seed") / F.lit(float(n_seed))
+    ranks = nodes.withColumn("r", tele)
+    for _ in range(n_iter):
+        contrib = (
+            e_deg.join(
+                ranks.select(F.col("node").alias("src"), "r"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("s"))
+        )
+        dangling = ranks.join(src_nodes, "node", "left_anti").agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm")
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "is_seed",
+                F.round(
+                    (F.lit(1.0 - damping) + F.lit(damping) * F.col("dm"))
+                    * tele
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s"), F.lit(0.0)),
+                    9,
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("r", 6).alias("trust"))

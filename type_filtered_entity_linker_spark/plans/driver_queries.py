@@ -7411,6 +7411,78 @@ def _crawl_mirrors_sql(n_mirror: int, tau: float) -> str:
 CRAWL_MIRRORS_SQL = _crawl_mirrors_sql(MIRROR_HOST_IDS, MIRROR_TAU)
 
 
+TRUST_SEED_HOSTS = [f"site{i}.example" for i in range(10)]
+
+
+def q_crawl_trustrank(spark, sf_dir) -> DataFrame:
+    """TrustRank (operators/graph.py trustrank) over the shared host
+    graph with site0..site9 as the trusted seed set — the biased-
+    teleport spam-demotion signal next to crawl_hostgraph's neutral
+    PageRank: trust mass enters ONLY at seeds and decays with link
+    distance, so hosts reachable mainly from outside the trusted
+    neighborhood score near zero even when raw centrality ranks them.
+    Oracle: the power iteration unrolled with the seed-restricted
+    teleport vector and seed-directed dangling mass."""
+    from ..operators.graph import trustrank
+    from ..operators.linkgraph import extract_outlinks, host_graph
+
+    hg = host_graph(extract_outlinks(_linked_pages(spark, sf_dir)))
+    e = hg.where(F.col("src_host") != F.col("dst_host")).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    seeds = spark.createDataFrame(
+        [(h,) for h in TRUST_SEED_HOSTS], "node string"
+    )
+    return trustrank(e, seeds, n_iter=PR_ITER, damping=PR_DAMPING)
+
+
+def _crawl_trustrank_sql(n_iter: int, damping: float) -> str:
+    seed_list = ", ".join(f"'{h}'" for h in TRUST_SEED_HOSTS)
+    tele = (
+        f"(CASE WHEN nodes.node IN ({seed_list}) "
+        f"THEN 1.0::DOUBLE / (SELECT k FROM seedn)::DOUBLE "
+        f"ELSE 0.0::DOUBLE END)"
+    )
+    parts = _host_edge_ctes() + [
+        f"seedn AS (SELECT count(*) AS k FROM nodes "
+        f"WHERE node IN ({seed_list}))",
+        "deg AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src)",
+        f"r0 AS (SELECT nodes.node, {tele} AS r FROM nodes)",
+    ]
+    prev = "r0"
+    for it in range(1, n_iter + 1):
+        parts.append(
+            f"dang{it} AS (SELECT coalesce(sum(r), 0.0) AS dm FROM {prev} "
+            f"WHERE node NOT IN (SELECT src FROM deg))"
+        )
+        parts.append(
+            f"c{it} AS (SELECT e.dst, sum(p.r/deg.deg) AS s "
+            f"FROM e JOIN deg USING (src) "
+            f"JOIN {prev} p ON p.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"r{it} AS (SELECT nodes.node, "
+            + _spark_round(
+                f"({1.0 - damping!r}::DOUBLE + {damping!r}::DOUBLE"
+                f" * (SELECT dm FROM dang{it})) * {tele} "
+                f"+ {damping!r}::DOUBLE * coalesce(c.s, 0.0::DOUBLE)",
+                9,
+            )
+            + f" AS r FROM nodes LEFT JOIN c{it} c ON c.dst = nodes.node)"
+        )
+        prev = f"r{it}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, {_spark_round('r')} AS trust FROM {prev}
+"""
+    )
+
+
+CRAWL_TRUSTRANK_SQL = _crawl_trustrank_sql(PR_ITER, PR_DAMPING)
+
+
 BPE_MERGES = 6
 
 
@@ -11637,6 +11709,7 @@ QUERIES = {
     "events_anomaly": q_events_anomaly,
     "crawl_mirrors": q_crawl_mirrors,
     "er_stable_matching": q_er_stable_matching,
+    "crawl_trustrank": q_crawl_trustrank,
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
     "er_truth_discovery": q_er_truth_discovery,
@@ -11818,6 +11891,7 @@ ORACLES = {
     "events_anomaly": EVENTS_ANOMALY_SQL,
     "crawl_mirrors": CRAWL_MIRRORS_SQL,
     "er_stable_matching": ER_STABLE_SQL,
+    "crawl_trustrank": CRAWL_TRUSTRANK_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
     "er_truth_discovery": ER_TRUTH_SQL,
@@ -11905,7 +11979,7 @@ _NEVER_DRIVER_CHECKED = [
     "events_stream_late_audit", "er_fd_profile", "er_schema_match",
     "crawl_hits", "er_link_prediction", "crawl_anchor_text",
     "docs_bpe_apply", "events_anomaly", "crawl_mirrors",
-    "er_stable_matching",
+    "er_stable_matching", "crawl_trustrank",
     # the round-4 second-wave ER block is next
     "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
     "er_progressive", "er_truth_discovery", "er_group_linkage",
