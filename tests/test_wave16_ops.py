@@ -605,3 +605,61 @@ def test_trustrank_decays_from_seeds_and_handles_no_seeds(spark):
     ghost = spark.createDataFrame([(77,)], "node long")
     out2 = {r.node: r.trust for r in trustrank(e, ghost).collect()}
     assert set(out2.values()) == {0.0}
+
+
+# ---------------------------------- wave 22: incremental dedup / retention
+
+
+def test_incremental_dedup_probes_new_side_only(spark):
+    from type_filtered_entity_linker_spark.operators.dedup import (
+        near_duplicates_incremental,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    old = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, base)],  # re-delivery of the duplicated old text
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in near_duplicates_incremental(old, new, 0.6).collect()
+    }
+    # old x old (1,2) is a perfect dup but must NOT appear; the new
+    # doc pairs with both old copies at jaccard 1.0
+    assert (1, 2) not in rows
+    assert rows[(1, 100)] == 1.0 and rows[(2, 100)] == 1.0
+    assert (3, 100) not in rows
+
+
+def test_cohort_retention_matrix(spark):
+    from datetime import datetime as d
+
+    from type_filtered_entity_linker_spark.operators.temporal import (
+        cohort_retention,
+    )
+
+    rows = [
+        # cohort week of Mon 2024-01-01: users 1,2
+        (1, d(2024, 1, 2, 10)), (2, d(2024, 1, 3, 11)),
+        # user 1 returns in week+1 and week+3; user 2 never returns
+        (1, d(2024, 1, 9, 9)), (1, d(2024, 1, 24, 9)),
+        # cohort week of Mon 2024-01-08: user 3, returns week+1
+        (3, d(2024, 1, 10, 8)), (3, d(2024, 1, 16, 8)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort_week.date().isoformat(), r.week_offset): (
+            r.n_active, r.n_cohort, r.retention_rate,
+        )
+        for r in cohort_retention(df).collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert out[("2024-01-01", 3)] == (1, 2, 0.5)
+    assert ("2024-01-01", 2) not in out
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert out[("2024-01-08", 1)] == (1, 1, 1.0)

@@ -99,6 +99,35 @@ def minhash_signatures(
     )
 
 
+def _banded(sigs: DataFrame, bands: int, k: int) -> DataFrame:
+    """(doc_id, band, bh) — the banded LSH bucket keys, one row per
+    (doc, band). Shared by the batch self-join and the incremental
+    new-side probe."""
+    rows_per_band = k // bands
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[j]
+                                for j in range(
+                                    bi * rows_per_band,
+                                    (bi + 1) * rows_per_band,
+                                )
+                            ]
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+
+
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, k: int = 64) -> DataFrame:
     """Banded LSH: docs sharing any band bucket become a candidate pair.
     (doc_a, doc_b) with doc_a < doc_b, distinct. Band hashes built by a
@@ -112,28 +141,7 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 16, k: int = 64) -> DataFr
     scale the same barrier is a reliable-storage checkpoint of the
     signature table — one row per doc, the cheapest table in the job."""
     sigs = sigs.localCheckpoint()
-    rows_per_band = k // bands
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[j]
-                                for j in range(
-                                    bi * rows_per_band, (bi + 1) * rows_per_band
-                                )
-                            ]
-                        ).alias("bh"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band", "b.bh")
+    banded = _banded(sigs, bands, k)
     l = banded.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     r = banded.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     return (
@@ -700,3 +708,57 @@ def winnowing_fingerprints(
         .where(F.col("wcnt") == F.least(F.lit(window), F.col("tot")))
     )
     return sel.select(F.col(id_col), F.col("wmin").alias("fp")).distinct()
+
+
+def near_duplicates_incremental(
+    existing: DataFrame,
+    new: DataFrame,
+    threshold: float = 0.6,
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup detection — the nightly-crawl-batch shape:
+    every near-dup pair involving AT LEAST ONE new document
+    (new-vs-existing and new-vs-new), while existing-vs-existing is
+    never re-examined. The band join probes FROM the new side only:
+    the left input is the new docs' band keys, the right the full
+    index, so old×old bucket pairs are structurally impossible rather
+    than filtered after the fact — at 10^12 stored documents the
+    difference between the two is the whole job. In production the
+    right side's signatures are the PERSISTED dedup index (one row
+    per doc — the checkpoint/tableio contract); here both sides are
+    computed from text so the operator stays self-contained, with one
+    localCheckpoint of the union signature table feeding both probe
+    sides (the r4 both-sides-recompute rule).
+
+    Same (k, bands) S-curve argument as near_duplicates_minhash: at
+    recall 1 for the threshold, output equals brute-force Jaccard
+    restricted to pairs with a new member.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    all_docs = existing.select("doc_id", "text").unionByName(
+        new.select("doc_id", "text")
+    )
+    sigs = minhash_signatures(
+        all_docs, k=k, shingle_n=shingle_n
+    ).localCheckpoint()
+    banded = _banded(sigs, bands, k)
+    probe = banded.join(
+        new.select("doc_id"), "doc_id", "semi"
+    ).select(F.col("doc_id").alias("doc_n"), "band", "bh")
+    cands = (
+        probe.join(
+            banded.select(F.col("doc_id").alias("doc_o"), "band", "bh"),
+            ["band", "bh"],
+        )
+        .where(F.col("doc_n") != F.col("doc_o"))
+        .select(
+            F.least("doc_n", "doc_o").alias("doc_a"),
+            F.greatest("doc_n", "doc_o").alias("doc_b"),
+        )
+        .distinct()
+    )
+    j = exact_jaccard(cands, all_docs, shingle_n)
+    return j.where(F.col("jaccard") >= threshold)

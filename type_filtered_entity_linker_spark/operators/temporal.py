@@ -148,3 +148,59 @@ def interval_overlap_join(
         )
         .drop("_bucket")
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention — the standard engagement matrix: users
+    grouped by first-seen week (the cohort), each later week's row
+    counting how many of them came back. On crawl/event telemetry the
+    same shape answers 'do hosts keep getting recrawled' / 'do users
+    return'; the matrix is the input to every retention chart.
+
+    Week boundaries are Monday-start (both engines' date_trunc
+    'week'); the offset is exact integer arithmetic (day difference of
+    two Monday truncations divided by 7), so there is no float in the
+    key path. Shape: one per-user min aggregate, one distinct
+    (user, week) projection, a user-keyed join, then a (cohort,
+    offset) count-distinct; cohort sizes broadcast back for the rate.
+
+    Returns (cohort_week, week_offset, n_active, n_cohort,
+    retention_rate [6dp]); week_offset 0 rows carry retention 1.0 by
+    construction.
+    """
+    first = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cw")
+    )
+    active = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("week", F.col(ts_col)).alias("w"),
+    ).distinct()
+    j = active.join(first, "u").select(
+        "u",
+        "cw",
+        (F.datediff(F.col("w"), F.col("cw")) / 7)
+        .cast("long")
+        .alias("week_offset"),
+    )
+    cells = j.groupBy("cw", "week_offset").agg(
+        F.countDistinct("u").cast("long").alias("n_active")
+    )
+    sizes = first.groupBy("cw").agg(
+        F.count("*").cast("long").alias("n_cohort")
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active") / F.col("n_cohort"), 6).alias(
+                "retention_rate"
+            ),
+        )
+    )

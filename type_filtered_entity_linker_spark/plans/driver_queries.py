@@ -787,6 +787,87 @@ def _jaccard_oracle_sql(
 DEDUP_MINHASH_SQL = _jaccard_oracle_sql(NEARDUP_CORPUS_SQL)
 
 
+def q_dedup_incremental(spark, sf_dir) -> DataFrame:
+    """Incremental near-dup detection (operators/dedup.py
+    near_duplicates_incremental) — the nightly-batch shape: existing
+    corpus = documents; the NEW batch holds near-copy variants (every
+    7th doc, first token dropped, +200000) plus verbatim
+    re-deliveries (every 13th doc, +300000 — the crawler fetched the
+    same page again). The band join probes from the new side only, so
+    existing×existing is structurally never re-paired; output is
+    every qualifying pair with >= 1 new member, including new×new
+    (doc 91 = 7·13 gets both a variant and a re-delivery, which pair
+    with each other). Oracle: brute-force shingle Jaccard over the
+    union corpus restricted to new-member pairs."""
+    from ..operators.dedup import near_duplicates_incremental
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    variants = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    redelivered = d.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    return near_duplicates_incremental(
+        d, variants.unionByName(redelivered), threshold=0.6
+    )
+
+
+INC_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id,
+           substr(text, position(' ' IN text) + 1) AS text
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id, text
+    FROM documents WHERE doc_id % 13 = 0
+"""
+
+DEDUP_INCREMENTAL_SQL = f"""
+    SELECT * FROM ({_jaccard_oracle_sql(INC_CORPUS_SQL)})
+    WHERE doc_a >= 200000 OR doc_b >= 200000
+"""
+
+
+def q_events_retention(spark, sf_dir) -> DataFrame:
+    """Weekly cohort retention (operators/temporal.py
+    cohort_retention) over the events table — users grouped by
+    first-seen week, each cell counting who came back N weeks later.
+    Monday-start weeks in both engines; the offset is exact integer
+    day arithmetic. Oracle: the same min-week cohorts, distinct
+    active weeks, and count-distinct cells."""
+    from ..operators.temporal import cohort_retention
+
+    return cohort_retention(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+EVENTS_RETENTION_SQL = """
+    WITH first AS (
+        SELECT user_id AS u, date_trunc('week', min(ts)) AS cw
+        FROM events GROUP BY user_id),
+    active AS (
+        SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS w
+        FROM events),
+    j AS (
+        SELECT a.u, f.cw,
+               (datediff('day', f.cw, a.w) / 7)::BIGINT AS week_offset
+        FROM active a JOIN first f ON f.u = a.u),
+    cells AS (
+        SELECT cw, week_offset, count(DISTINCT u)::BIGINT AS n_active
+        FROM j GROUP BY 1, 2),
+    sizes AS (SELECT cw, count(*)::BIGINT AS n_cohort
+              FROM first GROUP BY cw)
+    SELECT c.cw AS cohort_week, c.week_offset, c.n_active, s.n_cohort,
+           round(c.n_active::DOUBLE / s.n_cohort::DOUBLE, 6)
+               AS retention_rate
+    FROM cells c JOIN sizes s USING (cw)
+"""
+
+
 def q_dedup_ngram(spark, sf_dir) -> DataFrame:
     # max_doc_freq=None EXPLICITLY: this is the exact-Jaccard variant,
     # paired with the brute-force oracle — exact at any corpus scale by
@@ -11710,6 +11791,8 @@ QUERIES = {
     "crawl_mirrors": q_crawl_mirrors,
     "er_stable_matching": q_er_stable_matching,
     "crawl_trustrank": q_crawl_trustrank,
+    "dedup_incremental": q_dedup_incremental,
+    "events_retention": q_events_retention,
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
     "er_truth_discovery": q_er_truth_discovery,
@@ -11892,6 +11975,8 @@ ORACLES = {
     "crawl_mirrors": CRAWL_MIRRORS_SQL,
     "er_stable_matching": ER_STABLE_SQL,
     "crawl_trustrank": CRAWL_TRUSTRANK_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "events_retention": EVENTS_RETENTION_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
     "er_truth_discovery": ER_TRUTH_SQL,
@@ -11979,7 +12064,8 @@ _NEVER_DRIVER_CHECKED = [
     "events_stream_late_audit", "er_fd_profile", "er_schema_match",
     "crawl_hits", "er_link_prediction", "crawl_anchor_text",
     "docs_bpe_apply", "events_anomaly", "crawl_mirrors",
-    "er_stable_matching", "crawl_trustrank",
+    "er_stable_matching", "crawl_trustrank", "dedup_incremental",
+    "events_retention",
     # the round-4 second-wave ER block is next
     "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
     "er_progressive", "er_truth_discovery", "er_group_linkage",
