@@ -663,3 +663,60 @@ def test_cohort_retention_matrix(spark):
     assert ("2024-01-01", 2) not in out
     assert out[("2024-01-08", 0)] == (1, 1, 1.0)
     assert out[("2024-01-08", 1)] == (1, 1, 1.0)
+
+
+# ----------------------------------- wave 23: transitions / chunking
+
+
+def test_event_transitions_matrix(spark):
+    from datetime import datetime as d
+
+    from type_filtered_entity_linker_spark.operators.temporal import (
+        event_transitions,
+    )
+
+    rows = [
+        (1, d(2024, 1, 1, 1), "view"),
+        (1, d(2024, 1, 1, 2), "click"),
+        (1, d(2024, 1, 1, 3), "view"),
+        (1, d(2024, 1, 1, 4), "buy"),
+        (2, d(2024, 1, 1, 1), "view"),
+        (2, d(2024, 1, 1, 2), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        (r.from_state, r.to_state): (r.n, r.p)
+        for r in event_transitions(df).collect()
+    }
+    # from view: ->click 1, ->buy 1, ->view 1 (p = 1/3 each)
+    assert out[("view", "click")][0] == 1
+    assert out[("view", "view")][0] == 1
+    assert abs(out[("view", "buy")][1] - round(1 / 3, 6)) < 1e-9
+    assert out[("click", "view")] == (1, 1.0)
+    assert ("buy", "view") not in out  # terminal state has no row
+
+
+def test_chunk_overlap_boundaries(spark):
+    from type_filtered_entity_linker_spark.operators.curation import (
+        chunk_overlap,
+    )
+
+    text10 = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text10), (2, "a b"), (3, "   "), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_overlap(docs, chunk_tokens=8, overlap=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1 (10 tokens, stride 4): starts 0 and 4; second chunk short
+    c = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [(r.chunk_id, r.start_token, r.n_tokens) for r in c] == [
+        (0, 0, 8), (1, 4, 6),
+    ]
+    assert c[0].chunk_text.split() == [f"t{i}" for i in range(8)]
+    assert c[1].chunk_text.split() == [f"t{i}" for i in range(4, 10)]
+    # short doc: one chunk; whitespace-only and empty docs dropped
+    assert [(r.start_token, r.n_tokens) for r in by_doc[2]] == [(0, 2)]
+    assert 3 not in by_doc and 4 not in by_doc

@@ -733,3 +733,56 @@ def contrastive_pairs(
     return pos.withColumn("label", F.lit(1)).unionByName(
         neg.withColumn("label", F.lit(0))
     )
+
+
+def chunk_overlap(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-size overlapping token chunks — retrieval/embedding prep
+    (the RAG counterpart to pack_sequences' training prep): each doc
+    splits into windows of ``chunk_tokens`` whitespace tokens with
+    ``overlap`` tokens shared between neighbors, so no boundary
+    sentence is ever seen by zero chunks. Chunk starts are
+    0, stride, 2·stride, … below (size − overlap) with stride =
+    chunk_tokens − overlap (the huggingface convention: the final
+    window is the only short one, and no window is fully contained in
+    its predecessor). Zero-token docs are dropped.
+
+    All JVM: one split + sequence/transform explode per doc — no
+    shuffle at all until whatever consumes the chunks; per-row output
+    is bounded by ceil(size/stride) rows.
+
+    Returns (doc_id, chunk_id, start_token, n_tokens, chunk_text).
+    """
+    assert 0 <= overlap < chunk_tokens, "need 0 <= overlap < chunk"
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("l")
+    ).where(F.size("l") > 0)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("l") - overlap - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return base.select(
+        "doc_id",
+        F.posexplode(starts).alias("chunk_id", "start_token"),
+        F.col("l"),
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.least(
+            F.lit(chunk_tokens), F.size("l") - F.col("start_token")
+        ).cast("long").alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice("l", F.col("start_token") + 1, chunk_tokens)
+        ).alias("chunk_text"),
+    )

@@ -204,3 +204,48 @@ def cohort_retention(
             ),
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """First-order transition matrix over per-key event sequences:
+    for each ordered consecutive pair of states (by event time within
+    a key), the count and the row-normalized transition probability —
+    the Markov summary behind funnel debugging ('what actually
+    follows a view?') and bot detection (near-deterministic rows).
+
+    Determinism: ties in event time order by a documented secondary
+    sort on the state value, so same-timestamp events produce a
+    stable successor in both engines. Shape: one per-key window pass
+    for lead() (per-key ordering — per-key row counts bound the sort,
+    the asof_join caveat applies to pathological keys), then a
+    (from_state, to_state) hash aggregate and a broadcast-joined
+    per-from_state total.
+
+    Returns (from_state, to_state, n, p [6dp]).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(state_col).asc()
+    )
+    seq = events.select(
+        F.col(state_col).alias("from_state"),
+        F.lead(state_col).over(w).alias("to_state"),
+    ).where(F.col("to_state").isNotNull())
+    counts = seq.groupBy("from_state", "to_state").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    totals = counts.groupBy("from_state").agg(
+        F.sum("n").cast("long").alias("t")
+    )
+    return counts.join(F.broadcast(totals), "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.col("t"), 6).alias("p"),
+    )

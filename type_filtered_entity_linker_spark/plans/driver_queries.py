@@ -845,6 +845,80 @@ def q_events_retention(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_events_transitions(spark, sf_dir) -> DataFrame:
+    """First-order event-type transition matrix
+    (operators/temporal.py event_transitions): per-user consecutive
+    state pairs counted and row-normalized — funnel debugging and
+    bot-pattern detection in one table. Equal-timestamp ties order by
+    the state value in both engines. Oracle: the same lead() window
+    and per-from_state normalization."""
+    from ..operators.temporal import event_transitions
+
+    return event_transitions(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
+EVENTS_TRANSITIONS_SQL = """
+    WITH seq AS (
+        SELECT event_type AS from_state,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_type) AS to_state
+        FROM events),
+    counts AS (
+        SELECT from_state, to_state, count(*)::BIGINT AS n
+        FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2),
+    totals AS (SELECT from_state, sum(n)::BIGINT AS t
+               FROM counts GROUP BY 1)
+    SELECT c.from_state, c.to_state, c.n,
+           round(c.n::DOUBLE / t.t::DOUBLE, 6) AS p
+    FROM counts c JOIN totals t USING (from_state)
+"""
+
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def q_docs_chunk_overlap(spark, sf_dir) -> DataFrame:
+    """Overlapping token chunking (operators/curation.py
+    chunk_overlap) over the documents corpus — retrieval/embedding
+    prep: 64-token windows with 16 shared tokens between neighbors,
+    final window short, zero-token docs dropped. Oracle: the same
+    stride arithmetic via generate_series + list slicing."""
+    from ..operators.curation import chunk_overlap
+
+    return chunk_overlap(
+        _docs(spark, sf_dir),
+        chunk_tokens=CHUNK_TOKENS,
+        overlap=CHUNK_OVERLAP,
+    )
+
+
+DOCS_CHUNK_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           x -> x <> '') AS l
+        FROM documents),
+    base AS (SELECT doc_id, l FROM toks WHERE len(l) > 0),
+    ch AS (
+        SELECT doc_id, l, t.s AS start_token,
+               (t.s / {CHUNK_TOKENS - CHUNK_OVERLAP})::BIGINT AS chunk_id
+        FROM base, unnest(generate_series(
+            0, greatest(len(l) - {CHUNK_OVERLAP} - 1, 0),
+            {CHUNK_TOKENS - CHUNK_OVERLAP})) AS t(s))
+    SELECT doc_id, chunk_id, start_token::BIGINT AS start_token,
+           least({CHUNK_TOKENS}, len(l) - start_token)::BIGINT
+               AS n_tokens,
+           array_to_string(
+               l[start_token + 1 : start_token + {CHUNK_TOKENS}],
+               ' ') AS chunk_text
+    FROM ch
+"""
+
+
 EVENTS_RETENTION_SQL = """
     WITH first AS (
         SELECT user_id AS u, date_trunc('week', min(ts)) AS cw
@@ -11793,6 +11867,8 @@ QUERIES = {
     "crawl_trustrank": q_crawl_trustrank,
     "dedup_incremental": q_dedup_incremental,
     "events_retention": q_events_retention,
+    "events_transitions": q_events_transitions,
+    "docs_chunk_overlap": q_docs_chunk_overlap,
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
     "er_truth_discovery": q_er_truth_discovery,
@@ -11977,6 +12053,8 @@ ORACLES = {
     "crawl_trustrank": CRAWL_TRUSTRANK_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "events_retention": EVENTS_RETENTION_SQL,
+    "events_transitions": EVENTS_TRANSITIONS_SQL,
+    "docs_chunk_overlap": DOCS_CHUNK_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
     "er_truth_discovery": ER_TRUTH_SQL,
@@ -12065,7 +12143,7 @@ _NEVER_DRIVER_CHECKED = [
     "crawl_hits", "er_link_prediction", "crawl_anchor_text",
     "docs_bpe_apply", "events_anomaly", "crawl_mirrors",
     "er_stable_matching", "crawl_trustrank", "dedup_incremental",
-    "events_retention",
+    "events_retention", "events_transitions", "docs_chunk_overlap",
     # the round-4 second-wave ER block is next
     "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
     "er_progressive", "er_truth_discovery", "er_group_linkage",
