@@ -102,13 +102,16 @@ def bpe_subword_counts(
         .groupBy("subword")
         .agg(F.sum("cnt").cast("long").alias("n_occurrences"))
     )
+    # TakeOrdered first (scale-safe global top-k — no unpartitioned
+    # window over the full subword vocabulary), THEN rank the k
+    # surviving rows (a single tiny partition by construction)
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("subword").asc()
+    ).limit(top_k)
     w = Window.orderBy(
         F.col("n_occurrences").desc(), F.col("subword").asc()
     )
-    return (
-        counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= top_k)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 def _learn(
