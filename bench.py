@@ -274,6 +274,12 @@ HEADLINE = [
     "er_stable_matching",
     # wave 21: TrustRank seed-biased spam demotion
     "crawl_trustrank",
+    # wave 22: incremental new-batch near-dup probe, cohort retention
+    "dedup_incremental",
+    "events_retention",
+    # wave 23: event-transition matrix, RAG-style overlapping chunks
+    "events_transitions",
+    "docs_chunk_overlap",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
