@@ -12196,7 +12196,15 @@ _NEVER_DRIVER_CHECKED = [
 # er_isotonic_calibration, er_scorecard) and the wave-15 additions
 # (docs_topic_purity, el_collective_iterative) remain driver-unstamped
 # (builder gate verifies all of them exactly at sf0.01 meanwhile).
-# Round 5: move those ~48 to the head — they fit one 50-query window.
+# LATE-R4 UPDATE: waves 16-23 added 20 more entries at the very head
+# (er_star_clustering .. docs_chunk_overlap) — the r4 window stamps
+# those 20 plus the first 30 of the older rotation list; everything
+# after slips one more round. Round 5: rotate the full unstamped
+# residue (the lists above plus whatever r4's CORRECTNESS file shows
+# as still missing) to the head — ~60 entries, so round 5's window
+# covers most and round 6 finishes the tail. The builder gate
+# (scripts/check_oracles.py, run repeatedly this round: 183/183)
+# verifies every entry exactly meanwhile.
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED},
     **QUERIES,
