@@ -720,3 +720,22 @@ def test_chunk_overlap_boundaries(spark):
     # short doc: one chunk; whitespace-only and empty docs dropped
     assert [(r.start_token, r.n_tokens) for r in by_doc[2]] == [(0, 2)]
     assert 3 not in by_doc and 4 not in by_doc
+
+
+def test_edge_support_flags_bridges(spark):
+    from type_filtered_entity_linker_spark.operators.clustering import (
+        edge_support,
+    )
+
+    # triangle 1-2-3 plus a pendant bridge 3-4
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    out = {
+        (r.id_a, r.id_b): (r.n_common, r.is_bridge_suspect)
+        for r in edge_support(e).collect()
+    }
+    assert out[(1, 2)] == (1, False)
+    assert out[(2, 3)] == (1, False)
+    assert out[(1, 3)] == (1, False)
+    assert out[(3, 4)] == (0, True)

@@ -644,3 +644,55 @@ def repair_overmerges(
         F.lit(0).alias("repaired"),
     )
     return untouched.unionByName(repaired)
+
+
+def edge_support(edges: DataFrame) -> DataFrame:
+    """Structural support of every similarity edge: its embeddedness
+    (number of common neighbors of its endpoints) — the graph-QA
+    complement to cluster_conflicts' score-based audit. A confident
+    edge inside a real entity is usually embedded in triangles (the
+    other records agree with both endpoints); an embeddedness-0 edge
+    is a BRIDGE SUSPECT — the single thread holding two record groups
+    together, exactly where transitive closure over-merges (a true
+    bridge is always embeddedness-0; the converse fails only on
+    longer cycles, making this the standard cheap surrogate for
+    distributed bridge finding, which is inherently sequential).
+
+    Shape: one wedge join keyed by the shared endpoint joined back to
+    the canonical edge list — the triangle machinery's cost profile
+    (per-node fanout deg², so cap upstream hubs if the similarity
+    graph has them; after blocking it does not), then one hash
+    aggregate. Returns (id_a, id_b, n_common, is_bridge_suspect)
+    for every distinct non-self edge, id_a < id_b.
+    """
+    canon = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = canon.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).union(
+        canon.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    # common neighbors of (a, b): wedges a—w—b
+    l = sym.select(F.col("u").alias("a"), F.col("v").alias("w"))
+    r = sym.select(F.col("u").alias("w"), F.col("v").alias("b"))
+    wed = (
+        l.join(r, "w")
+        .where(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    return canon.join(wed, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        (F.coalesce("n_common", F.lit(0)) == 0).alias(
+            "is_bridge_suspect"
+        ),
+    )

@@ -3906,6 +3906,82 @@ def _er_link_prediction_sql() -> str:
 ER_LINK_PREDICTION_SQL = _er_link_prediction_sql()
 
 
+# below the o—B score (4.29): triangles close on intact components,
+# and ONLY the every-30th phone-rewritten cases (where B escaped the
+# blocking) leave o—A hanging as an embeddedness-0 bridge suspect
+ER_SUPPORT_EDGE = 4.0
+
+
+def q_er_edge_support(spark, sf_dir) -> DataFrame:
+    """Edge embeddedness audit (operators/clustering.py edge_support)
+    over the conflict corpus at a threshold that closes the planted
+    triangles: every intra-entity edge sits in a triangle
+    (embeddedness >= 1) EXCEPT the o—A edges whose third record
+    escaped phone blocking — those surface as embeddedness-0 bridge
+    suspects, the structural over-merge signal cluster_conflicts'
+    score audit cannot see. Oracle: the same wedge join + left join
+    back to the canonical edge list."""
+    from ..operators.clustering import edge_support
+
+    _, scored = _conflict_records_scored(spark, sf_dir)
+    edges = scored.where(F.col("score") >= ER_SUPPORT_EDGE).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return edge_support(edges)
+
+
+def _er_edge_support_sql() -> str:
+    agrees, score = _fs_agree_score_sql()
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    records AS (
+        SELECT * FROM clean
+        UNION ALL
+        SELECT rec_id + 1000000, substr(name, 1, length(name) - 1),
+               city, phone
+        FROM clean WHERE rec_id % 10 = 0
+        UNION ALL
+        SELECT rec_id + 2000000, substr(name, 1, length(name) - 2),
+               'unknown',
+               CASE WHEN rec_id % 30 = 0 THEN '99' || substr(phone, 3)
+                    ELSE phone END
+        FROM clean WHERE rec_id % 10 = 0),
+    pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM records a JOIN records b
+          ON a.phone = b.phone AND a.rec_id < b.rec_id),
+    ag AS (
+        SELECT p.id_a, p.id_b, {', '.join(agrees)}
+        FROM pairs p
+        JOIN records a ON p.id_a = a.rec_id
+        JOIN records b ON p.id_b = b.rec_id),
+    sc AS (SELECT id_a, id_b, round({score}, 6) AS score FROM ag),
+    canon AS MATERIALIZED (
+        SELECT DISTINCT least(id_a, id_b) AS id_a,
+               greatest(id_a, id_b) AS id_b
+        FROM sc WHERE score >= {ER_SUPPORT_EDGE!r}),
+    sym AS MATERIALIZED (
+        SELECT id_a AS u, id_b AS v FROM canon
+        UNION ALL SELECT id_b, id_a FROM canon),
+    wed AS (
+        SELECT l.a AS id_a, r.b AS id_b, count(*)::BIGINT AS n
+        FROM (SELECT v AS w, u AS a FROM sym) l
+        JOIN (SELECT u AS w, v AS b FROM sym) r USING (w)
+        WHERE l.a < r.b GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b, coalesce(w.n, 0)::BIGINT AS n_common,
+           coalesce(w.n, 0) = 0 AS is_bridge_suspect
+    FROM canon c LEFT JOIN wed w
+      ON w.id_a = c.id_a AND w.id_b = c.id_b
+"""
+
+
+ER_EDGE_SUPPORT_SQL = _er_edge_support_sql()
+
+
 def q_er_incremental_attach(spark, sf_dir) -> DataFrame:
     """Incremental ER — the nightly-batch shape: the clean customers
     are the EXISTING entity table, the dirty copies arrive as the NEW
@@ -11869,6 +11945,7 @@ QUERIES = {
     "events_retention": q_events_retention,
     "events_transitions": q_events_transitions,
     "docs_chunk_overlap": q_docs_chunk_overlap,
+    "er_edge_support": q_er_edge_support,
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
     "er_truth_discovery": q_er_truth_discovery,
@@ -12055,6 +12132,7 @@ ORACLES = {
     "events_retention": EVENTS_RETENTION_SQL,
     "events_transitions": EVENTS_TRANSITIONS_SQL,
     "docs_chunk_overlap": DOCS_CHUNK_SQL,
+    "er_edge_support": ER_EDGE_SUPPORT_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
     "er_truth_discovery": ER_TRUTH_SQL,
@@ -12144,6 +12222,7 @@ _NEVER_DRIVER_CHECKED = [
     "docs_bpe_apply", "events_anomaly", "crawl_mirrors",
     "er_stable_matching", "crawl_trustrank", "dedup_incremental",
     "events_retention", "events_transitions", "docs_chunk_overlap",
+    "er_edge_support",
     # the round-4 second-wave ER block is next
     "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
     "er_progressive", "er_truth_discovery", "er_group_linkage",
