@@ -739,3 +739,23 @@ def test_edge_support_flags_bridges(spark):
     assert out[(2, 3)] == (1, False)
     assert out[(1, 3)] == (1, False)
     assert out[(3, 4)] == (0, True)
+
+
+def test_stream_attach_registry_carries_across_batches(spark):
+    """Batch 0's B-copies spawn; batch 1's B2-copies (same
+    perturbation) attach to those SPAWNED entities — state crossing
+    micro-batches, which a stateless per-batch attach cannot do."""
+    from type_filtered_entity_linker_spark.plans.driver_queries import (
+        q_er_stream_attach,
+    )
+
+    rows = q_er_stream_attach(spark, "/root/testdata/sf0.001").collect()
+    b0 = [r for r in rows if r.batch_id == 0]
+    b2 = [r for r in rows if r.batch_id == 1 and r.rec_id >= 3000000]
+    assert b0 and all(not r.attached for r in b0)
+    assert b2 and all(
+        r.attached and r.cluster_id >= 2000000 for r in b2
+    )
+    # A-copies in batch 1 attach to the CLEAN originals
+    a = [r for r in rows if r.batch_id == 1 and r.rec_id < 2000000]
+    assert a and all(r.attached and r.cluster_id < 1000000 for r in a)

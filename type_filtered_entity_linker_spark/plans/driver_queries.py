@@ -4077,6 +4077,203 @@ def _er_attach_oracle_sql() -> str:
 ER_ATTACH_SQL = _er_attach_oracle_sql()
 
 
+_STREAM_ATTACH_GEN = "v1"
+
+
+def _staged_attach_batches(spark, sf_dir: str) -> str:
+    """Two record-batch files for the streaming registry: batch 1 =
+    B-style copies (+2e6: name−2, city blanked, every-30th phone
+    rewritten — they score ~4.3 vs their originals and SPAWN), batch
+    2 = A-style copies (+1e6: name−1 — attach to the clean originals)
+    ∪ B2-style copies (+3e6: the SAME perturbation as B — their best
+    match is the batch-1 SPAWNED entity, proving the registry state
+    carries across micro-batches)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    path = f"{sf_dir}/customer.parquet"
+    st = os.stat(path)
+    key = hashlib.md5(
+        f"att:{_STREAM_ATTACH_GEN}:{path}:{st.st_mtime_ns}:{st.st_size}"
+        .encode()
+    ).hexdigest()[:10]
+    stage = os.path.join(
+        tempfile.gettempdir(), f"attach_stream_src_{key}"
+    )
+    if not os.path.isdir(stage):
+        clean, copy_a, copy_b, copy_b2 = _attach_copies(spark, sf_dir)
+        build = tempfile.mkdtemp(prefix=f"att_build_{key}_")
+        stage_snapshot_files(
+            build, [(1, copy_b), (2, copy_a.unionByName(copy_b2))]
+        )
+        try:
+            os.rename(build, stage)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # lost the race
+    return stage
+
+
+def _attach_copies(spark, sf_dir):
+    """clean + the three perturbed copies used by the streaming
+    registry fixture (B and B2 share one perturbation rule — that
+    identity is what makes B2's best match the spawned B)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    phone = F.lpad(
+        ((F.col("c_custkey") * 7919) % 10000000).cast("string"), 7, "0"
+    )
+    clean = c.select(
+        F.col("c_custkey").alias("rec_id"),
+        F.col("c_name").alias("name"),
+        F.concat(F.lit("city_"), F.col("c_nationkey").cast("string")).alias(
+            "city"
+        ),
+        phone.alias("phone"),
+    )
+    tenth = clean.where(F.col("rec_id") % 10 == 0)
+
+    def b_style(offset: int) -> DataFrame:
+        return tenth.select(
+            (F.col("rec_id") + offset).alias("rec_id"),
+            F.expr("substring(name, 1, length(name) - 2)").alias("name"),
+            F.lit("unknown").alias("city"),
+            F.when(
+                F.col("rec_id") % 30 == 0,
+                F.concat(F.lit("99"), F.expr("substring(phone, 3)")),
+            )
+            .otherwise(F.col("phone"))
+            .alias("phone"),
+        )
+
+    copy_a = tenth.select(
+        (F.col("rec_id") + 1000000).alias("rec_id"),
+        F.expr("substring(name, 1, length(name) - 1)").alias("name"),
+        "city",
+        "phone",
+    )
+    return clean, copy_a, b_style(2000000), b_style(3000000)
+
+
+def q_er_stream_attach(spark, sf_dir) -> DataFrame:
+    """Streaming incremental ER (streaming/incremental.py
+    stream_entity_attach): the entity registry as streaming state.
+    Batch 1's B-copies spawn new entities; batch 2's A-copies attach
+    to the clean originals while its B2-copies attach to the entities
+    batch 1 SPAWNED — the cross-batch dependency a stateless attach
+    cannot produce. Oracle: the two-trigger schedule replayed in SQL
+    (block+score+argmax vs registry 1 = clean, fold spawns, then
+    block+score+argmax vs registry 2)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental import (
+        read_attach_assignments,
+        stream_entity_attach,
+    )
+
+    stage = _staged_attach_batches(spark, sf_dir)
+    clean, _, _, _ = _attach_copies(spark, sf_dir)
+    schema = spark.read.parquet(
+        os.path.join(stage, "snap_1.parquet")
+    ).schema
+    _STREAM_SEQ[0] += 1
+    wd = os.path.join(
+        tempfile.gettempdir(),
+        f"attach_wd_{_STREAM_SEQ[0]}_{os.getpid()}",
+    )
+    shutil.rmtree(wd, ignore_errors=True)
+    try:
+        root = stream_entity_attach(
+            spark,
+            stage,
+            wd,
+            schema,
+            clean,
+            FS_PARAMS,
+            FS_NEAR,
+            FS_UPPER,
+            FS_LOWER,
+            FS_UPPER,
+            max_files_per_trigger=1,
+        )
+        return read_attach_assignments(spark, root).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+def _er_stream_attach_sql() -> str:
+    agrees, score = _fs_agree_score_sql()
+
+    def stage_sql(reg: str, batch: str, bid: int, out: str) -> str:
+        return f"""
+    recs{bid} AS ({reg} UNION ALL SELECT * FROM {batch}),
+    pairs{bid} AS (
+        SELECT e.rec_id AS id_a, n.rec_id AS id_b
+        FROM ({reg}) e JOIN {batch} n ON e.phone = n.phone
+        UNION
+        SELECT e.rec_id, n.rec_id
+        FROM ({reg}) e JOIN {batch} n
+          ON substr(e.name, 1, 17) = substr(n.name, 1, 17)),
+    ag{bid} AS (
+        SELECT p.id_a, p.id_b, {', '.join(agrees)}
+        FROM pairs{bid} p
+        JOIN recs{bid} a ON p.id_a = a.rec_id
+        JOIN recs{bid} b ON p.id_b = b.rec_id),
+    sc{bid} AS (SELECT id_a, id_b, round({score}, 6) AS score
+                FROM ag{bid}),
+    best{bid} AS (
+        SELECT id_b, id_a, score, row_number() OVER (
+            PARTITION BY id_b ORDER BY score DESC, id_a ASC) AS rn
+        FROM sc{bid}),
+    b1_{bid} AS (SELECT id_b AS rec_id, id_a, score FROM best{bid}
+                 WHERE rn = 1),
+    {out} AS MATERIALIZED (
+        SELECT n.rec_id::BIGINT AS rec_id,
+               (CASE WHEN x.score >= {FS_UPPER!r} THEN x.id_a
+                     ELSE n.rec_id END)::BIGINT AS cluster_id,
+               coalesce(x.score >= {FS_UPPER!r}, FALSE) AS attached,
+               x.score AS best_score, {bid}::BIGINT AS batch_id
+        FROM {batch} n LEFT JOIN b1_{bid} x ON n.rec_id = x.rec_id)"""
+
+    return f"""
+    WITH clean AS (
+        SELECT c_custkey AS rec_id, c_name AS name,
+               'city_' || c_nationkey::VARCHAR AS city,
+               lpad(((c_custkey * 7919) % 10000000)::VARCHAR, 7, '0') AS phone
+        FROM customer),
+    tenth AS (SELECT * FROM clean WHERE rec_id % 10 = 0),
+    cb AS (SELECT rec_id + 2000000 AS rec_id,
+                  substr(name, 1, length(name) - 2) AS name,
+                  'unknown' AS city,
+                  CASE WHEN rec_id % 30 = 0 THEN '99' || substr(phone, 3)
+                       ELSE phone END AS phone
+           FROM tenth),
+    batch2 AS (
+        SELECT rec_id + 1000000 AS rec_id,
+               substr(name, 1, length(name) - 1) AS name, city, phone
+        FROM tenth
+        UNION ALL
+        SELECT rec_id + 3000000,
+               substr(name, 1, length(name) - 2), 'unknown',
+               CASE WHEN rec_id % 30 = 0 THEN '99' || substr(phone, 3)
+                    ELSE phone END
+        FROM tenth),
+    {stage_sql("SELECT * FROM clean", "cb", 0, "asg0")},
+    spawn0 AS (SELECT b.* FROM cb b
+               JOIN asg0 a ON a.rec_id = b.rec_id
+               WHERE NOT a.attached),
+    reg1 AS MATERIALIZED (
+        SELECT * FROM clean UNION ALL SELECT * FROM spawn0),
+    {stage_sql("SELECT * FROM reg1", "batch2", 1, "asg1")}
+    SELECT * FROM asg0 UNION ALL SELECT * FROM asg1
+"""
+
+
+ER_STREAM_ATTACH_SQL = _er_stream_attach_sql()
+
+
 def q_er_calibration(spark, sf_dir) -> DataFrame:
     """Score-calibration (reliability) table for the FS scorer over
     the sorted-neighborhood candidate pairs: per score band, the
@@ -11946,6 +12143,7 @@ QUERIES = {
     "events_transitions": q_events_transitions,
     "docs_chunk_overlap": q_docs_chunk_overlap,
     "er_edge_support": q_er_edge_support,
+    "er_stream_attach": q_er_stream_attach,
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
     "er_truth_discovery": q_er_truth_discovery,
@@ -12133,6 +12331,7 @@ ORACLES = {
     "events_transitions": EVENTS_TRANSITIONS_SQL,
     "docs_chunk_overlap": DOCS_CHUNK_SQL,
     "er_edge_support": ER_EDGE_SUPPORT_SQL,
+    "er_stream_attach": ER_STREAM_ATTACH_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
     "er_truth_discovery": ER_TRUTH_SQL,
@@ -12222,7 +12421,7 @@ _NEVER_DRIVER_CHECKED = [
     "docs_bpe_apply", "events_anomaly", "crawl_mirrors",
     "er_stable_matching", "crawl_trustrank", "dedup_incremental",
     "events_retention", "events_transitions", "docs_chunk_overlap",
-    "er_edge_support",
+    "er_edge_support", "er_stream_attach",
     # the round-4 second-wave ER block is next
     "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
     "er_progressive", "er_truth_discovery", "er_group_linkage",

@@ -631,3 +631,158 @@ def stream_binned_counts(
         .groupBy("bin_idx")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def stream_entity_attach(
+    spark: SparkSession,
+    batches_dir: str,
+    workdir: str,
+    schema: StructType,
+    existing: DataFrame,
+    fs_params: dict,
+    near: dict,
+    upper: float,
+    lower: float,
+    link_threshold: float,
+    max_files_per_trigger: "int | None" = 1,
+    metrics: list | None = None,
+) -> str:
+    """Streaming incremental ER — the entity REGISTRY as streaming
+    state: record batches arrive as files; each micro-batch blocks
+    (phone-exact ∪ name-prefix17) and Fellegi–Sunter-scores against
+    the CURRENT registry, attaches each record to its best entity
+    above the link threshold, and folds the spawns back in — so a
+    batch-2 record can attach to an entity a batch-1 record spawned,
+    which no stateless per-batch attach can do. This is
+    er_incremental_attach lifted to continuous operation, the
+    registry playing the role incremental_cluster_links' star edges
+    play for transitive clustering.
+
+    State layout mirrors the SCD2/cluster state contract: one
+    registry snapshot (``registry_<batch>``) + one assignment table
+    (``assign_<batch>``) per micro-batch under the state root, retry
+    fencing by reading the newest complete registry BELOW the current
+    batch id (a replayed batch re-derives the identical assignment
+    and overwrites only its own outputs), the streaming checkpoint
+    guaranteeing each file lands in exactly one batch. Scale note: a
+    production registry lives in a MERGE-capable table (Iceberg) and
+    appends spawns row-level; the in-loop math is unchanged.
+
+    ``metrics`` collects {batch_id, n_batch, n_attached, n_spawned}
+    per trigger. Returns the state root; assignments =
+    union of ``assign_*`` (one row per record:
+    rec_id, cluster_id, attached, best_score, batch_id).
+    """
+    from ..operators.fellegi_sunter import fellegi_sunter_scores
+    from ..operators.matching import attach_best
+
+    state_root = os.path.join(workdir, "attach_state")
+    ckpt = os.path.join(workdir, "_attach_checkpoint")
+    os.makedirs(state_root, exist_ok=True)
+    existing = existing.localCheckpoint(eager=True)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    batches = reader.parquet(batches_dir)
+
+    def _latest_registry(below: int) -> "int | None":
+        best = None
+        for d in os.listdir(state_root):
+            if d.startswith("registry_"):
+                i = int(d.split("_")[1])
+                if i < below and os.path.exists(
+                    os.path.join(state_root, d, "_SUCCESS")
+                ) and (best is None or i > best):
+                    best = i
+        return best
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        prev = _latest_registry(below=batch_id)
+        registry = (
+            spark.read.parquet(
+                os.path.join(state_root, f"registry_{prev:09d}")
+            )
+            if prev is not None
+            else existing
+        )
+        batch = batch_df.localCheckpoint(eager=True)
+        e_keys = registry.select(
+            "rec_id", "phone", F.substring("name", 1, 17).alias("np")
+        )
+        n_keys = batch.select(
+            "rec_id", "phone", F.substring("name", 1, 17).alias("np")
+        )
+        by_phone = (
+            e_keys.alias("e")
+            .join(n_keys.alias("n"), F.col("e.phone") == F.col("n.phone"))
+            .select(
+                F.col("e.rec_id").alias("id_a"),
+                F.col("n.rec_id").alias("id_b"),
+            )
+        )
+        by_prefix = (
+            e_keys.alias("e")
+            .join(n_keys.alias("n"), F.col("e.np") == F.col("n.np"))
+            .select(
+                F.col("e.rec_id").alias("id_a"),
+                F.col("n.rec_id").alias("id_b"),
+            )
+        )
+        pairs = by_phone.unionByName(by_prefix).distinct()
+        scored = fellegi_sunter_scores(
+            registry.unionByName(batch),
+            pairs,
+            fs_params,
+            near=near,
+            upper=upper,
+            lower=lower,
+        )
+        asg = attach_best(scored, batch, link_threshold).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        asg.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"assign_{batch_id:09d}")
+        )
+        asg_r = spark.read.parquet(
+            os.path.join(state_root, f"assign_{batch_id:09d}")
+        )
+        spawned = batch.join(
+            asg_r.where(~F.col("attached")).select("rec_id"), "rec_id"
+        )
+        registry.unionByName(spawned).write.mode("overwrite").parquet(
+            os.path.join(state_root, f"registry_{batch_id:09d}")
+        )
+        if metrics is not None:
+            n_batch = asg_r.count()
+            n_att = asg_r.where(F.col("attached")).count()
+            metrics.append(
+                {
+                    "batch_id": batch_id,
+                    "n_batch": n_batch,
+                    "n_attached": n_att,
+                    "n_spawned": n_batch - n_att,
+                }
+            )
+
+    q = (
+        batches.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return state_root
+
+
+def read_attach_assignments(
+    spark: SparkSession, state_root: str
+) -> DataFrame:
+    """Union of all per-batch assignment tables (disjoint rec_ids by
+    the source contract: each record arrives in exactly one batch)."""
+    import glob as _glob
+
+    dirs = sorted(_glob.glob(os.path.join(state_root, "assign_*")))
+    if not dirs:
+        raise FileNotFoundError(f"no assignments under {state_root}")
+    return spark.read.parquet(*dirs)
