@@ -280,6 +280,9 @@ HEADLINE = [
     # wave 23: event-transition matrix, RAG-style overlapping chunks
     "events_transitions",
     "docs_chunk_overlap",
+    # wave 24: edge-embeddedness bridge audit, streaming registry ER
+    "er_edge_support",
+    "er_stream_attach",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
