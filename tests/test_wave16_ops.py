@@ -759,3 +759,40 @@ def test_stream_attach_registry_carries_across_batches(spark):
     # A-copies in batch 1 attach to the CLEAN originals
     a = [r for r in rows if r.batch_id == 1 and r.rec_id < 2000000]
     assert a and all(r.attached and r.cluster_id < 1000000 for r in a)
+
+
+def test_star_attachment_uses_final_center_set(spark):
+    """Regression (code-review r04): node 4's sequential marker is
+    center 2 (higher priority, processed first), but center 3 becomes
+    locally dominant a round EARLIER in the parallel election — the
+    attachment must still follow the final-set priority order."""
+    edges = [(0, 1), (0, 5), (0, 6), (1, 2), (2, 4), (4, 3), (3, 7)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r for r in star_clusters(df).collect()}
+    assert sorted(n for n, r in got.items() if r["is_center"]) == [0, 2, 3]
+    assert got[4]["center_id"] == 2
+    assert got[7]["center_id"] == 3
+    assert got[1]["center_id"] == 0
+
+
+def test_bpe_survives_full_collapse_and_exhaustion(spark):
+    """Regression (code-review r04): a fully-merged single-symbol
+    word must not index out of bounds in the next round's pair
+    enumeration, and rounds past corpus exhaustion must neither
+    crash nor empty the word table."""
+    from type_filtered_entity_linker_spark.operators.bpe import (
+        bpe_merges,
+        bpe_subword_counts,
+    )
+
+    docs = spark.createDataFrame([("a a a",)], "text string")
+    rows = bpe_merges(docs, n_merges=3).collect()
+    # only one merge is learnable: (a, </w>); rounds 2-3 are empty
+    assert [(r.pair_a, r.pair_b, r.pair_count) for r in rows] == [
+        ("a", "</w>", 3)
+    ]
+    # the exhausted rounds must NOT have emptied the vocabulary
+    counts = bpe_subword_counts(docs, n_merges=3, top_k=5).collect()
+    assert [(r.subword, r.n_occurrences) for r in counts] == [
+        ("a</w>", 3)
+    ]

@@ -65,7 +65,11 @@ def bpe_merges(
     """Learn the first ``n_merges`` BPE merge rules. Returns one row
     per rule: (merge_rank, pair_a, pair_b, merged, pair_count) where
     pair_count is the frequency-weighted adjacent-pair count at
-    election time (i.e. AFTER all earlier merges were applied)."""
+    election time (i.e. AFTER all earlier merges were applied). Rounds
+    past corpus exhaustion contribute no rows (their pair table is
+    empty), so the output can have fewer than ``n_merges`` rules —
+    never a crash, and the oracle's empty LIMIT 1 agrees."""
+    assert n_merges >= 1, "bpe_merges: n_merges must be >= 1"
     bests, _ = _learn(docs, n_merges, text_col)
     out = bests[0]
     for b in bests[1:]:
@@ -137,7 +141,13 @@ def _learn(
     )
     bests: list[DataFrame] = []
     for r in range(1, n_merges + 1):
-        pairs = words.select(
+        # the size filter is load-bearing: Spark's sequence() counts
+        # DOWN when start > stop, so a fully-merged single-symbol word
+        # would enumerate indices [0, -1] and index out of bounds
+        # (ANSI crash / phantom NULL pairs otherwise); DuckDB's
+        # generate_series(1, 0) is empty, so the filter also keeps the
+        # two engines on the same pair set (code-review r04 wave 16)
+        pairs = words.where(F.size("syms") >= 2).select(
             "cnt",
             F.explode(
                 F.expr(
@@ -165,8 +175,16 @@ def _learn(
             .localCheckpoint(eager=True)
         )
         bests.append(best)
+        # LEFT join on TRUE, not crossJoin: when the corpus exhausts
+        # its pairs before n_merges rounds, `best` is 0 rows and a
+        # cross join would EMPTY the word table (silent data loss for
+        # bpe_subword_counts); the left join keeps every word with
+        # NULL pa/pb, and the fold's equality test is never true on
+        # NULL, so the words pass through unchanged
         words = (
-            words.crossJoin(F.broadcast(best.select("pa", "pb")))
+            words.join(
+                F.broadcast(best.select("pa", "pb")), F.lit(True), "left"
+            )
             .select("cnt", F.expr(_FOLD).alias("syms"))
             .localCheckpoint(eager=True)
         )

@@ -311,12 +311,20 @@ def star_clusters(
     greedy_matching argument, vertex form): a node whose static
     priority beats every still-unmarked neighbor's would necessarily
     be picked before them by the sequential greedy — elect all such
-    nodes at once, attach their unmarked neighbors to the
-    highest-priority adjacent new center (the one the sequential order
-    would have processed first), repeat. Priorities never change
-    mid-run (degrees are frozen up front, as in the offline
-    algorithm), so the fixpoint equals the sequential output without
-    ever materializing a global priority sort.
+    nodes at once, deactivate them and their neighbors, repeat: the
+    resulting CENTER SET equals the sequential greedy's (the greedy-
+    MIS-under-static-priority argument). Satellite ATTACHMENT is then
+    a single post-fixpoint pass: each non-center joins its highest-
+    priority adjacent center over the FINAL center set — which is the
+    sequential marker, because the first-processed adjacent center IS
+    the max-priority one. (Attaching per election round instead is
+    WRONG: a satellite can be deactivated by a low-priority locally-
+    dominant center in round 1 while its true, higher-priority
+    sequential marker only becomes locally dominant in round 2 —
+    caught by code review against the sequential reference.)
+    Priorities never change mid-run (degrees are frozen up front, as
+    in the offline algorithm), so the fixpoint equals the sequential
+    output without ever materializing a global priority sort.
 
     Priority comparisons use native STRUCT ordering —
     struct(degree, -id) compared lexicographically — so there is no
@@ -370,7 +378,9 @@ def star_clusters(
         .localCheckpoint(eager=True)
     )
     pr_own = F.struct(F.col("deg").alias("d"), F.col("ni").alias("ni"))
-    out: "DataFrame | None" = None
+    all_nodes = active
+    b0 = b
+    centers: "DataFrame | None" = None
     n_active = active.count()
     for r in range(1, max_rounds + 1):
         if n_active == 0:
@@ -383,45 +393,26 @@ def star_clusters(
         cen = (
             active.join(nb, "node", "left")
             .where(F.col("m").isNull() | (pr_own > F.col("m")))
-            .select("node", "deg")
-        )
-        sat = (
-            b.join(cen.select(F.col("node").alias("dst")), "dst")
-            .groupBy(F.col("src").alias("node"))
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("dd").alias("d"),
-                        F.col("dni").alias("ni"),
-                        F.col("dst").alias("c"),
-                    )
-                ).alias("m")
-            )
-            .select("node", F.col("m.c").alias("center_id"))
-        )
-        new = (
-            cen.select(
+            .select(
                 "node",
-                F.col("node").alias("center_id"),
-                F.lit(True).alias("is_center"),
+                "deg",
                 F.lit(r).cast("long").alias("round_assigned"),
-                F.col("deg").alias("degree"),
-            )
-            .unionByName(
-                sat.join(active.select("node", "deg"), "node").select(
-                    "node",
-                    "center_id",
-                    F.lit(False).alias("is_center"),
-                    F.lit(r).cast("long").alias("round_assigned"),
-                    F.col("deg").alias("degree"),
-                )
             )
             .localCheckpoint(eager=True)
         )
-        out = new if out is None else out.unionByName(new)
-        active = active.join(
-            new.select("node"), "node", "left_anti"
-        ).localCheckpoint(eager=True)
+        centers = cen if centers is None else centers.unionByName(cen)
+        # deactivate the new centers AND their still-active neighbors
+        # (the neighbors are satellites-to-be; WHICH center they join
+        # is decided after the fixpoint, not per round — see below)
+        sat = (
+            b.join(cen.select(F.col("node").alias("dst")), "dst")
+            .select(F.col("src").alias("node"))
+            .distinct()
+        )
+        dead = cen.select("node").unionByName(sat)
+        active = active.join(dead, "node", "left_anti").localCheckpoint(
+            eager=True
+        )
         b = (
             b.join(active.select(F.col("node").alias("src")), "src", "semi")
             .join(active.select(F.col("node").alias("dst")), "dst", "semi")
@@ -435,15 +426,70 @@ def star_clusters(
             f"star_clusters did not converge in {max_rounds} rounds "
             f"({n_active} nodes still active); raise max_rounds"
         )
-    if out is None:
-        return sym.select(
-            F.col("src").alias("node"),
-            F.col("src").alias("center_id"),
-            F.lit(True).alias("is_center"),
-            F.lit(0).cast("long").alias("round_assigned"),
-            F.lit(0).cast("long").alias("degree"),
-        ).limit(0)
-    return out
+    empty = sym.select(
+        F.col("src").alias("node"),
+        F.col("src").alias("center_id"),
+        F.lit(True).alias("is_center"),
+        F.lit(0).cast("long").alias("round_assigned"),
+        F.lit(0).cast("long").alias("degree"),
+    ).limit(0)
+    if centers is None:
+        return empty
+    # Satellite attachment AFTER the election fixpoint, against the
+    # FULL edge table and the FINAL center set: the sequential greedy
+    # marks a satellite when its FIRST-processed (= highest-priority)
+    # adjacent center is elected, and a higher-priority neighbor can
+    # become a center in a LATER parallel round than a lower-priority
+    # locally-dominant one — attaching per round therefore diverged
+    # from the sequential contract (found by code review against the
+    # sequential reference on an 8-node graph; pinned in
+    # tests/test_wave16_ops.py). round_assigned for a satellite is its
+    # center's election round — the parallel timestamp of the
+    # sequential marking event.
+    centers = centers.localCheckpoint(eager=True)
+    att = (
+        b0.join(
+            centers.select(
+                F.col("node").alias("dst"),
+                F.col("round_assigned").alias("_cr"),
+            ),
+            "dst",
+        )
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("dd").alias("d"),
+                    F.col("dni").alias("ni"),
+                    F.col("dst").alias("c"),
+                    F.col("_cr").alias("r"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "node",
+            F.col("m.c").alias("center_id"),
+            F.col("m.r").alias("round_assigned"),
+        )
+    )
+    sats = all_nodes.join(
+        centers.select("node"), "node", "left_anti"
+    ).select("node", "deg")
+    return centers.select(
+        "node",
+        F.col("node").alias("center_id"),
+        F.lit(True).alias("is_center"),
+        "round_assigned",
+        F.col("deg").alias("degree"),
+    ).unionByName(
+        sats.join(att, "node").select(
+            "node",
+            "center_id",
+            F.lit(False).alias("is_center"),
+            "round_assigned",
+            F.col("deg").alias("degree"),
+        )
+    )
 
 
 def cluster_conflicts(

@@ -92,14 +92,20 @@ DUP_CORPUS_SQL = """
 """
 
 
-def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ near-copies (first token dropped) of every 7th doc."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    near = d.where(F.col("doc_id") % 7 == 0).select(
+def _neardup_variants(d: DataFrame) -> DataFrame:
+    """Near-copies (first token dropped, +200000) of every 7th doc —
+    the ONE definition of the perturbation, shared by the batch
+    near-dup corpus and the incremental-dedup new batch."""
+    return d.where(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
     )
-    return d.unionByName(near)
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-copies (first token dropped) of every 7th doc."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(_neardup_variants(d))
 
 
 NEARDUP_CORPUS_SQL = """
@@ -802,10 +808,7 @@ def q_dedup_incremental(spark, sf_dir) -> DataFrame:
     from ..operators.dedup import near_duplicates_incremental
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    variants = d.where(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
-        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
-    )
+    variants = _neardup_variants(d)
     redelivered = d.where(F.col("doc_id") % 13 == 0).select(
         (F.col("doc_id") + 300000).alias("doc_id"), "text"
     )
@@ -3460,36 +3463,10 @@ def _conflict_records_scored(spark, sf_dir) -> "tuple[DataFrame, DataFrame]":
     city blanked, phone prefix rewritten on every 30th)."""
     from ..operators.fellegi_sunter import fellegi_sunter_scores
 
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    phone = F.lpad(
-        ((F.col("c_custkey") * 7919) % 10000000).cast("string"), 7, "0"
-    )
-    clean = c.select(
-        F.col("c_custkey").alias("rec_id"),
-        F.col("c_name").alias("name"),
-        F.concat(F.lit("city_"), F.col("c_nationkey").cast("string")).alias(
-            "city"
-        ),
-        phone.alias("phone"),
-    )
-    tenth = clean.where(F.col("rec_id") % 10 == 0)
-    copy_a = tenth.select(
-        (F.col("rec_id") + 1000000).alias("rec_id"),
-        F.expr("substring(name, 1, length(name) - 1)").alias("name"),
-        "city",
-        "phone",
-    )
-    copy_b = tenth.select(
-        (F.col("rec_id") + 2000000).alias("rec_id"),
-        F.expr("substring(name, 1, length(name) - 2)").alias("name"),
-        F.lit("unknown").alias("city"),
-        F.when(
-            F.col("rec_id") % 30 == 0,
-            F.concat(F.lit("99"), F.expr("substring(phone, 3)")),
-        )
-        .otherwise(F.col("phone"))
-        .alias("phone"),
-    )
+    # ONE definition of the perturbed copies (shared with the
+    # streaming-registry fixture — code-review r04): copy_a = name−1,
+    # copy_b = name−2 + blanked city + every-30th phone rewrite
+    clean, copy_a, copy_b, _ = _attach_copies(spark, sf_dir)
     records = clean.unionByName(copy_a).unionByName(copy_b)
     ph = records.select("rec_id", "phone")
     pairs = (
@@ -3755,30 +3732,25 @@ def _er_star_oracle_sql(rounds: int) -> str:
         SELECT src AS node, max(struct_pack(d := dd, ni := dni)) AS m
         FROM b{p_} GROUP BY src),
     cen{r} AS MATERIALIZED (
-        SELECT a.node, a.deg FROM a{p_} a
+        SELECT a.node, a.deg, {r}::BIGINT AS round_assigned
+        FROM a{p_} a
         LEFT JOIN nb{r} n ON n.node = a.node
         WHERE n.m IS NULL OR struct_pack(d := a.deg, ni := a.ni) > n.m),
-    sat{r} AS MATERIALIZED (
-        SELECT b.src AS node,
-               (max(struct_pack(d := b.dd, ni := b.dni, c := b.dst))).c
-                   AS center_id
-        FROM b{p_} b JOIN cen{r} c ON c.node = b.dst GROUP BY b.src),
-    new{r} AS MATERIALIZED (
-        SELECT node, node AS center_id, TRUE AS is_center,
-               {r}::BIGINT AS round_assigned, deg AS degree
-        FROM cen{r}
-        UNION ALL
-        SELECT s.node, s.center_id, FALSE, {r}::BIGINT, a.deg
-        FROM sat{r} s JOIN a{p_} a ON a.node = s.node),
+    dead{r} AS (
+        SELECT node FROM cen{r}
+        UNION
+        SELECT DISTINCT b.src FROM b{p_} b
+        JOIN cen{r} c ON c.node = b.dst),
     a{r} AS MATERIALIZED (
         SELECT node, deg, ni FROM a{p_}
-        WHERE node NOT IN (SELECT node FROM new{r})),
+        WHERE node NOT IN (SELECT node FROM dead{r})),
     b{r} AS MATERIALIZED (
         SELECT src, dst, dd, dni FROM b{p_}
         WHERE src IN (SELECT node FROM a{r})
           AND dst IN (SELECT node FROM a{r}))""")
-    union = "\n    UNION ALL ".join(
-        f"SELECT * FROM new{r}" for r in range(1, rounds + 1)
+    centers_union = "\n        UNION ALL ".join(
+        f"SELECT node, deg, round_assigned FROM cen{r}"
+        for r in range(1, rounds + 1)
     )
     return f"""
     WITH clean AS (
@@ -3822,8 +3794,23 @@ def _er_star_oracle_sql(rounds: int) -> str:
         FROM sym GROUP BY src),
     b0 AS MATERIALIZED (
         SELECT s.src, s.dst, a.deg AS dd, a.ni AS dni
-        FROM sym s JOIN a0 a ON a.node = s.dst),{','.join(stages)}
-    {union}
+        FROM sym s JOIN a0 a ON a.node = s.dst),{','.join(stages)},
+    centers AS MATERIALIZED (
+        {centers_union}),
+    att AS (
+        SELECT b.src AS node,
+               max(struct_pack(d := b.dd, ni := b.dni, c := b.dst,
+                               r := ctr.round_assigned)) AS m
+        FROM b0 b JOIN centers ctr ON ctr.node = b.dst
+        GROUP BY b.src)
+    SELECT node, node AS center_id, TRUE AS is_center,
+           round_assigned, deg AS degree
+    FROM centers
+    UNION ALL
+    SELECT s.node, (att.m).c, FALSE, (att.m).r, s.deg
+    FROM (SELECT node, deg FROM a0
+          WHERE node NOT IN (SELECT node FROM centers)) s
+    JOIN att ON att.node = s.node
 """
 
 
