@@ -53,8 +53,15 @@ def test_query_parity(spark, duck, name):
     b = odf[cols].sort_values(cols).reset_index(drop=True)
     for c in cols:
         if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
-            assert (
-                a[c].astype(float) - b[c].astype(float)
-            ).abs().max() <= 1e-9, f"{name}.{c}"
+            # NULL-aware: a legitimately NULL metric (e.g. robust_z at
+            # MAD 0) must align on BOTH sides; NaN-blind subtraction
+            # would turn agreeing NULLs into a failing NaN <= 1e-9
+            av, bv = a[c].astype(float), b[c].astype(float)
+            assert (av.isna() == bv.isna()).all(), f"{name}.{c} nulls"
+            mask = ~av.isna()
+            if mask.any():
+                assert (
+                    av[mask] - bv[mask]
+                ).abs().max() <= 1e-9, f"{name}.{c}"
         else:
             assert a[c].astype(str).eq(b[c].astype(str)).all(), f"{name}.{c}"
