@@ -796,3 +796,63 @@ def test_bpe_survives_full_collapse_and_exhaustion(spark):
     assert [(r.subword, r.n_occurrences) for r in counts] == [
         ("a</w>", 3)
     ]
+
+
+# ------------------------------- wave 25: novelty / templates / rank delta
+
+
+def test_shingle_novelty_orders_by_arrival(spark):
+    from type_filtered_entity_linker_spark.operators.dedup import (
+        shingle_novelty,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # everything novel
+            (2, "a b c d e"),          # exact reprint: novelty 0
+            (3, "a b c x y z"),        # mixes seen + new shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in shingle_novelty(docs).collect()}
+    assert out[1].novelty == 1.0
+    assert out[2].novelty == 0.0
+    # doc 3 shingles: abc(seen) bcx cxy xyz -> 3/4 novel
+    assert out[3].n_shingles == 4 and out[3].n_novel == 3
+
+
+def test_template_shingles_per_group(spark):
+    from type_filtered_entity_linker_spark.operators.textstats import (
+        template_shingles,
+    )
+
+    rows = [
+        (1, "h1", "u v w promo one end"),
+        (2, "h1", "x y z promo one end"),
+        (3, "h2", "u v w promo two end"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = {
+        (r.key, r.shingle): r.frac
+        for r in template_shingles(docs, min_frac=1.0).collect()
+    }
+    # 'promo one end' fires in both h1 docs; h2's single doc makes
+    # every one of its shingles a (trivial) template at frac 1.0
+    assert out[("h1", "promo one end")] == 1.0
+    assert ("h1", "u v w") not in out  # only 1 of 2 docs
+    assert ("h2", "promo two end") in out
+
+
+def test_crawl_rank_delta_moves_mass(spark):
+    from type_filtered_entity_linker_spark.plans.driver_queries import (
+        q_crawl_rank_delta,
+    )
+
+    df = q_crawl_rank_delta(spark, "/root/testdata/sf0.001").toPandas()
+    # ranks are probability masses: both snapshots sum to ~1, and the
+    # thinned snapshot genuinely moves rank (not all deltas zero)
+    assert abs(df.rank_old.sum() - 1.0) < 1e-3
+    assert abs(df.rank_new.sum() - 1.0) < 1e-3
+    assert (df.rank_delta != 0).any()

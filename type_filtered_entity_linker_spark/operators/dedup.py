@@ -762,3 +762,47 @@ def near_duplicates_incremental(
     )
     j = exact_jaccard(cands, all_docs, shingle_n)
     return j.where(F.col("jaccard") >= threshold)
+
+
+def shingle_novelty(
+    docs: DataFrame, shingle_n: int = 3
+) -> DataFrame:
+    """Per-document novelty profile: what fraction of a doc's distinct
+    shingles had never appeared in any EARLIER document (doc_id order
+    = arrival order)? The dataset-curation dial between 'mostly
+    template' (novelty near 0 — boilerplate reprints, mirrors) and
+    'fresh content'; cumulative novelty is also the standard
+    diminishing-returns curve for deciding when more crawl stops
+    buying new text.
+
+    Exact and one-pass: a shingle's FIRST owner is min(doc_id) over
+    its postings (one hash aggregate), and a doc's novel count is how
+    many of its shingles it owns — no ordered scan, no window, order
+    semantics encoded entirely in the min. Returns
+    (doc_id, n_shingles, n_novel, novelty [6dp]).
+    """
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(token_shingles("text", shingle_n)).alias("s"),
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias(
+            "novelty"
+        ),
+    )

@@ -520,3 +520,46 @@ def host_health(
             "lang_entropy",
         )
     )
+
+
+def template_shingles(
+    docs: DataFrame,
+    key_col: str = "source",
+    min_frac: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-group boilerplate detection: shingles appearing in at
+    least ``min_frac`` of a group's documents — the per-host
+    template/chrome signal (nav bars, footers, cookie banners repeat
+    on most of a HOST's pages while staying rare corpus-wide, which
+    is why the global DF-cut alone misses them). The output is the
+    removal list a host-aware boilerplate stripper consumes.
+
+    Shape: distinct (group, doc, shingle) postings → one (group,
+    shingle) doc-frequency aggregate + one group-size aggregate,
+    joined and filtered; everything partial-aggregates map-side, and
+    the result is bounded by the template shingles themselves (the
+    filter is pushed before the join output).
+
+    Returns (key, shingle, df, n_docs, frac [6dp]) for
+    frac >= min_frac.
+    """
+    from .dedup import token_shingles as _shingles
+
+    sh = docs.select(
+        F.col(key_col).alias("key"),
+        "doc_id",
+        F.explode(_shingles("text", shingle_n)).alias("shingle"),
+    )
+    df_ = sh.groupBy("key", "shingle").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    sizes = docs.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    frac = F.round(F.col("df") / F.col("n_docs"), 6)
+    return (
+        df_.join(F.broadcast(sizes), "key")
+        .select("key", "shingle", "df", "n_docs", frac.alias("frac"))
+        .where(F.col("frac") >= min_frac)
+    )

@@ -834,6 +834,92 @@ DEDUP_INCREMENTAL_SQL = f"""
 """
 
 
+def q_docs_novelty(spark, sf_dir) -> DataFrame:
+    """Per-doc shingle novelty (operators/dedup.py shingle_novelty)
+    over the near-dup corpus: the planted +200000 variants re-use
+    almost every shingle of their originals and read near-0 novelty,
+    the originals read high — the template-vs-fresh curation dial.
+    Oracle: same distinct shingles, min-owner aggregate, ratio."""
+    from ..operators.dedup import shingle_novelty
+
+    return shingle_novelty(_neardup_corpus(spark, sf_dir))
+
+
+DOCS_NOVELTY_SQL = f"""
+    WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+    toks AS (SELECT doc_id,
+             regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l
+             FROM corpus),
+    sh0 AS (SELECT DISTINCT doc_id, s
+           FROM toks, unnest(
+               CASE WHEN len(l) >= 3
+                    THEN [array_to_string(l[i:i+2], ' ')
+                          for i in generate_series(1, len(l) - 2)]
+                    ELSE [array_to_string(l, ' ')] END) AS t(s)),
+    first AS (SELECT s, min(doc_id) AS first_doc FROM sh0 GROUP BY s),
+    per AS (
+        SELECT d.doc_id, count(*)::BIGINT AS n_shingles,
+               sum(CASE WHEN d.doc_id = f.first_doc THEN 1
+                        ELSE 0 END)::BIGINT AS n_novel
+        FROM sh0 d JOIN first f USING (s) GROUP BY 1)
+    SELECT doc_id, n_shingles, n_novel,
+           round(n_novel::DOUBLE / n_shingles::DOUBLE, 6) AS novelty
+    FROM per
+"""
+
+
+TEMPLATE_MIN_FRAC = 0.9
+
+
+def q_docs_host_boilerplate(spark, sf_dir) -> DataFrame:
+    """Per-source template detection (operators/textstats.py
+    template_shingles): every doc gets its source's synthetic footer
+    appended, and the detector recovers exactly the footer shingles
+    (frac ~1.0 within each source) while body shingles stay far below
+    the 0.9 cut — the host-aware boilerplate list the global DF-cut
+    cannot see. Oracle: same distinct postings, per-source DF and
+    size aggregates, ratio filter."""
+    from ..operators.textstats import template_shingles
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" promo "),
+            F.col("source"),
+            F.lit(" official footer"),
+        ).alias("text"),
+    )
+    return template_shingles(d, min_frac=TEMPLATE_MIN_FRAC)
+
+
+DOCS_HOST_BOILERPLATE_SQL = f"""
+    WITH corpus AS (
+        SELECT doc_id, source,
+               text || ' promo ' || source || ' official footer' AS text
+        FROM documents),
+    toks AS (SELECT doc_id, source,
+             regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l
+             FROM corpus),
+    sh AS (SELECT DISTINCT source AS key, doc_id, s
+           FROM toks, unnest(
+               CASE WHEN len(l) >= 3
+                    THEN [array_to_string(l[i:i+2], ' ')
+                          for i in generate_series(1, len(l) - 2)]
+                    ELSE [array_to_string(l, ' ')] END) AS t(s)),
+    df_ AS (SELECT key, s AS shingle, count(*)::BIGINT AS df
+            FROM sh GROUP BY 1, 2),
+    sizes AS (SELECT source AS key, count(*)::BIGINT AS n_docs
+              FROM corpus GROUP BY 1)
+    SELECT d.key, d.shingle, d.df, z.n_docs,
+           round(d.df::DOUBLE / z.n_docs::DOUBLE, 6) AS frac
+    FROM df_ d JOIN sizes z USING (key)
+    WHERE round(d.df::DOUBLE / z.n_docs::DOUBLE, 6)
+          >= {TEMPLATE_MIN_FRAC!r}
+"""
+
+
 def q_events_retention(spark, sf_dir) -> DataFrame:
     """Weekly cohort retention (operators/temporal.py
     cohort_retention) over the events table — users grouped by
@@ -7637,6 +7723,130 @@ def _hostgraph_sql(n_iter: int, damping: float) -> str:
 CRAWL_HOSTGRAPH_SQL = _hostgraph_sql(PR_ITER, PR_DAMPING)
 
 
+# every 11th doc missing from the second crawl snapshot: hosts keep
+# existing (each hosts many docs) but their out-edge sets thin out,
+# moving rank mass deterministically
+RANK_DELTA_MOD = 11
+
+
+def q_crawl_rank_delta(spark, sf_dir) -> DataFrame:
+    """Host-authority movement between two crawl snapshots: PageRank
+    over the full link graph vs the graph with every 11th page
+    uncrawled (pages keep their original html — the snapshot simply
+    has fewer of them), full-outer-joined per host. The crawl-ops
+    artifact behind 'which hosts gained/lost authority since last
+    crawl'. Oracle: both power iterations unrolled over the shared
+    page CTEs, joined."""
+    from ..operators.graph import pagerank
+    from ..operators.linkgraph import extract_outlinks, host_graph
+
+    pages = _linked_pages(spark, sf_dir)
+    pages2 = _docs(spark, sf_dir).select("doc_id").where(
+        F.col("doc_id") % RANK_DELTA_MOD != 0
+    ).join(
+        pages.withColumn(
+            "doc_id",
+            F.regexp_extract("url", r"/d/([0-9]+)$", 1).cast("long"),
+        ),
+        "doc_id",
+    ).select("url", "html")
+
+    def host_pr(p):
+        hg = host_graph(extract_outlinks(p))
+        e = hg.where(F.col("src_host") != F.col("dst_host")).select(
+            F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+        )
+        return pagerank(e, n_iter=PR_ITER, damping=PR_DAMPING)
+
+    old = host_pr(pages).select(
+        F.col("node").alias("host"), F.col("rank").alias("rank_old")
+    )
+    new = host_pr(pages2).select(
+        F.col("node").alias("host"), F.col("rank").alias("rank_new")
+    )
+    return old.join(new, "host", "full").select(
+        "host",
+        F.coalesce("rank_old", F.lit(0.0)).alias("rank_old"),
+        F.coalesce("rank_new", F.lit(0.0)).alias("rank_new"),
+        F.round(
+            F.coalesce("rank_new", F.lit(0.0))
+            - F.coalesce("rank_old", F.lit(0.0)),
+            6,
+        ).alias("rank_delta"),
+    )
+
+
+def _crawl_rank_delta_sql(n_iter: int, damping: float) -> str:
+    def pr_chain(sfx: str, pages_pred: str) -> "list[str]":
+        parts = [
+            f"hl{sfx} AS MATERIALIZED (SELECT "
+            "regexp_extract(url, '^https?://([^/]+)', 1) AS src_host, "
+            "regexp_extract(out_url, '^https?://([^/]+)', 1) AS dst_host "
+            f"FROM (SELECT url, unnest(regexp_extract_all(html, "
+            f"'href=\"([^\"]+)\"', 1)) AS out_url FROM pages"
+            f"{pages_pred}))",
+            f"e{sfx} AS MATERIALIZED (SELECT DISTINCT src_host AS src, "
+            f"dst_host AS dst FROM hl{sfx} WHERE src_host <> dst_host)",
+            f"nodes{sfx} AS MATERIALIZED (SELECT src AS node FROM e{sfx} "
+            f"UNION SELECT dst FROM e{sfx})",
+            f"nn{sfx} AS (SELECT count(*) AS n FROM nodes{sfx})",
+            f"deg{sfx} AS (SELECT src, count(*)::DOUBLE AS deg "
+            f"FROM e{sfx} GROUP BY src)",
+            f"r0{sfx} AS (SELECT node, 1.0::DOUBLE/(SELECT n FROM nn{sfx})"
+            f" AS r FROM nodes{sfx})",
+        ]
+        prev = f"r0{sfx}"
+        for it in range(1, n_iter + 1):
+            parts.append(
+                f"dang{it}{sfx} AS (SELECT coalesce(sum(r), 0.0) AS dm "
+                f"FROM {prev} WHERE node NOT IN (SELECT src FROM deg{sfx}))"
+            )
+            parts.append(
+                f"c{it}{sfx} AS (SELECT e.dst, sum(p.r/d.deg) AS s "
+                f"FROM e{sfx} e JOIN deg{sfx} d USING (src) "
+                f"JOIN {prev} p ON p.node = e.src GROUP BY e.dst)"
+            )
+            parts.append(
+                f"r{it}{sfx} AS (SELECT nodes{sfx}.node, "
+                + _spark_round(
+                    f"(1.0::DOUBLE - {damping}::DOUBLE)"
+                    f"/(SELECT n FROM nn{sfx}) "
+                    f"+ {damping}::DOUBLE*("
+                    f"coalesce(c.s, 0.0::DOUBLE) "
+                    f"+ (SELECT dm FROM dang{it}{sfx})/"
+                    f"(SELECT n FROM nn{sfx}))",
+                    9,
+                )
+                + f" AS r FROM nodes{sfx} "
+                f"LEFT JOIN c{it}{sfx} c ON c.dst = nodes{sfx}.node)"
+            )
+            prev = f"r{it}{sfx}"
+        return parts
+
+    parts = _host_edge_ctes()[:2]
+    parts += pr_chain("a", "")
+    parts += pr_chain(
+        "b", f" WHERE doc_id % {RANK_DELTA_MOD} <> 0"
+    )
+    last = f"r{n_iter}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT coalesce(o.node, w.node) AS host,
+           coalesce({_spark_round('o.r')}, 0.0) AS rank_old,
+           coalesce({_spark_round('w.r')}, 0.0) AS rank_new,
+           round(coalesce({_spark_round('w.r')}, 0.0)
+                 - coalesce({_spark_round('o.r')}, 0.0), 6)
+               AS rank_delta
+    FROM {last}a o FULL OUTER JOIN {last}b w ON w.node = o.node
+"""
+    )
+
+
+CRAWL_RANK_DELTA_SQL = _crawl_rank_delta_sql(PR_ITER, PR_DAMPING)
+
+
 HITS_ITER = 3
 
 
@@ -12131,6 +12341,9 @@ QUERIES = {
     "docs_chunk_overlap": q_docs_chunk_overlap,
     "er_edge_support": q_er_edge_support,
     "er_stream_attach": q_er_stream_attach,
+    "docs_novelty": q_docs_novelty,
+    "docs_host_boilerplate": q_docs_host_boilerplate,
+    "crawl_rank_delta": q_crawl_rank_delta,
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
     "er_truth_discovery": q_er_truth_discovery,
@@ -12319,6 +12532,9 @@ ORACLES = {
     "docs_chunk_overlap": DOCS_CHUNK_SQL,
     "er_edge_support": ER_EDGE_SUPPORT_SQL,
     "er_stream_attach": ER_STREAM_ATTACH_SQL,
+    "docs_novelty": DOCS_NOVELTY_SQL,
+    "docs_host_boilerplate": DOCS_HOST_BOILERPLATE_SQL,
+    "crawl_rank_delta": CRAWL_RANK_DELTA_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
     "er_truth_discovery": ER_TRUTH_SQL,
@@ -12408,7 +12624,8 @@ _NEVER_DRIVER_CHECKED = [
     "docs_bpe_apply", "events_anomaly", "crawl_mirrors",
     "er_stable_matching", "crawl_trustrank", "dedup_incremental",
     "events_retention", "events_transitions", "docs_chunk_overlap",
-    "er_edge_support", "er_stream_attach",
+    "er_edge_support", "er_stream_attach", "docs_novelty",
+    "docs_host_boilerplate", "crawl_rank_delta",
     # the round-4 second-wave ER block is next
     "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
     "er_progressive", "er_truth_discovery", "er_group_linkage",
