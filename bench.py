@@ -283,6 +283,10 @@ HEADLINE = [
     # wave 24: edge-embeddedness bridge audit, streaming registry ER
     "er_edge_support",
     "er_stream_attach",
+    # wave 25: shingle novelty, per-host templates, crawl rank delta
+    "docs_novelty",
+    "docs_host_boilerplate",
+    "crawl_rank_delta",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
