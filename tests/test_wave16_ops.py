@@ -856,3 +856,26 @@ def test_crawl_rank_delta_moves_mass(spark):
     assert abs(df.rank_old.sum() - 1.0) < 1e-3
     assert abs(df.rank_new.sum() - 1.0) < 1e-3
     assert (df.rank_delta != 0).any()
+
+
+def test_batch_novelty_scores_against_stored_corpus(spark):
+    from type_filtered_entity_linker_spark.operators.dedup import (
+        batch_novelty,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "a b c d e"),    # re-delivery: novelty 0
+            (11, "x y z w q"),    # fully fresh: novelty 1
+            (12, "a b c q r s"),  # mixed
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in batch_novelty(existing, new).collect()}
+    assert out[10].novelty == 0.0
+    assert out[11].novelty == 1.0
+    # shingles of 12: abc(seen) bcq cqr qrs -> 3/4 unseen
+    assert (out[12].n_shingles, out[12].n_unseen) == (4, 3)

@@ -806,3 +806,52 @@ def shingle_novelty(
             "novelty"
         ),
     )
+
+
+def batch_novelty(
+    existing: DataFrame, new: DataFrame, shingle_n: int = 3
+) -> DataFrame:
+    """Novelty of a NEW crawl batch against the STORED corpus: per new
+    doc, the fraction of its distinct shingles absent from every
+    existing document — the acquisition-value score that decides
+    whether a source is still worth crawling (the incremental
+    companion to shingle_novelty's arrival-order curve, and the
+    cheap-first filter to run BEFORE near_duplicates_incremental:
+    a batch at ~0 novelty need never reach pairwise verification).
+
+    Shape: existing contributes only its DISTINCT shingle set (one
+    map-side-combined aggregate); the new batch's postings left-anti
+    semi-join against it (shingle-keyed — no doc pairs ever form),
+    then one per-doc rollup. Returns (doc_id, n_shingles, n_unseen,
+    novelty [6dp]) for every new doc.
+    """
+    seen = (
+        existing.select(
+            F.explode(token_shingles("text", shingle_n)).alias("s")
+        )
+        .distinct()
+    )
+    sh = new.select(
+        F.col("doc_id"),
+        F.explode(token_shingles("text", shingle_n)).alias("s"),
+    )
+    unseen = sh.join(seen, "s", "left_anti")
+    tot = sh.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
+    )
+    nov = unseen.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_unseen")
+    )
+    return (
+        tot.join(nov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_unseen", F.lit(0)).cast("long").alias(
+                "n_unseen"
+            ),
+            F.round(
+                F.coalesce("n_unseen", F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+    )

@@ -920,6 +920,63 @@ DOCS_HOST_BOILERPLATE_SQL = f"""
 """
 
 
+def q_docs_batch_novelty(spark, sf_dir) -> DataFrame:
+    """New-batch novelty vs the stored corpus (operators/dedup.py
+    batch_novelty) over the SAME batch dedup_incremental processes:
+    the +200000 variants score near 0 (their shingles already exist
+    minus one boundary), the +300000 re-deliveries score exactly 0 —
+    the cheap pre-filter that would skip pairwise verification for a
+    worthless batch. Oracle: distinct existing shingles, anti-join,
+    per-doc rollup."""
+    from ..operators.dedup import batch_novelty
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    variants = _neardup_variants(d)
+    redelivered = d.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    return batch_novelty(d, variants.unionByName(redelivered))
+
+
+DOCS_BATCH_NOVELTY_SQL = """
+    WITH newb AS (
+        SELECT doc_id + 200000 AS doc_id,
+               substr(text, position(' ' IN text) + 1) AS text
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 300000, text
+        FROM documents WHERE doc_id % 13 = 0),
+    shx AS (SELECT doc_id,
+            regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l
+            FROM documents),
+    seen AS (SELECT DISTINCT s
+           FROM shx, unnest(
+               CASE WHEN len(l) >= 3
+                    THEN [array_to_string(l[i:i+2], ' ')
+                          for i in generate_series(1, len(l) - 2)]
+                    ELSE [array_to_string(l, ' ')] END) AS t(s)),
+    shn AS (SELECT doc_id,
+            regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l
+            FROM newb),
+    sh AS (SELECT DISTINCT doc_id, s
+           FROM shn, unnest(
+               CASE WHEN len(l) >= 3
+                    THEN [array_to_string(l[i:i+2], ' ')
+                          for i in generate_series(1, len(l) - 2)]
+                    ELSE [array_to_string(l, ' ')] END) AS t(s)),
+    tot AS (SELECT doc_id, count(*)::BIGINT AS n_shingles
+            FROM sh GROUP BY doc_id),
+    nov AS (SELECT doc_id, count(*)::BIGINT AS n_unseen
+            FROM sh WHERE s NOT IN (SELECT s FROM seen)
+            GROUP BY doc_id)
+    SELECT t.doc_id, t.n_shingles,
+           coalesce(n.n_unseen, 0)::BIGINT AS n_unseen,
+           round(coalesce(n.n_unseen, 0)::DOUBLE
+                 / t.n_shingles::DOUBLE, 6) AS novelty
+    FROM tot t LEFT JOIN nov n ON n.doc_id = t.doc_id
+"""
+
+
 def q_events_retention(spark, sf_dir) -> DataFrame:
     """Weekly cohort retention (operators/temporal.py
     cohort_retention) over the events table — users grouped by
@@ -12344,6 +12401,7 @@ QUERIES = {
     "docs_novelty": q_docs_novelty,
     "docs_host_boilerplate": q_docs_host_boilerplate,
     "crawl_rank_delta": q_crawl_rank_delta,
+    "docs_batch_novelty": q_docs_batch_novelty,
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
     "er_truth_discovery": q_er_truth_discovery,
@@ -12535,6 +12593,7 @@ ORACLES = {
     "docs_novelty": DOCS_NOVELTY_SQL,
     "docs_host_boilerplate": DOCS_HOST_BOILERPLATE_SQL,
     "crawl_rank_delta": CRAWL_RANK_DELTA_SQL,
+    "docs_batch_novelty": DOCS_BATCH_NOVELTY_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
     "er_truth_discovery": ER_TRUTH_SQL,
@@ -12625,7 +12684,7 @@ _NEVER_DRIVER_CHECKED = [
     "er_stable_matching", "crawl_trustrank", "dedup_incremental",
     "events_retention", "events_transitions", "docs_chunk_overlap",
     "er_edge_support", "er_stream_attach", "docs_novelty",
-    "docs_host_boilerplate", "crawl_rank_delta",
+    "docs_host_boilerplate", "crawl_rank_delta", "docs_batch_novelty",
     # the round-4 second-wave ER block is next
     "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
     "er_progressive", "er_truth_discovery", "er_group_linkage",
