@@ -287,6 +287,8 @@ HEADLINE = [
     "docs_novelty",
     "docs_host_boilerplate",
     "crawl_rank_delta",
+    # wave 26: new-batch novelty pre-filter
+    "docs_batch_novelty",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
