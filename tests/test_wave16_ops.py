@@ -879,3 +879,32 @@ def test_batch_novelty_scores_against_stored_corpus(spark):
     assert out[11].novelty == 1.0
     # shingles of 12: abc(seen) bcq cqr qrs -> 3/4 unseen
     assert (out[12].n_shingles, out[12].n_unseen) == (4, 3)
+
+
+def test_doc_keywords_tfidf_and_boilerplate_zero(spark):
+    import math
+
+    from type_filtered_entity_linker_spark.operators.textstats import (
+        doc_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common apple apple"),
+            (2, "common banana"),
+            (3, "common cherry cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.term): r
+        for r in doc_keywords(docs, top_k=2).collect()
+    }
+    # 'common' appears in every doc: idf ln(3/3)=0 -> never a keyword
+    # unless nothing else exists; it ranks BELOW the distinctive term
+    k1 = out[(1, "apple")]
+    assert k1.rank == 1 and abs(
+        k1.tfidf - round(2 * math.log(3), 6)
+    ) < 1e-9
+    assert out[(1, "common")].tfidf == 0.0
+    assert out[(3, "cherry")].rank == 1

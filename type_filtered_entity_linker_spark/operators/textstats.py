@@ -563,3 +563,55 @@ def template_shingles(
         .select("key", "shingle", "df", "n_docs", frac.alias("frac"))
         .where(F.col("frac") >= min_frac)
     )
+
+
+def doc_keywords(
+    docs: DataFrame, top_k: int = 3
+) -> DataFrame:
+    """Per-document TF-IDF keywords: the top-k terms that distinguish
+    each doc from the corpus — the labeling/routing primitive behind
+    search snippets, topic routing, and weak-label generation (the
+    per-DOC counterpart of source_keywords' per-source labels).
+
+    tf = the term's count in the doc; idf = ln(N / df) with df = the
+    number of docs containing the term (no smoothing — a term in
+    every doc scores exactly 0 and can never be a keyword, which is
+    the desired boilerplate behavior). Ranking is (tfidf DESC, term
+    ASC), rounded to 1e-6 — the ln and the division replay exactly in
+    the oracle as double arithmetic.
+
+    Shape: one token explode → (doc, term) counts (map-side partial),
+    one term-keyed df aggregate joined back, then a per-doc top-k
+    window over that doc's distinct terms only. Returns
+    (doc_id, term, tf, df, tfidf, rank) for rank <= top_k.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", r"\s+"), lambda t: t != "")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    n = docs.count()
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).where(F.col("rank") <= top_k)

@@ -868,6 +868,41 @@ DOCS_NOVELTY_SQL = f"""
 """
 
 
+def q_docs_keywords(spark, sf_dir) -> DataFrame:
+    """Per-doc TF-IDF keywords (operators/textstats.py doc_keywords):
+    top-3 distinguishing terms per document — the labeling/routing
+    primitive next to docs_source_keywords' per-source labels.
+    Unsmoothed idf: a term in every doc scores exactly 0. Oracle:
+    same counts, ln(N/df) as double, (tfidf DESC, term ASC) window."""
+    from ..operators.textstats import doc_keywords
+
+    return doc_keywords(_docs(spark, sf_dir))
+
+
+DOCS_KEYWORDS_SQL = """
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+            regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'),
+            x -> x <> '')) AS term
+        FROM documents),
+    tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+           FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf, d.df,
+               round(t.tf * ln((SELECT n FROM nd)::DOUBLE
+                               / d.df::DOUBLE), 6) AS tfidf
+        FROM tf t JOIN dfreq d USING (term))
+    SELECT doc_id, term, tf, df, tfidf, rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY tfidf DESC, term ASC)::BIGINT AS rank
+        FROM scored)
+    WHERE rank <= 3
+"""
+
+
 TEMPLATE_MIN_FRAC = 0.9
 
 
@@ -12402,6 +12437,7 @@ QUERIES = {
     "docs_host_boilerplate": q_docs_host_boilerplate,
     "crawl_rank_delta": q_crawl_rank_delta,
     "docs_batch_novelty": q_docs_batch_novelty,
+    "docs_keywords": q_docs_keywords,
     "er_pprl_bloom": q_er_pprl_bloom,
     "er_progressive": q_er_progressive,
     "er_truth_discovery": q_er_truth_discovery,
@@ -12594,6 +12630,7 @@ ORACLES = {
     "docs_host_boilerplate": DOCS_HOST_BOILERPLATE_SQL,
     "crawl_rank_delta": CRAWL_RANK_DELTA_SQL,
     "docs_batch_novelty": DOCS_BATCH_NOVELTY_SQL,
+    "docs_keywords": DOCS_KEYWORDS_SQL,
     "er_pprl_bloom": ER_PPRL_SQL,
     "er_progressive": ER_PROGRESSIVE_SQL,
     "er_truth_discovery": ER_TRUTH_SQL,
@@ -12685,6 +12722,7 @@ _NEVER_DRIVER_CHECKED = [
     "events_retention", "events_transitions", "docs_chunk_overlap",
     "er_edge_support", "er_stream_attach", "docs_novelty",
     "docs_host_boilerplate", "crawl_rank_delta", "docs_batch_novelty",
+    "docs_keywords",
     # the round-4 second-wave ER block is next
     "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
     "er_progressive", "er_truth_discovery", "er_group_linkage",
