@@ -289,6 +289,8 @@ HEADLINE = [
     "crawl_rank_delta",
     # wave 26: new-batch novelty pre-filter
     "docs_batch_novelty",
+    # wave 27: per-doc TF-IDF keywords
+    "docs_keywords",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))
