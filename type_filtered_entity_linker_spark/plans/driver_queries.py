@@ -12705,37 +12705,21 @@ ORACLES = {
 }
 
 
-# Driver-gate rotation (verdict r03 item 2): the driver's per-round
-# CORRECTNESS check samples the FIRST 50 queries() keys, and rounds
-# 1-3 always stamped the head of this dict — these 34 entries had
-# never received a driver-stamped row (the builder's own gate covers
-# all 101, but the driver's record should too). Rotate them to the
-# front; dict-merge keeps their new position while every other entry
-# retains its relative order behind them.
+# Driver-gate rotation, ROUND 5 (VERDICT r04 item 1): the driver's
+# per-round CORRECTNESS check samples the FIRST 50 queries() keys.
+# After rounds 1-4, exactly 73 of the 190 inventory entries have never
+# received a driver CORRECTNESS stamp (computed from
+# CORRECTNESS_r01..r04 key union; the r4 judge independently ran
+# scripts/check_oracles.py on all 73: 73/73 exact).  This is the FINAL
+# round, so the full 73-entry residue leads the dict in oldest-debt
+# order — the 50-query window stamps the first 50 (the r3-era
+# curation/ER-blocking/streaming families through er_hac_vs_cc); the
+# last 23 (er_profile .. er_blocking_learn) remain builder+judge-gate
+# verified only, which the record below makes explicit rather than
+# hiding.  Dict-merge keeps the new head positions while every other
+# entry retains its relative order behind them.
 _NEVER_DRIVER_CHECKED = [
-    # wave 16 is newest — it leads the window
-    "er_star_clustering", "crawl_hostgraph", "docs_bpe_learn",
-    "events_stream_late_audit", "er_fd_profile", "er_schema_match",
-    "crawl_hits", "er_link_prediction", "crawl_anchor_text",
-    "docs_bpe_apply", "events_anomaly", "crawl_mirrors",
-    "er_stable_matching", "crawl_trustrank", "dedup_incremental",
-    "events_retention", "events_transitions", "docs_chunk_overlap",
-    "er_edge_support", "er_stream_attach", "docs_novelty",
-    "docs_host_boilerplate", "crawl_rank_delta", "docs_batch_novelty",
-    "docs_keywords",
-    # the round-4 second-wave ER block is next
-    "er_soft_tfidf", "er_pivot_clustering", "er_pprl_bloom",
-    "er_progressive", "er_truth_discovery", "er_group_linkage",
-    # the late-round-4 additions have never been driver-stamped
-    # either — they lead the window
-    "er_blocking_rules", "er_transitive_conflicts",
-    "er_cluster_agreement", "dedup_semantic", "graph_modularity",
-    "docs_split_leakage", "er_incremental_attach", "er_calibration",
-    "docs_repeated_spans", "er_greedy_matching", "er_canopy",
-    "er_edit_join", "er_unicode_keys", "docs_dsir_select",
-    "typerec_train_eval", "docs_split", "docs_stratified_sample",
-    "docs_domain_cap", "docs_pii_redact", "docs_decontaminate",
-    "docs_paragraph_dedup", "docs_paragraph_boilerplate",
+    "docs_decontaminate", "docs_paragraph_dedup", "docs_paragraph_boilerplate",
     "doc_repetition", "bm25_search", "docs_curation_funnel",
     "er_rare_token_blocks", "er_tfidf_pairs", "er_phonetic_blocks",
     "er_fellegi_sunter", "er_em_weights", "er_blocking_quality",
@@ -12743,47 +12727,24 @@ _NEVER_DRIVER_CHECKED = [
     "er_sorted_neighborhood", "er_pipeline_clusters", "er_bcubed",
     "er_mutual_best", "er_monge_elkan", "dedup_allpairs",
     "url_canonicalize", "events_funnel", "corpus_length_percentiles",
-    "events_stream_join", "events_stream_sessions",
-    "crawl_stream_url_dedup", "el_clusters_incremental",
-    "warc_roundtrip",
-    # the SCD2/graph/phrase block landed after the first rotation and
-    # would otherwise sit just past the 50-query window while ten
-    # r1-stamped el_* rows occupied its slots — with these eight in
-    # (plus the eight late additions above), the head holds 56
-    # never-stamped entries: the 50-query window covers all but the
-    # LAST six (graph_label_prop, docs_pmi_bigrams,
-    # docs_phrase_search, graph_triangles, crawl_scd2_incremental,
-    # crawl_stream_scd2 slip to the next round's window; the builder
-    # gate check_oracles.py verifies them exactly meanwhile)
-    "dedup_containment", "crawl_scd2", "graph_label_prop",
-    "docs_pmi_bigrams", "docs_phrase_search", "graph_triangles",
-    "crawl_scd2_incremental", "crawl_stream_scd2",
+    "events_stream_join", "events_stream_sessions", "crawl_stream_url_dedup",
+    "el_clusters_incremental", "warc_roundtrip", "dedup_containment",
+    "crawl_scd2", "graph_label_prop", "docs_pmi_bigrams",
+    "docs_phrase_search", "graph_triangles", "crawl_scd2_incremental",
+    "crawl_stream_scd2", "el_collective", "el_collective_iterative",
+    "docs_topic_purity", "graph_kcore", "er_zipf_alpha",
+    "er_isotonic_calibration", "er_gmd", "er_scorecard",
+    "er_hac", "er_hac_dendrogram", "er_hac_vs_cc",
+    "er_profile", "er_uncertainty_queue", "er_capture_recapture",
+    "er_constraints", "crawl_host_stats", "er_must_link",
+    "er_cluster_repair", "docs_residual_dups", "docs_host_filter",
+    "er_steward_loop", "er_spatial_block", "er_explain",
+    "docs_quality_checks", "er_relational_evidence", "er_temporal_linkage",
+    "er_score_drift", "crawl_frontier_schedule", "docs_winnowing",
+    "docs_source_keywords", "er_stream_score_drift", "er_match_rules",
+    "er_swoosh", "crawl_robots_filter", "docs_contrastive_pairs",
+    "er_blocking_learn",
 ]
-# ROUND-5 ROTATION DEBT: the 12 entries above that sit past the
-# 50-query window this round, PLUS the ten r4 fifth/sixth-slot
-# additions (er_profile, er_uncertainty_queue, er_capture_recapture,
-# er_constraints, crawl_host_stats, er_must_link, er_cluster_repair,
-# docs_residual_dups, docs_host_filter, er_steward_loop) and the four
-# fourteen wave-7/8/9 entries (er_spatial_block, er_explain,
-# docs_quality_checks, er_relational_evidence, er_temporal_linkage,
-# er_score_drift, crawl_frontier_schedule, docs_winnowing,
-# docs_source_keywords, er_stream_score_drift) plus the wave-10/11
-# additions (er_match_rules, er_swoosh, crawl_robots_filter,
-# docs_contrastive_pairs, er_blocking_learn) and the wave-13
-# additions (er_gmd, el_collective, graph_kcore, er_hac) and the
-# wave-14 additions (er_zipf_alpha, er_hac_dendrogram, er_hac_vs_cc,
-# er_isotonic_calibration, er_scorecard) and the wave-15 additions
-# (docs_topic_purity, el_collective_iterative) remain driver-unstamped
-# (builder gate verifies all of them exactly at sf0.01 meanwhile).
-# LATE-R4 UPDATE: waves 16-23 added 20 more entries at the very head
-# (er_star_clustering .. docs_chunk_overlap) — the r4 window stamps
-# those 20 plus the first 30 of the older rotation list; everything
-# after slips one more round. Round 5: rotate the full unstamped
-# residue (the lists above plus whatever r4's CORRECTNESS file shows
-# as still missing) to the head — ~60 entries, so round 5's window
-# covers most and round 6 finishes the tail. The builder gate
-# (scripts/check_oracles.py, run repeatedly this round: 183/183)
-# verifies every entry exactly meanwhile.
 QUERIES = {
     **{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED},
     **QUERIES,
