@@ -382,3 +382,30 @@ def test_stream_hll_duplicate_delivery_equals_batch_sketch(spark, tmp_path):
     ests = hll_estimate(got).collect()
     # every group has 1 distinct user; linear counting must be tight
     assert all(abs(r["hll_est"] - 1.0) < 0.2 for r in ests)
+
+
+def test_watermark_lag_pin_free_on_pinned_build(spark):
+    """On the pinned pyspark version the lag pin costs nothing (no
+    probe job) and reports the measured constant."""
+    import pyspark
+
+    from type_filtered_entity_linker_spark.streaming import incremental as inc
+
+    assert pyspark.__version__ == inc.WATERMARK_LAG_MEASURED_ON, (
+        "pyspark upgraded: re-run the tripwire + probe, recalibrate "
+        "the late-audit oracle if the lag moved, then update "
+        "WATERMARK_LAG_MEASURED_ON"
+    )
+    assert inc.watermark_filter_lag_batches(spark) == 1
+
+
+def test_watermark_lag_probe_measures_one_on_this_build(spark):
+    """The behavioral probe (the loud path taken after an upgrade)
+    must agree with the pinned constant on the build it was pinned
+    on — this is what makes a future lag change fail loudly instead
+    of silently flipping the oracle."""
+    from type_filtered_entity_linker_spark.streaming.incremental import (
+        measure_watermark_filter_lag,
+    )
+
+    assert measure_watermark_filter_lag(spark) == 1

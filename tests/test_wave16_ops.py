@@ -633,6 +633,14 @@ def test_incremental_dedup_probes_new_side_only(spark):
     assert (1, 2) not in rows
     assert rows[(1, 100)] == 1.0 and rows[(2, 100)] == 1.0
     assert (3, 100) not in rows
+    # id collision between sides violates the crawl-batch contract and
+    # must raise, not silently duplicate signature rows (ADVICE r04)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="disjoint"):
+        near_duplicates_incremental(
+            old, old.limit(1).select("doc_id", "text"), 0.6
+        )
 
 
 def test_cohort_retention_matrix(spark):

@@ -736,8 +736,26 @@ def near_duplicates_incremental(
     recall 1 for the threshold, output equals brute-force Jaccard
     restricted to pairs with a new member.
 
+    CONTRACT: ``existing`` and ``new`` doc_ids must be disjoint (the
+    crawl-batch invariant — new snapshot ids are minted after the
+    stored index's). A colliding id would put two rows for one doc_id
+    into the signature table and let the new-side semi-join classify
+    a stored row as new (ADVICE r04). Enforced with a cheap
+    new-side-sized anti-join assertion rather than trusted.
+
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
+    clash = (
+        new.select("doc_id")
+        .join(existing.select("doc_id"), "doc_id", "semi")
+        .limit(1)
+        .count()
+    )
+    if clash:
+        raise ValueError(
+            "near_duplicates_incremental: existing and new doc_ids "
+            "must be disjoint (crawl-batch contract)"
+        )
     all_docs = existing.select("doc_id", "text").unionByName(
         new.select("doc_id", "text")
     )

@@ -6626,7 +6626,25 @@ def q_events_stream_late_audit(spark, sf_dir) -> DataFrame:
     state. Oracle: pure SQL replay of the three-batch schedule
     (drop watermark = batch-1-file max ts - 2h, final watermark =
     overall max ts - 2h)."""
-    from ..streaming.incremental import run_stream_once, stream_events_hourly
+    from ..streaming.incremental import (
+        run_stream_once,
+        stream_events_hourly,
+        watermark_filter_lag_batches,
+    )
+
+    # the oracle replays a ONE-batch late-filter lag; free check on the
+    # pinned pyspark build, behavioral re-measure on any other — raises
+    # instead of silently hash-mismatching after a Spark upgrade
+    # (VERDICT r04 item 4)
+    lag = watermark_filter_lag_batches(spark)
+    if lag != 1:
+        raise RuntimeError(
+            f"events_stream_late_audit: measured late-filter lag is "
+            f"{lag} batches on this Spark build, but the DuckDB oracle "
+            f"replays a 1-batch lag (drop watermark = batch-1 max ts - "
+            f"delay). Recalibrate EVENTS_STREAM_LATE_AUDIT_SQL and the "
+            f"tripwire test, then update WATERMARK_LAG_MEASURED_ON."
+        )
 
     path = f"{sf_dir}/events.parquet"
     stage = _staged_late_events_dir(spark, sf_dir)
@@ -8224,8 +8242,13 @@ def _bpe_parts(n_merges: int, fold_last: bool) -> "list[str]":
     the final merge so w{n_merges} is the fully-merged vocabulary
     (the apply oracle needs it; the learn oracle stops at best{n})."""
     parts = [
+        # \s+ split mirroring the Spark side (bpe.py F.split(.., '\\s+'));
+        # plain string_split(text, ' ') would tokenize tab/newline-bearing
+        # words differently per engine (ADVICE r04)
         """toks AS (
-        SELECT unnest(string_split(text, ' ')) AS word FROM documents)""",
+        SELECT unnest(regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+'))
+               AS word
+        FROM documents)""",
         """w0 AS MATERIALIZED (
         SELECT count(*)::BIGINT AS cnt,
                list_append(regexp_extract_all(word, '.'), '</w>') AS syms
@@ -8296,10 +8319,20 @@ def q_events_anomaly(spark, sf_dir) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("n"))
     )
-    return robust_anomalies(hourly, ["user_id"], "hour_start", "n")
+    return robust_anomalies(
+        hourly, ["user_id"], "hour_start", "n", k=EVENTS_ANOMALY_K
+    )
 
 
-EVENTS_ANOMALY_SQL = """
+# explicit at the call site AND interpolated into the oracle below, so
+# changing either the operator default or this constant cannot silently
+# desynchronize the two engines (ADVICE r04; same parameterization
+# pattern as _er_fd_sql/_bpe_parts)
+EVENTS_ANOMALY_K = 3.0
+
+
+def _events_anomaly_sql(k: float) -> str:
+    return f"""
     WITH hourly AS (
         SELECT user_id, date_trunc('hour', ts) AS hour_start,
                count(*)::BIGINT AS n
@@ -8317,10 +8350,13 @@ EVENTS_ANOMALY_SQL = """
            END AS robust_z,
            CASE WHEN mad.mad > 0
                 THEN abs((j.n - j.med)
-                         / (1.4826::DOUBLE * mad.mad)) > 3.0::DOUBLE
+                         / (1.4826::DOUBLE * mad.mad)) > {k!r}::DOUBLE
                 ELSE j.n <> j.med END AS is_anomaly
     FROM j JOIN mad USING (user_id)
 """
+
+
+EVENTS_ANOMALY_SQL = _events_anomaly_sql(EVENTS_ANOMALY_K)
 
 
 BPE_APPLY_TOP_K = 20
