@@ -2914,28 +2914,22 @@ def q_er_blocking_rules(spark, sf_dir) -> DataFrame:
     corrupted-phone pairs (the corruption rewrote only the prefix) but
     contributes ZERO new ones — the redundant-rule case the chart
     exists to expose. pc_cum hits 1.0 at rule 2 and stays there."""
-    from ..operators.blocking import blocking_rules_cumulative
+    from ..operators.blocking import blocking_rules_cumulative_keys
 
     records, truth, _ = _fs_customers(spark, sf_dir, corrupt="phone")
-    rules = [
-        (
-            "phone_exact",
-            records.select("rec_id", F.col("phone").alias("block_key")),
-        ),
-        (
-            "name_prefix17",
-            records.select(
-                "rec_id", F.substring("name", 1, 17).alias("block_key")
-            ),
-        ),
-        (
-            "phone_suffix4",
-            records.select(
-                "rec_id", F.expr("substring(phone, 4)").alias("block_key")
-            ),
-        ),
-    ]
-    return blocking_rules_cumulative(rules, truth)
+    # the _keys form barriers the records projection ONCE inside the
+    # operator before the three per-rule self-joins (r4 plan audit:
+    # the per-rule form re-derived the records lineage 21 exchanges
+    # deep; now k self-joins read one checkpoint)
+    return blocking_rules_cumulative_keys(
+        records,
+        [
+            ("phone_exact", F.col("phone")),
+            ("name_prefix17", F.substring("name", 1, 17)),
+            ("phone_suffix4", F.expr("substring(phone, 4)")),
+        ],
+        truth,
+    )
 
 
 ER_BLOCKING_RULES_SQL = """
