@@ -413,6 +413,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    warm_touch: list[str] = []
+    warm_touch_secs = 0.0
     if os.environ.get("BENCH_PIPELINE_ONLY") != "1":
         # session warm-up (codegen + python workers + shared el-chain
         # base checkpoints) so the first headline query isn't charged
@@ -426,6 +428,21 @@ def main() -> None:
         # the r2 "media_features regression" was exactly this cold cost
         # landing on the timed run
         _noop_write(QUERIES["media_features"](spark, sf_dir))
+        # warm steady-state policy (VERDICT r04 item 7): the recurring
+        # 5-10x bench-slot outliers are all FIRST-TOUCH artifacts of
+        # one lineage family (crawl synthetic-pages extraction,
+        # minhash-CC keep-one) — warm 1.9/2.2/5.5 s vs slot 15.3/
+        # 10.0/9.8 s in r4. One untimed touch of each family
+        # representative before the timed loop, recorded in the
+        # output JSON, so the per-round file reflects the steady state
+        # a long-running cluster job actually sees rather than the
+        # cold-start artifact (the cold cost is still visible: it is
+        # exactly the warm-touch pass's wall time, reported too).
+        warm_touch[:] = ["crawl_hostgraph", "dedup_cluster_keep"]
+        t0 = time.perf_counter()
+        for name in warm_touch:
+            _noop_write(QUERIES[name](spark, sf_dir))
+        warm_touch_secs = round(time.perf_counter() - t0, 3)
         for name in HEADLINE:
             t0 = time.perf_counter()
             _noop_write(QUERIES[name](spark, sf_dir))
@@ -620,6 +637,11 @@ def main() -> None:
         "scorer_head": BENCH_HEAD,
         # co-tenant context (see _box_probe): compare probe ratios,
         # not raw seconds, across rounds on this shared box
+        # warm steady-state policy (VERDICT r04 item 7): these
+        # queries' shared lineage got one untimed touch costing
+        # warm_touch_secs before the timed loop
+        "warm_touch": warm_touch,
+        "warm_touch_secs": warm_touch_secs,
         "box_probe_start": probe_start,
         "box_probe_end": _box_probe(),
     }
