@@ -291,6 +291,11 @@ HEADLINE = [
     "docs_batch_novelty",
     # wave 27: per-doc TF-IDF keywords
     "docs_keywords",
+    # wave 28 (round 5): content-defined chunking shared passages,
+    # Flesch readability projection, CUSUM drift detection
+    "docs_cdc_chunks",
+    "docs_readability",
+    "events_cusum",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

@@ -146,6 +146,32 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
+    # raw-runs retention (VERDICT r04 item 5): the r4 studies kept
+    # medians only, so later pooling could not be recomputed exactly.
+    # Every study now dumps EVERY run verbatim (timings, stage secs,
+    # box probes) to a labeled JSON so any future pooled estimator is
+    # recomputable from raw.
+    label = os.environ.get("SCALING_LABEL", "latest")
+    raw_path = os.path.join(REPO, "BENCH", f"scaling_runs_{label}.json")
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(raw_path, "w") as f:
+        json.dump(
+            {
+                "label": label,
+                "pages": pages,
+                "entities": entities,
+                "filler": filler,
+                "repeats": repeats,
+                "levels": {str(c): results[c]["runs"] for c in levels},
+                "summary": summary,
+            },
+            f,
+            indent=1,
+        )
+    print(f"raw runs -> {raw_path}", file=sys.stderr)
+    if os.environ.get("SCALING_WRITE_MD", "1") != "1":
+        return
+
     h, d = summary["headline"], summary["diagnostic"]
     spread_line = ", ".join(
         "{} cores {:.2f}x".format(

@@ -1,0 +1,130 @@
+"""Wave 28 (round 5): CDC chunking, Flesch readability, CUSUM drift."""
+
+from pyspark.sql import functions as F
+
+
+def test_cdc_chunks_reassemble_and_local_edit_stability(spark):
+    from type_filtered_entity_linker_spark.operators.dedup import cdc_chunks
+
+    base = " ".join(f"tok{i % 13}w{i % 7}" for i in range(120))
+    edited = "INSERTED " + base  # one token prepended
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    ch = cdc_chunks(docs, k=3, divisor=4).collect()
+
+    # chunks reassemble to the original token stream, in order
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in ((1, base), (2, edited)):
+        rows = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        n_tokens = len(text.split(" "))
+        assert sum(r.chunk_tokens for r in rows) == n_tokens
+        assert rows[0].chunk_start == 0
+        for a, b in zip(rows, rows[1:]):
+            assert b.chunk_start == a.chunk_start + a.chunk_tokens
+
+    # content-defined boundaries: the single prepended token must NOT
+    # invalidate the whole chunking — the two docs share most chunk
+    # hashes (fixed-size chunking would share none)
+    h1 = {r.chunk_hash for r in by_doc[1]}
+    h2 = {r.chunk_hash for r in by_doc[2]}
+    assert len(h1) > 3  # the doc actually chunked
+    shared = len(h1 & h2)
+    assert shared >= len(h1) - 2, (shared, len(h1))
+
+
+def test_cdc_chunks_matches_python_reference(spark):
+    """Exact parity with a transparent sequential reference."""
+    import hashlib
+
+    from type_filtered_entity_linker_spark.operators.dedup import cdc_chunks
+
+    text = "a quick brown fox jumps over the lazy dog again and again"
+    k, d = 2, 3
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = text.split(" ")
+    bounds = [
+        t
+        for t in range(len(toks))
+        if t >= k and md5_60(" ".join(toks[t - k : t])) % d == 0
+    ]
+    expect = []
+    starts = [0] + bounds
+    ends = bounds + [len(toks)]
+    for cid, (s, e) in enumerate(zip(starts, ends)):
+        expect.append((s, e - s, md5_60(" ".join(toks[s:e]))))
+
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        (r.chunk_start, r.chunk_tokens, r.chunk_hash)
+        for r in cdc_chunks(docs, k=k, divisor=d, hash_fn="md5_60").collect()
+    )
+    assert got == sorted(expect)
+
+
+def test_readability_hand_computed(spark):
+    from type_filtered_entity_linker_spark.operators.textstats import (
+        readability,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 4 words, 2 sentences, syllables: the=1, cat=1, sat=1,
+            # down=1 -> flesch = 206.835 - 1.015*2 - 84.6*1 = 120.205
+            (1, "The cat. Sat down."),
+            # no words at all -> NULL flesch, sentence floor 1
+            (2, "... !!!"),
+            # unterminated single sentence: banana=3 syllables
+            (3, "banana"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in readability(docs).collect()}
+    r1 = rows[1]
+    assert (r1.n_sentences, r1.n_words, r1.n_syllables) == (2, 4, 4)
+    assert abs(r1.flesch - 120.205) < 1e-9
+    assert rows[2].n_words == 0 and rows[2].flesch is None
+    r3 = rows[3]
+    assert (r3.n_sentences, r3.n_words, r3.n_syllables) == (1, 1, 3)
+
+
+def test_cusum_matches_textbook_recursion_and_flags_drift(spark):
+    import math
+
+    from type_filtered_entity_linker_spark.operators.diagnostics import (
+        cusum_anomalies,
+    )
+
+    # flat at 10, then a sustained +3 drift no single-point z would
+    # flag strongly
+    series = [10] * 20 + [13] * 10
+    rows = [(1, i, v) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "k long, slot long, v long")
+    out = sorted(
+        cusum_anomalies(df, ["k"], "slot", "v", 0.5, 4.0).collect(),
+        key=lambda r: r.slot,
+    )
+
+    n = len(series)
+    mean = sum(series) / n
+    sigma = math.sqrt(sum(x * x for x in series) / n - mean * mean)
+    s, ref = 0.0, []
+    for x in series:
+        s = max(0.0, s + (x - mean - 0.5 * sigma))
+        ref.append(s)
+    for r, expect in zip(out, ref):
+        assert abs(r.cusum - expect) < 1e-6, (r.slot, r.cusum, expect)
+    alarms = [r.slot for r in out if r.is_alarm]
+    ref_alarms = [i for i, s in enumerate(ref) if s > 4.0 * sigma]
+    assert alarms == ref_alarms and alarms  # drift IS detected
+    # constant series: sigma 0, no alarm, cusum 0
+    const = spark.createDataFrame(
+        [(2, i, 5) for i in range(10)], "k long, slot long, v long"
+    )
+    cout = cusum_anomalies(const, ["k"], "slot", "v").collect()
+    assert all(not r.is_alarm and r.cusum == 0.0 for r in cout)

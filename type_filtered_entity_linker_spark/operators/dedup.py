@@ -873,3 +873,96 @@ def batch_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    k: int = 3,
+    divisor: int = 8,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking at token granularity — the
+    storage-dedup idea (LBFS/Rabin chunking) applied to corpus text:
+    a chunk boundary falls BEFORE token t whenever the hash of the
+    k-token gram ENDING at t-1 is ≡ 0 (mod divisor). Because the
+    boundary decision depends only on local content, an insertion or
+    deletion re-chunks ONLY its neighborhood — unlike fixed-size
+    chunking, where one shifted token invalidates every later chunk.
+    That makes shared chunk hashes a robust shared-passage signal
+    across near-identical documents (the syndication/boilerplate
+    shape), with expected chunk length ``divisor`` tokens.
+
+    Deterministic and engine-replayable: hash_fn as in shingle_hash
+    (xxhash64 production, md5_60 for bit-identical DuckDB oracles).
+    Scale shape: one explode of (t, tok, brk) rows built in a single
+    array projection (the gram hash is computed BEFORE the explode, so
+    the token array is never carried per row), one doc-partitioned
+    running-sum window (bounded by document length — the
+    repeated_spans/winnowing trade), one hash aggregate. Returns
+    (doc_id, chunk_id, chunk_start, chunk_tokens, chunk_hash).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), r"\s+")
+    rows = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 1),
+        lambda t: F.struct(
+            t.cast("int").alias("t"),
+            F.element_at(toks, t + 1).alias("tok"),
+            F.when(
+                (t >= k)
+                & (
+                    F.pmod(
+                        shingle_hash(
+                            F.concat_ws(
+                                " ",
+                                F.slice(
+                                    toks, F.greatest(t - k + 1, F.lit(1)), k
+                                ),
+                            ),
+                            hash_fn,
+                        ),
+                        F.lit(divisor),
+                    )
+                    == 0
+                ),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("brk"),
+        ),
+    )
+    g = docs.select(F.col(id_col), F.explode(rows).alias("r")).select(
+        id_col, "r.t", "r.tok", "r.brk"
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = g.withColumn("chunk_id", F.sum("brk").over(w))
+    return (
+        seg.groupBy(id_col, "chunk_id")
+        .agg(
+            F.min("t").alias("chunk_start"),
+            F.count(F.lit(1)).alias("chunk_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("t", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias("chunk_text"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("chunk_start").cast("int").alias("chunk_start"),
+            F.col("chunk_tokens").cast("long").alias("chunk_tokens"),
+            shingle_hash(F.col("chunk_text"), hash_fn).alias("chunk_hash"),
+        )
+    )

@@ -300,3 +300,77 @@ def robust_anomalies(
         .otherwise(F.col("value") != F.col("med"))
         .alias("is_anomaly"),
     )
+
+
+def cusum_anomalies(
+    df: DataFrame,
+    key_cols: "list[str]",
+    slot_col: str,
+    value_col: str,
+    slack_k: float = 0.5,
+    threshold_h: float = 4.0,
+) -> DataFrame:
+    """One-sided CUSUM level-shift detection per key — the monitoring
+    complement to robust_anomalies: a robust-z flags single spikes,
+    CUSUM accumulates SMALL sustained drifts (a host slowly turning
+    into a spam farm, a sensor drifting) that never individually cross
+    a z threshold. Textbook recursion S_i = max(0, S_{i-1} + (x_i − μ
+    − kσ)), alarm when S_i > hσ.
+
+    Relational closed form (no sequential recursion): with
+    P_i = Σ_{j≤i} (x_j − μ − kσ) an ordered prefix sum and P_0 = 0,
+    S_i = P_i − min(0, min_{j≤i} P_j) — two ordered windows per key
+    partition, both accumulate in ORDER BY order in every engine, so
+    the float sequence (and the alarm decision) is engine-identical.
+    μ and σ come from the exact integer aggregates (n, Σx, Σx²) via
+    σ² = (Σx² − (Σx)²/n)/n evaluated in DOUBLE — both engines divide
+    the same exact integers (the robust_anomalies convention), never
+    a distributed stddev whose partial-merge order could differ.
+
+    Scale shape: one partial-agg pass for the moments, one key-
+    partitioned exchange reused by both windows. Returns key cols +
+    (slot, value, cusum [6dp], sigma [6dp], is_alarm)."""
+    from pyspark.sql import Window
+
+    moments = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(value_col).cast("long").alias("_s"),
+        F.sum(F.col(value_col) * F.col(value_col))
+        .cast("long")
+        .alias("_ss"),
+    )
+    j = df.join(moments, key_cols)
+    mean = F.col("_s").cast("double") / F.col("_n").cast("double")
+    var = (
+        F.col("_ss").cast("double")
+        - F.col("_s").cast("double")
+        * F.col("_s").cast("double")
+        / F.col("_n").cast("double")
+    ) / F.col("_n").cast("double")
+    # guard float residue: a constant series' var can be -1e-13
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    dev = F.col(value_col).cast("double") - mean - F.lit(slack_k) * sigma
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(slot_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = (
+        j.withColumn("_sigma", sigma)
+        .withColumn("_p", F.sum(dev).over(w))
+    )
+    s = p.withColumn(
+        "_cusum",
+        F.col("_p") - F.least(F.lit(0.0), F.min("_p").over(w)),
+    )
+    return s.select(
+        *key_cols,
+        F.col(slot_col),
+        F.col(value_col).alias("value"),
+        F.round("_cusum", 6).alias("cusum"),
+        F.round("_sigma", 6).alias("sigma"),
+        (
+            (F.col("_sigma") > 0)
+            & (F.col("_cusum") > F.lit(threshold_h) * F.col("_sigma"))
+        ).alias("is_alarm"),
+    )

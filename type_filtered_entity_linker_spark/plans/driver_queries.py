@@ -12346,6 +12346,194 @@ ER_BLOCKING_LEARN_SQL = _er_blocking_learn_oracle_sql()
 
 # --------------------------------------------------------------- registries
 
+
+
+# --------------------- wave 28 (round 5): CDC chunks, readability, CUSUM
+
+
+CDC_K = 3
+CDC_DIVISOR = 4
+CDC_MIN_DOCS = 2
+
+
+def q_docs_cdc_chunks(spark, sf_dir) -> DataFrame:
+    """Content-defined chunking shared-passage report
+    (operators/dedup.py cdc_chunks — LBFS/Rabin chunking at token
+    granularity): chunk boundaries where the k-gram hash ≡ 0 (mod
+    divisor), so insertions re-chunk only their neighborhood; chunks
+    whose hash appears in ≥ 2 distinct documents are the shared
+    passages. Run over the near-dup corpus (planted copies guarantee
+    shared chunks). md5_60 hashes; the oracle replays the positioned
+    gram hash, the running boundary sum, and the order-preserving
+    chunk reassembly cell-for-cell."""
+    from ..operators.dedup import cdc_chunks
+
+    ch = cdc_chunks(
+        _neardup_corpus(spark, sf_dir),
+        k=CDC_K,
+        divisor=CDC_DIVISOR,
+        hash_fn="md5_60",
+    )
+    return (
+        ch.groupBy("chunk_hash", "chunk_tokens")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= CDC_MIN_DOCS)
+    )
+
+
+DOCS_CDC_CHUNKS_SQL = f"""
+    WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+    toks AS (SELECT doc_id,
+                    regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l
+             FROM corpus),
+    ga AS (
+        -- positioned (t, tok, gram) rows; the gram HASH is computed
+        -- after the unnest (next CTE) because _hex_fold's internal
+        -- comprehension variable would shadow this one's i
+        SELECT doc_id,
+               [struct_pack(t := i - 1,
+                            tok := l[i],
+                            gr := CASE WHEN i - 1 >= {CDC_K}
+                                       THEN array_to_string(
+                                           l[i - {CDC_K}:i - 1], ' ')
+                                  END)
+                for i in generate_series(1, len(l))] AS arr
+        FROM toks),
+    g AS (SELECT doc_id, u.s['t'] AS t, u.s['tok'] AS tok,
+                 CASE WHEN u.s['gr'] IS NOT NULL
+                       AND ({_hex_fold("u.s['gr']", 1, 15)})
+                           % {CDC_DIVISOR} = 0
+                      THEN 1 ELSE 0 END AS brk
+          FROM ga, unnest(arr) AS u(s)),
+    seg AS (SELECT doc_id, t, tok,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS chunk_id
+            FROM g),
+    ch AS (SELECT doc_id, chunk_id,
+                  count(*)::BIGINT AS chunk_tokens,
+                  string_agg(tok, ' ' ORDER BY t) AS chunk_text
+           FROM seg GROUP BY 1, 2),
+    h AS (SELECT doc_id, chunk_tokens,
+                 {_hex_fold('chunk_text', 1, 15)} AS chunk_hash
+          FROM ch)
+    SELECT chunk_hash, chunk_tokens,
+           count(DISTINCT doc_id)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_occurrences
+    FROM h GROUP BY 1, 2
+    HAVING count(DISTINCT doc_id) >= {CDC_MIN_DOCS}
+"""
+
+
+def q_docs_readability(spark, sf_dir) -> DataFrame:
+    """Flesch reading-ease quality dial (operators/textstats.py
+    readability): deterministic sentence/word/vowel-group-syllable
+    counts, pure narrow projection (no UDF, no shuffle). Oracle: the
+    identical regex counts and the identical arithmetic on the same
+    exact integers."""
+    from ..operators.textstats import readability
+
+    return readability(_docs(spark, sf_dir))
+
+
+DOCS_READABILITY_SQL = """
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(
+                   regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),
+                   x -> regexp_matches(x, '[A-Za-z0-9]')) AS words,
+               greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                   AS n_sentences
+        FROM documents),
+    c AS (
+        SELECT doc_id, n_sentences::BIGINT AS n_sentences,
+               len(words)::BIGINT AS n_words,
+               coalesce(list_sum(list_transform(words,
+                   x -> greatest(1, len(regexp_extract_all(
+                       lower(x), '[aeiouy]+'))))), 0)::BIGINT
+                   AS n_syllables
+        FROM w)
+    SELECT doc_id, n_sentences, n_words, n_syllables,
+           CASE WHEN n_words > 0
+                THEN round(206.835
+                           - 1.015 * (n_words::DOUBLE
+                                      / n_sentences::DOUBLE)
+                           - 84.6 * (n_syllables::DOUBLE
+                                     / n_words::DOUBLE), 6)
+           END AS flesch
+    FROM c
+"""
+
+
+CUSUM_SLACK_K = 0.5
+CUSUM_THRESHOLD_H = 4.0
+
+
+def q_events_cusum(spark, sf_dir) -> DataFrame:
+    """One-sided CUSUM drift detection
+    (operators/diagnostics.py cusum_anomalies) over per-user hourly
+    event counts — the sustained-small-drift complement to
+    events_anomaly's single-spike robust-z. The sequential textbook
+    recursion is replayed relationally (prefix sum minus running min),
+    so both engines accumulate the identical float sequence in window
+    order; thresholds passed explicitly at the call site AND
+    interpolated into the oracle (the events_anomaly convention)."""
+    from ..operators.diagnostics import cusum_anomalies
+
+    hourly = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(
+            "user_id", F.date_trunc("hour", "ts").alias("hour_start")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return cusum_anomalies(
+        hourly,
+        ["user_id"],
+        "hour_start",
+        "n",
+        slack_k=CUSUM_SLACK_K,
+        threshold_h=CUSUM_THRESHOLD_H,
+    )
+
+
+EVENTS_CUSUM_SQL = f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour_start,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2),
+    m AS (SELECT user_id, count(*)::BIGINT AS _n,
+                 sum(n)::BIGINT AS _s, sum(n * n)::BIGINT AS _ss
+          FROM hourly GROUP BY user_id),
+    j AS (SELECT h.user_id, h.hour_start, h.n,
+                 _s::DOUBLE / _n::DOUBLE AS mean,
+                 sqrt(greatest((_ss::DOUBLE
+                                - _s::DOUBLE * _s::DOUBLE / _n::DOUBLE)
+                               / _n::DOUBLE, 0.0)) AS sigma
+          FROM hourly h JOIN m USING (user_id)),
+    p AS (SELECT user_id, hour_start, n, sigma,
+                 sum(n::DOUBLE - mean - {CUSUM_SLACK_K!r} * sigma)
+                     OVER (PARTITION BY user_id ORDER BY hour_start
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS _p
+          FROM j),
+    s AS (SELECT user_id, hour_start, n, sigma,
+                 _p - least(0.0, min(_p)
+                     OVER (PARTITION BY user_id ORDER BY hour_start
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)) AS _c
+          FROM p)
+    SELECT user_id, hour_start, n AS value,
+           round(_c, 6) AS cusum, round(sigma, 6) AS sigma,
+           (sigma > 0 AND _c > {CUSUM_THRESHOLD_H!r} * sigma)
+               AS is_alarm
+    FROM s
+"""
+
+
 QUERIES = {
     "el_mentions": _el_mentions,
     "el_entities": _el_entities,
@@ -12539,7 +12727,20 @@ QUERIES = {
     "er_blocking_learn": q_er_blocking_learn,
 }
 
+QUERIES_WAVE28 = {
+    "docs_cdc_chunks": q_docs_cdc_chunks,
+    "docs_readability": q_docs_readability,
+    "events_cusum": q_events_cusum,
+}
+# wave 28 lands BEHIND the round-5 rotation head (the driver window
+# stamps the first 50 rotated keys; these are builder-gate verified)
+QUERIES.update(QUERIES_WAVE28)
+
+
 ORACLES = {
+    "docs_cdc_chunks": DOCS_CDC_CHUNKS_SQL,
+    "docs_readability": DOCS_READABILITY_SQL,
+    "events_cusum": EVENTS_CUSUM_SQL,
     "el_mentions": EL_MENTIONS_SQL,
     "el_entities": EL_ENTITIES_SQL,
     "el_candidates": EL_CANDIDATES_SQL,
