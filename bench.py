@@ -296,6 +296,7 @@ HEADLINE = [
     "docs_cdc_chunks",
     "docs_readability",
     "events_cusum",
+    "media_mime_sniff",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

@@ -128,3 +128,37 @@ def test_cusum_matches_textbook_recursion_and_flags_drift(spark):
     )
     cout = cusum_anomalies(const, ["k"], "slot", "v").collect()
     assert all(not r.is_alarm and r.cusum == 0.0 for r in cout)
+
+
+def test_sniff_mime_detects_mislabeled_payloads(spark):
+    """The router must trust bytes, not labels: payloads carried under
+    a WRONG declared media_type sniff to their true type (the
+    off-diagonal case the closed-form fixture cannot produce)."""
+    from type_filtered_entity_linker_spark.operators.multimodal import (
+        make_media_payload,
+        sniff_mime,
+    )
+
+    wav, _ = make_media_payload(1, "x")   # doc_id 1 -> audio/wav
+    bmp, _ = make_media_payload(2, "x")   # -> image/bmp
+    png, _ = make_media_payload(3, "x")   # -> image/png
+    rows = [
+        (1, wav, "image/png"),            # mislabeled
+        (2, bmp, "text/plain"),           # mislabeled
+        (3, png, "image/png"),
+        (4, b"hello world", "audio/wav"), # mislabeled text
+        (5, b"\x00\x01\x02", "text/plain"),
+        (6, b"", "text/plain"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    got = {r.doc_id: r.sniffed_mime for r in sniff_mime(df).collect()}
+    assert got == {
+        1: "audio/wav",
+        2: "image/bmp",
+        3: "image/png",
+        4: "text/plain",
+        5: "application/octet-stream",
+        6: "application/octet-stream",
+    }

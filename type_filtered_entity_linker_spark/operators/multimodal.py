@@ -363,3 +363,43 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def sniff_mime(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Magic-byte MIME detection on the raw binary column — the type
+    ROUTER that runs before any decoder at ingest scale: a stored
+    content-type column is exactly what a 10^12-object crawl cannot
+    trust (mislabeled uploads, lying servers), so routing decodes by
+    declared type silently feeds corrupt bytes to the wrong decoder.
+    Pure JVM expressions (hex prefixes of the binary column — no UDF,
+    no decode): PNG 8-byte signature, BMP 'BM', RIFF....WAVE, then a
+    printable-first-byte text heuristic, else octet-stream. Adds
+    ``sniffed_mime``.
+
+    Detection set matches the formats :func:`decode_media_batch`
+    actually decodes; codec containers (JPEG/MP3) would be one more
+    WHEN arm each when their decoders land."""
+    p = F.col(payload_col)
+    first_code = F.conv(F.hex(F.substring(p, 1, 1)), 16, 10).cast("int")
+    sniffed = (
+        F.when(
+            F.hex(F.substring(p, 1, 8)) == "89504E470D0A1A0A",
+            F.lit("image/png"),
+        )
+        .when(F.hex(F.substring(p, 1, 2)) == "424D", F.lit("image/bmp"))
+        .when(
+            (F.hex(F.substring(p, 1, 4)) == "52494646")
+            & (F.hex(F.substring(p, 9, 4)) == "57415645"),
+            F.lit("audio/wav"),
+        )
+        .when(
+            (F.length(p) > 0)
+            & (first_code >= 32)
+            & (first_code <= 126),
+            F.lit("text/plain"),
+        )
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    return media.withColumn("sniffed_mime", sniffed)

@@ -12727,10 +12727,53 @@ QUERIES = {
     "er_blocking_learn": q_er_blocking_learn,
 }
 
+
+
+def q_media_mime_sniff(spark, sf_dir) -> DataFrame:
+    """Magic-byte router audit (operators/multimodal.py sniff_mime):
+    sniff the MIME type from the raw payload bytes and cross-tabulate
+    against the declared media_type — the trust-but-verify table an
+    ingest pipeline watches (off-diagonal rows = mislabeled objects
+    headed for the wrong decoder). On the closed-form fixture the
+    sniffer must agree with the declaration everywhere, which the
+    oracle predicts arithmetically from doc_id % 4 (the
+    media_features convention) plus the printable-first-char text
+    rule replayed on the actual text."""
+    from ..operators.multimodal import sniff_mime, with_media_payload
+
+    m = sniff_mime(with_media_payload(_docs(spark, sf_dir)))
+    return m.groupBy("media_type", "sniffed_mime").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+MEDIA_MIME_SNIFF_SQL = """
+    WITH base AS (SELECT doc_id, doc_id % 4 AS m, text FROM documents),
+    s AS (SELECT doc_id,
+                 CASE m WHEN 1 THEN 'audio/wav'
+                        WHEN 2 THEN 'image/bmp'
+                        WHEN 3 THEN 'image/png'
+                        ELSE 'text/plain' END AS media_type,
+                 CASE WHEN m = 1 THEN 'audio/wav'
+                      WHEN m = 2 THEN 'image/bmp'
+                      WHEN m = 3 THEN 'image/png'
+                      WHEN length(text) > 0
+                           AND ascii(substr(text, 1, 1)) BETWEEN 32
+                               AND 126
+                          THEN 'text/plain'
+                      ELSE 'application/octet-stream' END
+                     AS sniffed_mime
+          FROM base)
+    SELECT media_type, sniffed_mime, count(*)::BIGINT AS n_docs
+    FROM s GROUP BY 1, 2
+"""
+
+
 QUERIES_WAVE28 = {
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "docs_readability": q_docs_readability,
     "events_cusum": q_events_cusum,
+    "media_mime_sniff": q_media_mime_sniff,
 }
 # wave 28 lands BEHIND the round-5 rotation head (the driver window
 # stamps the first 50 rotated keys; these are builder-gate verified)
@@ -12741,6 +12784,7 @@ ORACLES = {
     "docs_cdc_chunks": DOCS_CDC_CHUNKS_SQL,
     "docs_readability": DOCS_READABILITY_SQL,
     "events_cusum": EVENTS_CUSUM_SQL,
+    "media_mime_sniff": MEDIA_MIME_SNIFF_SQL,
     "el_mentions": EL_MENTIONS_SQL,
     "el_entities": EL_ENTITIES_SQL,
     "el_candidates": EL_CANDIDATES_SQL,
