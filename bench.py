@@ -297,6 +297,7 @@ HEADLINE = [
     "docs_readability",
     "events_cusum",
     "media_mime_sniff",
+    "docs_bpe_fertility",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

@@ -162,3 +162,30 @@ def test_sniff_mime_detects_mislabeled_payloads(spark):
         5: "application/octet-stream",
         6: "application/octet-stream",
     }
+
+
+def test_bpe_fertility_baseline_and_monotone(spark):
+    from type_filtered_entity_linker_spark.operators.bpe import bpe_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "ab ab xyz"), (2, "s2", "ab xyz xyz")],
+        "doc_id long, source string, text string",
+    )
+    # zero merges: every word tokenizes to chars + </w>, so
+    # n_sub(word) = len(word) + 1 exactly
+    base = {
+        r.source: r for r in bpe_fertility(docs, n_merges=0).collect()
+    }
+    # s1: ab(2 words, 3 subs each) + xyz(1 word, 4 subs) = 10/3
+    assert (base["s1"].n_words, base["s1"].n_subwords) == (3, 10)
+    assert abs(base["s1"].fertility - round(10 / 3, 6)) < 1e-9
+    # s2: ab(1) + xyz(2) = 3 + 8 = 11/3
+    assert (base["s2"].n_words, base["s2"].n_subwords) == (3, 11)
+    # merges only ever join symbols: fertility is non-increasing in
+    # n_merges, and enough merges collapse repeated words entirely
+    merged = {
+        r.source: r for r in bpe_fertility(docs, n_merges=6).collect()
+    }
+    for s in ("s1", "s2"):
+        assert merged[s].fertility <= base[s].fertility
+        assert merged[s].n_words == base[s].n_words

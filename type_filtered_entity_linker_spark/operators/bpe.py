@@ -189,3 +189,61 @@ def _learn(
             .localCheckpoint(eager=True)
         )
     return bests, words
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    n_merges: int = 6,
+    by_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility (subwords emitted per word) per corpus
+    slice — THE comparative metric for judging a trained tokenizer
+    across languages/sources: a slice whose fertility stays near the
+    character count is one the vocabulary serves badly (its text
+    fragments into singles), the classic under-served-language signal
+    in multilingual tokenizer evaluation. Uses the merges learned on
+    the WHOLE corpus (the production shape: one tokenizer, many
+    slices).
+
+    Scale shape: the learn loop is bpe_merges' (corpus pass once,
+    rounds vocabulary-sized); fertility adds one (slice, word) count
+    aggregate joined against the vocabulary-sized fully-merged word
+    table (broadcast by size) — per-word subword counts are never
+    recomputed per slice. Returns (by_col, n_words, n_subwords,
+    fertility [6dp])."""
+    _, words = _learn(docs, n_merges, text_col)
+    joined = F.array_join(F.col("syms"), "")
+    vocab = words.select(
+        F.substring(
+            joined, F.lit(1), F.length(joined) - len(END_MARKER)
+        ).alias("word"),
+        F.size("syms").cast("long").alias("n_sub"),
+    )
+    sw = (
+        docs.select(
+            F.col(by_col),
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+        )
+        .where((F.col("word") != "") & F.col("word").rlike("^[!-~]+$"))
+        .groupBy(by_col, "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt_sw"))
+    )
+    return (
+        sw.join(vocab, "word")
+        .groupBy(by_col)
+        .agg(
+            F.sum("cnt_sw").cast("long").alias("n_words"),
+            F.sum(F.col("cnt_sw") * F.col("n_sub"))
+            .cast("long")
+            .alias("n_subwords"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(
+                F.col("n_subwords").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ),
+        )
+    )

@@ -12729,6 +12729,53 @@ QUERIES = {
 
 
 
+
+
+def q_docs_bpe_fertility(spark, sf_dir) -> DataFrame:
+    """Tokenizer fertility per source (operators/bpe.py
+    bpe_fertility): subwords-per-word under the corpus-learned merges,
+    sliced by source — the under-served-slice metric read before
+    freezing a multilingual vocabulary. Oracle: the _bpe_parts learn
+    chain with the final fold, vocabulary reconstructed from the
+    merged symbol arrays, per-source word counts joined against it."""
+    from ..operators.bpe import bpe_fertility
+
+    return bpe_fertility(_docs(spark, sf_dir), n_merges=BPE_MERGES)
+
+
+def _bpe_fertility_sql(n_merges: int) -> str:
+    parts = _bpe_parts(n_merges, fold_last=True)
+    parts.append("""src_counts AS (
+        SELECT source, word, count(*)::BIGINT AS cnt_sw
+        FROM (SELECT source,
+                     unnest(regexp_split_to_array(
+                         text, '[ \\t\\n\\x0b\\f\\r]+')) AS word
+              FROM documents)
+        WHERE word <> '' AND regexp_matches(word, '^[!-~]+$')
+        GROUP BY 1, 2)""")
+    parts.append(f"""vocab AS (
+        SELECT substr(array_to_string(syms, ''), 1,
+                      length(array_to_string(syms, '')) - 4) AS word,
+               len(syms)::BIGINT AS n_sub
+        FROM w{n_merges})""")
+    return (
+        "WITH RECURSIVE "
+        + ",\n    ".join(parts)
+        + """
+    SELECT source, sum(cnt_sw)::BIGINT AS n_words,
+           sum(cnt_sw * n_sub)::BIGINT AS n_subwords,
+           round(sum(cnt_sw * n_sub)::DOUBLE
+                 / sum(cnt_sw)::DOUBLE, 6) AS fertility
+    FROM src_counts JOIN vocab USING (word)
+    GROUP BY source
+"""
+    )
+
+
+DOCS_BPE_FERTILITY_SQL = _bpe_fertility_sql(BPE_MERGES)
+
+
+
 def q_media_mime_sniff(spark, sf_dir) -> DataFrame:
     """Magic-byte router audit (operators/multimodal.py sniff_mime):
     sniff the MIME type from the raw payload bytes and cross-tabulate
@@ -12774,6 +12821,7 @@ QUERIES_WAVE28 = {
     "docs_readability": q_docs_readability,
     "events_cusum": q_events_cusum,
     "media_mime_sniff": q_media_mime_sniff,
+    "docs_bpe_fertility": q_docs_bpe_fertility,
 }
 # wave 28 lands BEHIND the round-5 rotation head (the driver window
 # stamps the first 50 rotated keys; these are builder-gate verified)
@@ -12785,6 +12833,7 @@ ORACLES = {
     "docs_readability": DOCS_READABILITY_SQL,
     "events_cusum": EVENTS_CUSUM_SQL,
     "media_mime_sniff": MEDIA_MIME_SNIFF_SQL,
+    "docs_bpe_fertility": DOCS_BPE_FERTILITY_SQL,
     "el_mentions": EL_MENTIONS_SQL,
     "el_entities": EL_ENTITIES_SQL,
     "el_candidates": EL_CANDIDATES_SQL,
