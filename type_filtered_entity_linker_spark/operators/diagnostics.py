@@ -322,43 +322,42 @@ def cusum_anomalies(
     S_i = P_i − min(0, min_{j≤i} P_j) — two ordered windows per key
     partition, both accumulate in ORDER BY order in every engine, so
     the float sequence (and the alarm decision) is engine-identical.
-    μ and σ come from the exact integer aggregates (n, Σx, Σx²) via
+    μ and σ come from the exact integer moments (n, Σx, Σx²) via
     σ² = (Σx² − (Σx)²/n)/n evaluated in DOUBLE — both engines divide
     the same exact integers (the robust_anomalies convention), never
     a distributed stddev whose partial-merge order could differ.
 
-    Scale shape: one partial-agg pass for the moments, one key-
-    partitioned exchange reused by both windows. Returns key cols +
-    (slot, value, cusum [6dp], sigma [6dp], is_alarm)."""
+    Scale shape: the moments are FULL-PARTITION window aggregates over
+    the same key partitioning the ordered windows use — one scan of
+    the input, ONE key exchange reused by every window (a separate
+    moments groupBy + join would scan the input lineage twice; plan
+    audit r5). Returns key cols + (slot, value, cusum [6dp],
+    sigma [6dp], is_alarm)."""
     from pyspark.sql import Window
 
-    moments = df.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).cast("long").alias("_n"),
-        F.sum(value_col).cast("long").alias("_s"),
+    wk = Window.partitionBy(*key_cols)
+    n_ = F.count(F.lit(1)).over(wk).cast("long").cast("double")
+    s_ = F.sum(F.col(value_col)).over(wk).cast("long").cast("double")
+    ss_ = (
         F.sum(F.col(value_col) * F.col(value_col))
+        .over(wk)
         .cast("long")
-        .alias("_ss"),
+        .cast("double")
     )
-    j = df.join(moments, key_cols)
-    mean = F.col("_s").cast("double") / F.col("_n").cast("double")
-    var = (
-        F.col("_ss").cast("double")
-        - F.col("_s").cast("double")
-        * F.col("_s").cast("double")
-        / F.col("_n").cast("double")
-    ) / F.col("_n").cast("double")
+    mean = s_ / n_
+    var = (ss_ - s_ * s_ / n_) / n_
     # guard float residue: a constant series' var can be -1e-13
     sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
-    dev = F.col(value_col).cast("double") - mean - F.lit(slack_k) * sigma
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(slot_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    p = (
-        j.withColumn("_sigma", sigma)
-        .withColumn("_p", F.sum(dev).over(w))
+    p = df.withColumn("_sigma", sigma).withColumn(
+        "_dev",
+        F.col(value_col).cast("double") - mean - F.lit(slack_k) * sigma,
     )
+    p = p.withColumn("_p", F.sum("_dev").over(w))
     s = p.withColumn(
         "_cusum",
         F.col("_p") - F.least(F.lit(0.0), F.min("_p").over(w)),
