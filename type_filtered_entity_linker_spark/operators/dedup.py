@@ -681,33 +681,44 @@ def winnowing_fingerprints(
     DISTINCT (id_col, fp). hash_fn as in shingle_hash: xxhash64
     production / md5_60 for engine-exact oracles.
 
-    Scale shape: one posexplode + TWO windows per document partition
-    (the running min/count and the per-doc total) — bounded by
-    document length, the repeated_spans trade; then one distinct."""
-    from pyspark.sql import Window
-
+    Scale shape: ENTIRELY array-native per document (the cdc_chunks
+    rewrite pattern, r5): token/gram/hash arrays materialized once as
+    columns, window minima via array_min over slices, per-doc dedup
+    via array_distinct — zero shuffles, zero windows; the final
+    cross-document DISTINCT is the only exchange. (The original
+    posexplode + two-per-doc-window formulation shuffled every gram
+    row; same outputs, measured ~an order of magnitude slower on
+    long documents.)"""
     toks = F.split(F.col(text_col), r"\s+")
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    tk = F.col("_toks")
     grams = F.when(
-        F.size(toks) >= k,
+        F.size(tk) >= k,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            F.sequence(F.lit(0), F.size(tk) - k),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, k)),
         ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
-    pos = docs.select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "g")
-    ).select(
-        id_col, "pos", shingle_hash(F.col("g"), hash_fn).alias("h")
+    ).otherwise(F.array(F.concat_ws(" ", tk)))
+    hashed = base.select(
+        id_col,
+        F.transform(grams, lambda g: shingle_hash(g, hash_fn)).alias(
+            "_h"
+        ),
     )
-    w = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
-    tot = Window.partitionBy(id_col)
-    sel = (
-        pos.withColumn("wmin", F.min("h").over(w))
-        .withColumn("wcnt", F.count("h").over(w))
-        .withColumn("tot", F.count("h").over(tot))
-        .where(F.col("wcnt") == F.least(F.lit(window), F.col("tot")))
+    h = F.col("_h")
+    fps = F.when(
+        F.size(h) >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(h) - window),
+                lambda i: F.array_min(F.slice(h, i + 1, window)),
+            )
+        ),
+    ).otherwise(F.array(F.array_min(h)))
+    return (
+        hashed.select(F.col(id_col), F.explode(fps).alias("fp"))
+        .distinct()
     )
-    return sel.select(F.col(id_col), F.col("wmin").alias("fp")).distinct()
 
 
 def near_duplicates_incremental(
