@@ -298,6 +298,7 @@ HEADLINE = [
     "events_cusum",
     "media_mime_sniff",
     "docs_bpe_fertility",
+    "docs_cdc_incremental",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

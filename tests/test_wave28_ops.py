@@ -189,3 +189,35 @@ def test_bpe_fertility_baseline_and_monotone(spark):
     for s in ("s1", "s2"):
         assert merged[s].fertility <= base[s].fertility
         assert merged[s].n_words == base[s].n_words
+
+
+def test_cdc_incremental_probes_new_side_only(spark):
+    from type_filtered_entity_linker_spark.operators.dedup import (
+        cdc_shared_passages_incremental,
+    )
+
+    base = " ".join(f"tok{i % 13}w{i % 7}" for i in range(120))
+    old = spark.createDataFrame(
+        [(1, base), (2, base), (3, "entirely different short words")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "EDIT " + base)],  # near-copy, one token prepended
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_a, r.doc_b): r.n_shared_chunks
+        for r in cdc_shared_passages_incremental(
+            old, new, k=3, divisor=4
+        ).collect()
+    }
+    # old x old (1,2) share everything but must NOT appear
+    assert (1, 2) not in rows
+    # the content-defined boundaries survive the prepended token:
+    # the new doc shares chunks with BOTH stored copies
+    assert rows[(1, 100)] >= 3 and rows[(2, 100)] >= 3
+    assert (3, 100) not in rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="disjoint"):
+        cdc_shared_passages_incremental(old, old.limit(1))

@@ -972,3 +972,74 @@ def cdc_chunks(
         "c.chunk_tokens",
         shingle_hash(F.col("c.chunk_text"), hash_fn).alias("chunk_hash"),
     )
+
+
+def cdc_shared_passages_incremental(
+    existing: DataFrame,
+    new: DataFrame,
+    k: int = 3,
+    divisor: int = 8,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental shared-passage detection over CDC chunks — the
+    nightly-batch form of the cdc_chunks report: every document pair
+    sharing at least one chunk hash where AT LEAST ONE side is new
+    (new-vs-existing and new-vs-new), while existing-vs-existing is
+    never generated. The probe side is the NEW docs' distinct chunk
+    hashes only, joined against the full chunk index — in production
+    the right side is the PERSISTED chunk index (the cheap table CDC
+    chunking exists to maintain: chunking itself is a narrow map, so
+    the nightly cost is one |new|-sided hash join), and because the
+    boundaries are content-defined, a near-copy of a stored document
+    shares its unedited chunks verbatim no matter how its edits
+    shifted the token positions.
+
+    CONTRACT: disjoint doc_ids between sides (the
+    near_duplicates_incremental crawl-batch invariant, enforced the
+    same way). Returns (doc_a, doc_b, n_shared_chunks, shared_tokens)
+    with doc_a < doc_b, one row per pair, counting each shared chunk
+    HASH once per pair with its token length."""
+    clash = (
+        new.select("doc_id")
+        .join(existing.select("doc_id"), "doc_id", "semi")
+        .limit(1)
+        .count()
+    )
+    if clash:
+        raise ValueError(
+            "cdc_shared_passages_incremental: existing and new doc_ids "
+            "must be disjoint (crawl-batch contract)"
+        )
+    all_docs = existing.select("doc_id", "text").unionByName(
+        new.select("doc_id", "text")
+    )
+    ch = (
+        cdc_chunks(all_docs, k=k, divisor=divisor, hash_fn=hash_fn)
+        .select("doc_id", "chunk_hash", "chunk_tokens")
+        .distinct()
+        .localCheckpoint()  # index re-referenced by both probe sides
+    )
+    probe = ch.join(new.select("doc_id"), "doc_id", "semi").select(
+        F.col("doc_id").alias("doc_n"),
+        "chunk_hash",
+        "chunk_tokens",
+    )
+    return (
+        probe.join(
+            ch.select(F.col("doc_id").alias("doc_o"), "chunk_hash"),
+            "chunk_hash",
+        )
+        .where(F.col("doc_n") != F.col("doc_o"))
+        .select(
+            F.least("doc_n", "doc_o").alias("doc_a"),
+            F.greatest("doc_n", "doc_o").alias("doc_b"),
+            "chunk_hash",
+            "chunk_tokens",
+        )
+        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_chunks"),
+            F.sum("chunk_tokens").cast("long").alias("shared_tokens"),
+        )
+    )

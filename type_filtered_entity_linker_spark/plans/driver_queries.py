@@ -12428,6 +12428,78 @@ DOCS_CDC_CHUNKS_SQL = f"""
 """
 
 
+
+
+def q_docs_cdc_incremental(spark, sf_dir) -> DataFrame:
+    """Nightly-batch CDC shared-passage probe (operators/dedup.py
+    cdc_shared_passages_incremental): the near-copy variants arrive as
+    the NEW batch against the stored originals — every pair with a new
+    member, old-x-old never generated. Because the variants drop ONE
+    leading token, fixed-size chunking would shift every boundary and
+    share nothing; content-defined boundaries keep the unedited
+    chunks verbatim, which is the entire point of the operator. The
+    oracle replays the chunk chain over the union corpus and probes
+    from the new side (doc_id >= 200000)."""
+    from ..operators.dedup import cdc_shared_passages_incremental
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return cdc_shared_passages_incremental(
+        d,
+        _neardup_variants(d),
+        k=CDC_K,
+        divisor=CDC_DIVISOR,
+        hash_fn="md5_60",
+    )
+
+
+DOCS_CDC_INCREMENTAL_SQL = f"""
+    WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+    toks AS (SELECT doc_id,
+                    regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l
+             FROM corpus),
+    ga AS (
+        SELECT doc_id,
+               [struct_pack(t := i - 1,
+                            tok := l[i],
+                            gr := CASE WHEN i - 1 >= {CDC_K}
+                                       THEN array_to_string(
+                                           l[i - {CDC_K}:i - 1], ' ')
+                                  END)
+                for i in generate_series(1, len(l))] AS arr
+        FROM toks),
+    g AS (SELECT doc_id, u.s['t'] AS t, u.s['tok'] AS tok,
+                 CASE WHEN u.s['gr'] IS NOT NULL
+                       AND ({_hex_fold("u.s['gr']", 1, 15)})
+                           % {CDC_DIVISOR} = 0
+                      THEN 1 ELSE 0 END AS brk
+          FROM ga, unnest(arr) AS u(s)),
+    seg AS (SELECT doc_id, t, tok,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS chunk_id
+            FROM g),
+    ch AS (SELECT doc_id, chunk_id,
+                  count(*)::BIGINT AS chunk_tokens,
+                  string_agg(tok, ' ' ORDER BY t) AS chunk_text
+           FROM seg GROUP BY 1, 2),
+    idx AS (SELECT DISTINCT doc_id, chunk_tokens,
+                   {_hex_fold('chunk_text', 1, 15)} AS chunk_hash
+            FROM ch),
+    probe AS (SELECT doc_id AS doc_n, chunk_hash, chunk_tokens
+              FROM idx WHERE doc_id >= 200000),
+    pairs AS (
+        SELECT DISTINCT least(p.doc_n, o.doc_id) AS doc_a,
+               greatest(p.doc_n, o.doc_id) AS doc_b,
+               p.chunk_hash, p.chunk_tokens
+        FROM probe p JOIN idx o USING (chunk_hash)
+        WHERE p.doc_n <> o.doc_id)
+    SELECT doc_a, doc_b, count(*)::BIGINT AS n_shared_chunks,
+           sum(chunk_tokens)::BIGINT AS shared_tokens
+    FROM pairs GROUP BY 1, 2
+"""
+
+
+
 def q_docs_readability(spark, sf_dir) -> DataFrame:
     """Flesch reading-ease quality dial (operators/textstats.py
     readability): deterministic sentence/word/vowel-group-syllable
@@ -12818,6 +12890,7 @@ MEDIA_MIME_SNIFF_SQL = """
 
 QUERIES_WAVE28 = {
     "docs_cdc_chunks": q_docs_cdc_chunks,
+    "docs_cdc_incremental": q_docs_cdc_incremental,
     "docs_readability": q_docs_readability,
     "events_cusum": q_events_cusum,
     "media_mime_sniff": q_media_mime_sniff,
@@ -12830,6 +12903,7 @@ QUERIES.update(QUERIES_WAVE28)
 
 ORACLES = {
     "docs_cdc_chunks": DOCS_CDC_CHUNKS_SQL,
+    "docs_cdc_incremental": DOCS_CDC_INCREMENTAL_SQL,
     "docs_readability": DOCS_READABILITY_SQL,
     "events_cusum": EVENTS_CUSUM_SQL,
     "media_mime_sniff": MEDIA_MIME_SNIFF_SQL,
