@@ -221,3 +221,50 @@ def test_cdc_incremental_probes_new_side_only(spark):
 
     with _pytest.raises(ValueError, match="disjoint"):
         cdc_shared_passages_incremental(old, old.limit(1))
+
+
+def test_cdc_chunks_property_python_parity(spark):
+    """Hypothesis sweep: on random corpora the distributed chunking is
+    row-identical to the transparent sequential reference — boundary
+    rule, chunk extents, and hashes."""
+    import hashlib
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from type_filtered_entity_linker_spark.operators.dedup import cdc_chunks
+
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def ref(text, k, d):
+        toks = text.split(" ")
+        bounds = [
+            t
+            for t in range(len(toks))
+            if t >= k and md5_60(" ".join(toks[t - k : t])) % d == 0
+        ]
+        out = []
+        for s, e in zip([0] + bounds, bounds + [len(toks)]):
+            out.append((s, e - s, md5_60(" ".join(toks[s:e]))))
+        return sorted(out)
+
+    token = st.sampled_from(["aa", "b", "ccc", "dd", "e1", "aa"])
+    doc = st.lists(token, min_size=1, max_size=30).map(" ".join)
+
+    @settings(max_examples=8, deadline=None)
+    @given(docs=st.lists(doc, min_size=1, max_size=6), k=st.integers(1, 4),
+           d=st.integers(2, 5))
+    def run(docs, k, d):
+        sdf = spark.createDataFrame(
+            list(enumerate(docs)), "doc_id long, text string"
+        )
+        got = {}
+        for r in cdc_chunks(sdf, k=k, divisor=d, hash_fn="md5_60").collect():
+            got.setdefault(r.doc_id, []).append(
+                (r.chunk_start, r.chunk_tokens, r.chunk_hash)
+            )
+        for i, text in enumerate(docs):
+            assert sorted(got[i]) == ref(text, k, d), (text, k, d)
+
+    run()
