@@ -174,3 +174,27 @@ def test_linkage_e2e_candidate_barrier_holds(spark, inputs):
 
     links = link_pages_batch(inputs["pages"], inputs)
     assert count_in_plan(links, r"InMemoryTableScan") >= 1
+
+
+def test_incremental_probe_barriers_hold(spark, tmp_path):
+    """Both nightly-batch probes checkpoint their index once; the
+    final pair plans must read it via Scan ExistingRDD with the
+    signature/chunk derivation absent downstream."""
+    from type_filtered_entity_linker_spark.operators.dedup import (
+        cdc_shared_passages_incremental,
+        near_duplicates_incremental,
+    )
+
+    docs = _docs(spark, tmp_path)
+    old = docs.where(F.col("doc_id") < 20)
+    new = docs.where(F.col("doc_id") >= 20).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    nd = near_duplicates_incremental(old, new, 0.5, k=16, bands=4)
+    # the 16-way min signature aggregate is behind the checkpoint
+    assert_barriered(nd, MINHASH_SIG_AGG, min_existing_rdd=2)
+
+    cdc = cdc_shared_passages_incremental(old, new)
+    # the chunk derivation (array-native: the boundary filter's pmod
+    # over the gram hash) is behind the chunk-index checkpoint
+    assert_barriered(cdc, r"pmod\(xxhash64", min_existing_rdd=2)
