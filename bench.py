@@ -299,6 +299,7 @@ HEADLINE = [
     "media_mime_sniff",
     "docs_bpe_fertility",
     "docs_cdc_incremental",
+    "docs_stream_cdc_index",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

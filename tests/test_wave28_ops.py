@@ -268,3 +268,52 @@ def test_cdc_chunks_property_python_parity(spark):
             assert sorted(got[i]) == ref(text, k, d), (text, k, d)
 
     run()
+
+
+def test_stream_cdc_index_carries_state_across_batches(spark, tmp_path):
+    """A batch-2 document must find its shared chunks in the index the
+    batch-1 trigger stored — the cross-batch dependency a stateless
+    per-batch chunker cannot produce."""
+    import os
+    import shutil
+
+    from type_filtered_entity_linker_spark.plans.driver_queries import (
+        stage_snapshot_files,
+    )
+    from type_filtered_entity_linker_spark.streaming.incremental import (
+        read_cdc_pairs,
+        stream_cdc_index,
+    )
+
+    base = " ".join(f"tok{i % 13}w{i % 7}" for i in range(120))
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "totally unrelated little text")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(100, "EDIT " + base)], "doc_id long, text string"
+    )
+    stage = str(tmp_path / "stage")
+    stage_snapshot_files(stage, [(1, b1), (2, b2)])
+    wd = str(tmp_path / "wd")
+    metrics = []
+    root = stream_cdc_index(
+        spark,
+        stage,
+        wd,
+        spark.read.parquet(os.path.join(stage, "snap_1.parquet")).schema,
+        k=3,
+        divisor=4,
+        metrics=metrics,
+    )
+    rows = {
+        (r.doc_a, r.doc_b): r.n_shared_chunks
+        for r in read_cdc_pairs(spark, root).collect()
+    }
+    # the cross-batch pair exists; batch-1-internal docs share nothing
+    assert rows.get((1, 100), 0) >= 3
+    assert (1, 2) not in rows
+    # two triggers ran; the pair was emitted at the LATER member's batch
+    assert [m["batch_id"] for m in metrics] == [0, 1]
+    assert metrics[0]["n_pairs"] == 0 and metrics[1]["n_pairs"] == 1
+    shutil.rmtree(wd, ignore_errors=True)

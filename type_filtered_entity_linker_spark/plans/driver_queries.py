@@ -12500,6 +12500,123 @@ DOCS_CDC_INCREMENTAL_SQL = f"""
 
 
 
+
+
+def _staged_cdc_batches(spark, sf_dir: str) -> str:
+    """Two document-batch files for the streaming CDC index: batch 1 =
+    the stored originals, batch 2 = the near-copy variants (one token
+    dropped) — the arriving crawl whose unedited chunks must match the
+    batch-1 index across the trigger boundary."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    path = f"{sf_dir}/documents.parquet"
+    st = os.stat(path)
+    key = hashlib.md5(
+        f"cdc:{path}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    stage = os.path.join(tempfile.gettempdir(), f"cdc_stream_src_{key}")
+    if not os.path.isdir(stage):
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        build = tempfile.mkdtemp(prefix=f"cdc_build_{key}_")
+        stage_snapshot_files(
+            build, [(1, d), (2, _neardup_variants(d))]
+        )
+        try:
+            os.rename(build, stage)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # lost the race
+    return stage
+
+
+def q_docs_stream_cdc_index(spark, sf_dir) -> DataFrame:
+    """The CDC chunk index as STREAMING state
+    (streaming/incremental.py stream_cdc_index): originals arrive as
+    micro-batch 1 and build the index; the near-copy variants arrive
+    as batch 2 and must find their unedited chunks in the batch-1
+    snapshot — the cross-trigger dependency a stateless per-batch
+    chunker cannot produce. Every unordered pair is emitted at its
+    later member's batch exactly once, so the per-batch union equals
+    the complete batch result over the whole corpus — which is what
+    the oracle replays (the idx-self-join form of the incremental
+    chain)."""
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental import read_cdc_pairs, stream_cdc_index
+
+    stage = _staged_cdc_batches(spark, sf_dir)
+    schema = spark.read.parquet(
+        os.path.join(stage, "snap_1.parquet")
+    ).schema
+    _STREAM_SEQ[0] += 1
+    wd = os.path.join(
+        tempfile.gettempdir(),
+        f"cdc_wd_{_STREAM_SEQ[0]}_{os.getpid()}",
+    )
+    shutil.rmtree(wd, ignore_errors=True)
+    try:
+        root = stream_cdc_index(
+            spark,
+            stage,
+            wd,
+            schema,
+            k=CDC_K,
+            divisor=CDC_DIVISOR,
+            hash_fn="md5_60",
+            max_files_per_trigger=1,
+        )
+        return read_cdc_pairs(spark, root).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
+
+DOCS_STREAM_CDC_SQL = f"""
+    WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+    toks AS (SELECT doc_id,
+                    regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l
+             FROM corpus),
+    ga AS (
+        SELECT doc_id,
+               [struct_pack(t := i - 1,
+                            tok := l[i],
+                            gr := CASE WHEN i - 1 >= {CDC_K}
+                                       THEN array_to_string(
+                                           l[i - {CDC_K}:i - 1], ' ')
+                                  END)
+                for i in generate_series(1, len(l))] AS arr
+        FROM toks),
+    g AS (SELECT doc_id, u.s['t'] AS t, u.s['tok'] AS tok,
+                 CASE WHEN u.s['gr'] IS NOT NULL
+                       AND ({_hex_fold("u.s['gr']", 1, 15)})
+                           % {CDC_DIVISOR} = 0
+                      THEN 1 ELSE 0 END AS brk
+          FROM ga, unnest(arr) AS u(s)),
+    seg AS (SELECT doc_id, t, tok,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS chunk_id
+            FROM g),
+    ch AS (SELECT doc_id, chunk_id,
+                  count(*)::BIGINT AS chunk_tokens,
+                  string_agg(tok, ' ' ORDER BY t) AS chunk_text
+           FROM seg GROUP BY 1, 2),
+    idx AS (SELECT DISTINCT doc_id, chunk_tokens,
+                   {_hex_fold('chunk_text', 1, 15)} AS chunk_hash
+            FROM ch),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.chunk_hash, a.chunk_tokens
+        FROM idx a JOIN idx b USING (chunk_hash)
+        WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, count(*)::BIGINT AS n_shared_chunks,
+           sum(chunk_tokens)::BIGINT AS shared_tokens
+    FROM pairs GROUP BY 1, 2
+"""
+
+
+
 def q_docs_readability(spark, sf_dir) -> DataFrame:
     """Flesch reading-ease quality dial (operators/textstats.py
     readability): deterministic sentence/word/vowel-group-syllable
@@ -12891,6 +13008,7 @@ MEDIA_MIME_SNIFF_SQL = """
 QUERIES_WAVE28 = {
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "docs_cdc_incremental": q_docs_cdc_incremental,
+    "docs_stream_cdc_index": q_docs_stream_cdc_index,
     "docs_readability": q_docs_readability,
     "events_cusum": q_events_cusum,
     "media_mime_sniff": q_media_mime_sniff,
@@ -12904,6 +13022,7 @@ QUERIES.update(QUERIES_WAVE28)
 ORACLES = {
     "docs_cdc_chunks": DOCS_CDC_CHUNKS_SQL,
     "docs_cdc_incremental": DOCS_CDC_INCREMENTAL_SQL,
+    "docs_stream_cdc_index": DOCS_STREAM_CDC_SQL,
     "docs_readability": DOCS_READABILITY_SQL,
     "events_cusum": EVENTS_CUSUM_SQL,
     "media_mime_sniff": MEDIA_MIME_SNIFF_SQL,

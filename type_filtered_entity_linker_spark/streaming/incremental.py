@@ -887,3 +887,144 @@ def watermark_filter_lag_batches(spark: SparkSession) -> int:
     if key not in _LAG_PROBE_CACHE:
         _LAG_PROBE_CACHE[key] = measure_watermark_filter_lag(spark)
     return _LAG_PROBE_CACHE[key]
+
+
+def stream_cdc_index(
+    spark: SparkSession,
+    batches_dir: str,
+    workdir: str,
+    schema: StructType,
+    k: int = 3,
+    divisor: int = 8,
+    hash_fn: str = "xxhash64",
+    max_files_per_trigger: "int | None" = 1,
+    metrics: "list | None" = None,
+) -> str:
+    """The CDC chunk index as streaming state — continuous
+    shared-passage detection over an unbounded document feed: each
+    micro-batch is chunked (cdc_chunks is a pure narrow map, so the
+    per-trigger cost is one |batch|-sided hash join), probed against
+    the CURRENT stored index for pairs with a new member (new-vs-
+    stored and new-vs-new within the batch), and its chunks folded
+    into the index snapshot. ``cdc_shared_passages_incremental``
+    lifted to continuous operation, exactly as stream_entity_attach
+    lifts er_incremental_attach.
+
+    Because documents arrive exactly once (the file-source contract)
+    and every unordered pair is emitted at its LATER member's batch,
+    the union of per-batch pair tables equals the complete batch
+    result over the whole corpus — the invariant the driver oracle
+    replays. State layout and retry fencing mirror
+    stream_entity_attach: ``index_<batch>`` snapshots + a
+    ``pairs_<batch>`` table per trigger, a replayed batch re-derives
+    identically and overwrites only its own outputs; a production
+    index lives in a MERGE-capable table and appends row-level.
+
+    ``metrics`` collects {batch_id, n_docs, n_chunks, n_pairs} per
+    trigger. Returns the state root; pairs = union of ``pairs_*``
+    (doc_a, doc_b, n_shared_chunks, shared_tokens)."""
+    from ..operators.dedup import cdc_chunks
+
+    state_root = os.path.join(workdir, "cdc_state")
+    ckpt = os.path.join(workdir, "_cdc_checkpoint")
+    os.makedirs(state_root, exist_ok=True)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    batches = reader.parquet(batches_dir)
+
+    def _latest_index(below: int) -> "int | None":
+        best = None
+        for d in os.listdir(state_root):
+            if d.startswith("index_"):
+                i = int(d.split("_")[1])
+                if i < below and os.path.exists(
+                    os.path.join(state_root, d, "_SUCCESS")
+                ) and (best is None or i > best):
+                    best = i
+        return best
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        prev = _latest_index(below=batch_id)
+        index = (
+            spark.read.parquet(
+                os.path.join(state_root, f"index_{prev:09d}")
+            )
+            if prev is not None
+            else spark.createDataFrame(
+                [], "doc_id long, chunk_hash long, chunk_tokens long"
+            )
+        )
+        ch_new = (
+            cdc_chunks(
+                batch_df, k=k, divisor=divisor, hash_fn=hash_fn
+            )
+            .select("doc_id", "chunk_hash", "chunk_tokens")
+            .distinct()
+            .localCheckpoint(eager=True)  # probe side AND index fold
+        )
+        full = index.unionByName(ch_new)
+        pairs = (
+            ch_new.select(
+                F.col("doc_id").alias("doc_n"),
+                "chunk_hash",
+                "chunk_tokens",
+            )
+            .join(
+                full.select(F.col("doc_id").alias("doc_o"), "chunk_hash"),
+                "chunk_hash",
+            )
+            .where(F.col("doc_n") != F.col("doc_o"))
+            .select(
+                F.least("doc_n", "doc_o").alias("doc_a"),
+                F.greatest("doc_n", "doc_o").alias("doc_b"),
+                "chunk_hash",
+                "chunk_tokens",
+            )
+            .distinct()
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_shared_chunks"),
+                F.sum("chunk_tokens").cast("long").alias("shared_tokens"),
+            )
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"pairs_{batch_id:09d}")
+        )
+        full.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"index_{batch_id:09d}")
+        )
+        if metrics is not None:
+            metrics.append(
+                {
+                    "batch_id": batch_id,
+                    "n_docs": batch_df.count(),
+                    "n_chunks": ch_new.count(),
+                    "n_pairs": spark.read.parquet(
+                        os.path.join(state_root, f"pairs_{batch_id:09d}")
+                    ).count(),
+                }
+            )
+
+    q = (
+        batches.writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return state_root
+
+
+def read_cdc_pairs(spark: SparkSession, state_root: str) -> DataFrame:
+    """Union of all per-batch pair tables. Disjoint by construction:
+    every unordered pair is emitted exactly once, at its later
+    member's batch."""
+    import glob as _glob
+
+    dirs = sorted(_glob.glob(os.path.join(state_root, "pairs_*")))
+    if not dirs:
+        raise FileNotFoundError(f"no pairs under {state_root}")
+    return spark.read.parquet(*dirs).drop("batch_id")
