@@ -300,6 +300,7 @@ HEADLINE = [
     "docs_bpe_fertility",
     "docs_cdc_incremental",
     "docs_stream_cdc_index",
+    "docs_cdc_dedup_ratio",
 ]
 
 BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "2500"))

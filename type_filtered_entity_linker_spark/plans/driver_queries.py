@@ -12617,6 +12617,98 @@ DOCS_STREAM_CDC_SQL = f"""
 
 
 
+
+
+def q_docs_cdc_dedup_ratio(spark, sf_dir) -> DataFrame:
+    """Chunk-level dedup savings estimate — the planning number read
+    BEFORE running chunk dedup at corpus scale: total chunk
+    occurrences / tokens vs distinct chunk hashes / tokens, and the
+    token fraction a store-each-chunk-once layout would save. One
+    row; two aggregates over the cdc_chunks output. Oracle: the same
+    chain, the same two aggregates."""
+    from ..operators.dedup import cdc_chunks
+
+    ch = cdc_chunks(
+        _neardup_corpus(spark, sf_dir),
+        k=CDC_K,
+        divisor=CDC_DIVISOR,
+        hash_fn="md5_60",
+    )
+    total = ch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunk_occurrences"),
+        F.sum("chunk_tokens").cast("long").alias("total_tokens"),
+    )
+    uniq = (
+        ch.groupBy("chunk_hash")
+        .agg(F.min("chunk_tokens").alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+            F.sum("t").cast("long").alias("distinct_tokens"),
+        )
+    )
+    return total.crossJoin(F.broadcast(uniq)).select(
+        "n_chunk_occurrences",
+        "n_distinct_chunks",
+        "total_tokens",
+        "distinct_tokens",
+        F.round(
+            F.lit(1.0)
+            - F.col("distinct_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("dedup_savings"),
+    )
+
+
+DOCS_CDC_DEDUP_RATIO_SQL = f"""
+    WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+    toks AS (SELECT doc_id,
+                    regexp_split_to_array(text, '[ \\t\\n\\x0b\\f\\r]+') AS l
+             FROM corpus),
+    ga AS (
+        SELECT doc_id,
+               [struct_pack(t := i - 1,
+                            tok := l[i],
+                            gr := CASE WHEN i - 1 >= {CDC_K}
+                                       THEN array_to_string(
+                                           l[i - {CDC_K}:i - 1], ' ')
+                                  END)
+                for i in generate_series(1, len(l))] AS arr
+        FROM toks),
+    g AS (SELECT doc_id, u.s['t'] AS t, u.s['tok'] AS tok,
+                 CASE WHEN u.s['gr'] IS NOT NULL
+                       AND ({_hex_fold("u.s['gr']", 1, 15)})
+                           % {CDC_DIVISOR} = 0
+                      THEN 1 ELSE 0 END AS brk
+          FROM ga, unnest(arr) AS u(s)),
+    seg AS (SELECT doc_id, t, tok,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY t
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS chunk_id
+            FROM g),
+    ch AS (SELECT doc_id, chunk_id,
+                  count(*)::BIGINT AS chunk_tokens,
+                  string_agg(tok, ' ' ORDER BY t) AS chunk_text
+           FROM seg GROUP BY 1, 2),
+    h AS (SELECT doc_id, chunk_tokens,
+                 {_hex_fold('chunk_text', 1, 15)} AS chunk_hash
+          FROM ch),
+    tot AS (SELECT count(*)::BIGINT AS n_chunk_occurrences,
+                   sum(chunk_tokens)::BIGINT AS total_tokens
+            FROM h),
+    unq AS (SELECT count(*)::BIGINT AS n_distinct_chunks,
+                   sum(t)::BIGINT AS distinct_tokens
+            FROM (SELECT chunk_hash, min(chunk_tokens) AS t
+                  FROM h GROUP BY chunk_hash))
+    SELECT n_chunk_occurrences, n_distinct_chunks,
+           total_tokens, distinct_tokens,
+           round(1.0 - distinct_tokens::DOUBLE
+                 / total_tokens::DOUBLE, 6) AS dedup_savings
+    FROM tot, unq
+"""
+
+
+
 def q_docs_readability(spark, sf_dir) -> DataFrame:
     """Flesch reading-ease quality dial (operators/textstats.py
     readability): deterministic sentence/word/vowel-group-syllable
@@ -13009,6 +13101,7 @@ QUERIES_WAVE28 = {
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "docs_cdc_incremental": q_docs_cdc_incremental,
     "docs_stream_cdc_index": q_docs_stream_cdc_index,
+    "docs_cdc_dedup_ratio": q_docs_cdc_dedup_ratio,
     "docs_readability": q_docs_readability,
     "events_cusum": q_events_cusum,
     "media_mime_sniff": q_media_mime_sniff,
@@ -13023,6 +13116,7 @@ ORACLES = {
     "docs_cdc_chunks": DOCS_CDC_CHUNKS_SQL,
     "docs_cdc_incremental": DOCS_CDC_INCREMENTAL_SQL,
     "docs_stream_cdc_index": DOCS_STREAM_CDC_SQL,
+    "docs_cdc_dedup_ratio": DOCS_CDC_DEDUP_RATIO_SQL,
     "docs_readability": DOCS_READABILITY_SQL,
     "events_cusum": EVENTS_CUSUM_SQL,
     "media_mime_sniff": MEDIA_MIME_SNIFF_SQL,
